@@ -1,0 +1,12 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge
+
+/** Column-level entry points for graft's custom Catalyst expressions. */
+package object functions {
+
+  /** DRI path quoting (see [[graft.functions.PercentEncode]]). */
+  def percent_encode(c: Column): Column =
+    graftbridge.column(PercentEncodeExpr(graftbridge.expression(c)))
+}
