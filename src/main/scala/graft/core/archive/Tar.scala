@@ -1,0 +1,116 @@
+package graft.core.archive
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, InputStream}
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.gzip.{GzipCompressorInputStream, GzipCompressorOutputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One extracted archive entry (S7). `source` is the archive it came from
+  * (bag id), `name` has any leading `./` stripped
+  * (s3_lib/s3_lib/tar_lib.py:52-54).
+  */
+final case class TarEntry(source: String, name: String, bytes: Array[Byte],
+                          mtime: Long, isDir: Boolean)
+
+/** Items recorded for a packed archive (tar_lib.py:96-104). */
+final case class TarItem(name: String, size: Long)
+final case class PackedArchive(bagId: String, path: String, items: Seq[TarItem])
+
+/** S7 (tar explode) + K2/K3 (tar package) — SURVEY §2.1/§2.2.
+  *
+  * The reference reads whole archives into RAM (tar_lib.py:45,87). Here
+  * extraction is a streaming `flatMap` over `binaryFile` rows and packing
+  * is `groupByKey(bagId).mapGroups` writing straight to a Hadoop output
+  * stream, so per-bag memory is bounded by the largest single entry, not
+  * the archive (SURVEY §7.4 "100 TB scale").
+  */
+object Tar {
+
+  private def open(name: String, in: InputStream): TarArchiveInputStream = {
+    val buffered = new BufferedInputStream(in)
+    if (name.endsWith(".gz") || name.endsWith(".tgz"))
+      new TarArchiveInputStream(new GzipCompressorInputStream(buffered))
+    else new TarArchiveInputStream(buffered)
+  }
+
+  /** Iterate entries of one in-memory archive. */
+  def entries(archiveName: String, bytes: Array[Byte]): Iterator[TarEntry] = {
+    val tin = open(archiveName, new ByteArrayInputStream(bytes))
+    Iterator.continually(tin.getNextEntry).takeWhile(_ != null).map { e =>
+      val name = e.getName.stripPrefix("./")
+      val content =
+        if (e.isDirectory) Array.emptyByteArray
+        else {
+          val buf = new java.io.ByteArrayOutputStream(math.max(64, e.getSize.toInt))
+          val chunk = new Array[Byte](64 * 1024)
+          var n = tin.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = tin.read(chunk) }
+          buf.toByteArray
+        }
+      TarEntry(archiveName, name, content, e.getModTime.getTime / 1000L, e.isDirectory)
+    }
+  }
+
+  /** Explode archives read via `spark.read.format("binaryFile")` into one
+    * row per entry. Partitioned by input file ⇒ each archive streams on one
+    * executor; many archives extract in parallel.
+    */
+  def explode(binaryFiles: DataFrame): Dataset[TarEntry] = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.split("/").last
+        entries(base, bytes).map(e => e.copy(source = base))
+      }
+  }
+
+  /** Read + explode in one call. */
+  def explodePath(spark: SparkSession, glob: String): Dataset[TarEntry] =
+    explode(spark.read.format("binaryFile").load(glob))
+
+  /** K3 prefix substitution: first-occurrence remove/add on entry names
+    * (tar_lib.py:159-160).
+    */
+  def substitutePrefix(name: String, drop: String, add: String): String =
+    if (drop.nonEmpty && name.startsWith(drop)) add + name.substring(drop.length)
+    else if (drop.isEmpty) add + name
+    else name
+
+  /** K2/K3: pack each bag's entries into `<outDir>/<bagId>.tar.gz`,
+    * streaming entries in `orderCol` order to a Hadoop stream. Returns one
+    * row per archive with the recorded item list (name, size), mirroring
+    * tar_lib.py:96-125.
+    */
+  def packageBags(entries: Dataset[TarEntry], outDir: String,
+                  prefixDrop: String = "", prefixAdd: String = "",
+                  mtimeSeconds: Option[Long] = None): Dataset[PackedArchive] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    entries.groupByKey(_.source).mapGroups { (bagId, it) =>
+      val outPath = new Path(outDir, s"$bagId.tar.gz")
+      val fs = outPath.getFileSystem(hadoopConf.value)
+      val out = new TarArchiveOutputStream(
+        new GzipCompressorOutputStream(new BufferedOutputStream(fs.create(outPath, true))))
+      out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+      val items = Seq.newBuilder[TarItem]
+      it.filterNot(_.isDir).foreach { e =>
+        val name = substitutePrefix(e.name, prefixDrop, prefixAdd)
+        val te = new TarArchiveEntry(name)
+        te.setSize(e.bytes.length.toLong)
+        te.setModTime(mtimeSeconds.getOrElse(e.mtime) * 1000L)
+        out.putArchiveEntry(te)
+        out.write(e.bytes)
+        out.closeArchiveEntry()
+        items += TarItem(name, e.bytes.length.toLong)
+      }
+      out.close()
+      PackedArchive(bagId, outPath.toString, items.result())
+    }
+  }
+}

@@ -9,4 +9,11 @@ package object functions {
   /** DRI path quoting (see [[graft.functions.PercentEncode]]). */
   def percent_encode(c: Column): Column =
     graftbridge.column(PercentEncodeExpr(graftbridge.expression(c)))
+
+  /** Python `str.replace(find, repl, 1)` — first literal occurrence only. */
+  def replace_first(str: Column, find: Column, repl: Column): Column =
+    graftbridge.column(ReplaceFirstExpr(
+      graftbridge.expression(str),
+      graftbridge.expression(find),
+      graftbridge.expression(repl)))
 }

@@ -1,0 +1,66 @@
+package graft.core.archive
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class TarSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Build a small .tar.gz on disk with commons-compress (fixture bag). */
+  private def makeTarGz(dir: java.nio.file.Path, name: String,
+                        files: Seq[(String, String)]): java.nio.file.Path = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val p = dir.resolve(name)
+    val out = new TarArchiveOutputStream(
+      new GzipCompressorOutputStream(Files.newOutputStream(p)))
+    files.foreach { case (n, content) =>
+      val bytes = content.getBytes("UTF-8")
+      val e = new TarArchiveEntry(n)
+      e.setSize(bytes.length.toLong)
+      e.setModTime(1660000000000L)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    }
+    out.close()
+    p
+  }
+
+  val bagFiles = Seq(
+    "./TDR-2022-AA1/bagit.txt" -> "BagIt-Version: 0.97",
+    "./TDR-2022-AA1/manifest-sha256.txt" -> "abc  data/doc.docx",
+    "./TDR-2022-AA1/data/doc.docx" -> "DOCX BYTES")
+
+  test("explode streams tar.gz entries as rows, './' stripped (S7)") {
+    val dir = Files.createTempDirectory("tar")
+    makeTarGz(dir, "TDR-2022-AA1.tar.gz", bagFiles)
+    val got = Tar.explodePath(spark, dir.toString + "/*.tar.gz").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.source == "TDR-2022-AA1.tar.gz"))
+    assert(got.map(_.name).sorted.toSeq == Seq(
+      "TDR-2022-AA1/bagit.txt", "TDR-2022-AA1/data/doc.docx",
+      "TDR-2022-AA1/manifest-sha256.txt"))
+    val doc = got.find(_.name.endsWith("doc.docx")).get
+    assert(new String(doc.bytes, "UTF-8") == "DOCX BYTES")
+  }
+
+  test("packageBags round-trips entries with prefix substitution (K2/K3)") {
+    val dir = Files.createTempDirectory("tarpack")
+    val entries = Seq(
+      TarEntry("bagA", "TDR-2022-AA1/data/doc.docx", "DOCX".getBytes, 1660000000L, isDir = false),
+      TarEntry("bagA", "TDR-2022-AA1/bag-info.txt", "k: v".getBytes, 1660000000L, isDir = false),
+      TarEntry("bagB", "other/x.txt", "X".getBytes, 1660000000L, isDir = false)
+    ).toDS()
+    val packed = Tar.packageBags(entries, dir.toString,
+      prefixDrop = "TDR-2022-AA1/", prefixAdd = "BATCH/SERIES/").collect()
+    assert(packed.length == 2)
+    val bagA = packed.find(_.bagId == "bagA").get
+    assert(bagA.items.map(_.name).sorted ==
+      Seq("BATCH/SERIES/bag-info.txt", "BATCH/SERIES/data/doc.docx"))
+    assert(bagA.items.map(_.size).sum == 8)
+    // re-explode what we packed: round trip
+    val back = Tar.explodePath(spark, dir.toString + "/bagA.tar.gz").collect()
+    assert(back.map(_.name).sorted.toSeq ==
+      Seq("BATCH/SERIES/bag-info.txt", "BATCH/SERIES/data/doc.docx"))
+    assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "DOCX")
+  }
+}

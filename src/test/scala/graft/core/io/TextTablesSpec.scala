@@ -1,0 +1,39 @@
+package graft.core.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("manifest fixed-width parse: 64-hex digest + path + basename (S1)") {
+    val lines = Seq(
+      "5bd8879fba139fed98c048261cb2a91d727ceafb27414cc54e21c26915e9e40f  data/content/file-c1.txt",
+      "AAD8879FBA139FED98C048261CB2A91D727CEAFB27414CC54E21C26915E9E40F  TDR-2022-AA1.tar.gz").toDF("line")
+    val got = TextTables.parseManifest(lines).collect()
+    assert(got(0).getString(0) == "5bd8879fba139fed98c048261cb2a91d727ceafb27414cc54e21c26915e9e40f")
+    assert(got(0).getString(1) == "data/content/file-c1.txt")
+    assert(got(0).getString(2) == "file-c1.txt")
+    // digest lower-cased; single-component path is its own basename
+    assert(got(1).getString(0) == "aad8879fba139fed98c048261cb2a91d727ceafb27414cc54e21c26915e9e40f")
+    assert(got(1).getString(2) == "TDR-2022-AA1.tar.gz")
+  }
+
+  test("key:value parse splits on left-most separator only (S2)") {
+    val got = TextTables.parseKeyValue(Seq(
+      "Consignment-Export-Datetime: 2022-07-18T12:45:45Z",
+      "Contact-Email: a:b@c.d").toDF("line")).collect()
+    assert(got(0).getString(0) == "Consignment-Export-Datetime")
+    assert(got(0).getString(1) == "2022-07-18T12:45:45Z")
+    assert(got(1).getString(0) == "Contact-Email")
+    assert(got(1).getString(1) == "a:b@c.d")
+  }
+
+  test("basename/dirname column helpers (P9)") {
+    val df = Seq("a/b/c.txt", "c.txt").toDF("p")
+      .select(TextTables.basename($"p"), TextTables.dirname($"p"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "c.txt" && rows(0).getString(1) == "a/b")
+    assert(rows(1).getString(0) == "c.txt" && rows(1).getString(1) == "")
+  }
+}
