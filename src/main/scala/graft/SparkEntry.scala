@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     graft.queries.CoreQueries.defs ++
-      graft.queries.RefOpQueries.defs
+      graft.queries.RefOpQueries.defs ++
+      graft.queries.TrainQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

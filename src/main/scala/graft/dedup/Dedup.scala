@@ -1,0 +1,130 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash-LSH and SimHash, all expressed as declarative plans.
+  *
+  * Scale design (100 TB): every variant is shuffle-bounded by candidate
+  * generation — exact dedup shuffles once on the content hash; Jaccard and
+  * MinHash shuffle on shingle/band keys so only docs sharing a key ever
+  * meet; nothing is quadratic in the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup on content hash: one row per distinct content with the
+    * representative (min id) and the duplicate count. Single hash-shuffle.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("representative"), count(lit(1)).as("n_dups"))
+
+  /** Near-exact dedup on a normalized prefix fingerprint (first k tokens). */
+  def byPrefixFingerprint(docs: DataFrame, k: Int,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.prefixFingerprint(col(textCol), k).as("fingerprint"))
+      .agg(min(col(idCol)).as("representative"), count(lit(1)).as("n_dups"),
+        max(col(idCol)).as("max_id"))
+
+  /** Candidate pairs sharing ≥1 token n-gram, scored with exact Jaccard
+    * |A∩B| / |A∪B| over DISTINCT shingles; keeps pairs ≥ threshold.
+    *
+    * Plan shape: explode distinct shingles → self-equi-join on the shingle
+    * (shuffle co-locates by shingle) → per-pair overlap count → join two
+    * tiny per-doc size aggregates. Jaccard is a ratio of ints, so the
+    * DuckDB oracle matches bit-exactly.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id"), col("n_sh").as("n_i")), col("i") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n_sh").as("n_j")), col("j") === col("id")).drop("id")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** MinHash signature as an array of k string-min hashes:
+    * sig_s = min over shingles of md5(s || ':' || shingle). String-min over
+    * md5 hex is an order statistic — deterministic and SQL-mirrorable
+    * (the classic (a·h+b) mod p permutation family needs bigint mults that
+    * overflow differently across engines).
+    */
+  def minhashSignature(docs: DataFrame, n: Int, k: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
+    docs.select(col(idCol).as("id"), graft.functions.minhash_sig(sh, k).as("sig"))
+  }
+
+  /** LSH banding over the MinHash signature: band key = md5 of the
+    * concatenated rows of the band. Docs sharing any band key become
+    * candidates; ONLY candidates are re-scored with exact Jaccard ≥
+    * threshold (that's the entire point of LSH — the shingle-join jaccard
+    * over all pairs never runs). Shuffles: one on (band, key) for candidate
+    * generation, one on (j, shingle) for the candidate overlap count.
+    */
+  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = minhashSignature(docs, n, k, idCol, textCol)
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    // exact-jaccard re-score restricted to candidates
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.text.TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("ea"), col("i") === col("ea.id"))
+      .join(sh.as("eb"), col("j") === col("eb.id") &&
+        col("ea.shingle") === col("eb.shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id"), col("n_sh").as("n_i")), col("i") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n_sh").as("n_j")), col("j") === col("id")).drop("id")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signature (TextAnalysis.simhashBits) compared
+    * by Hamming distance within 16-bit band buckets (signatures within
+    * distance d share ≥1 of 4 bands when d ≤ 3).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      TextAnalysis.simhashBits(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => col("sig").substr(b * 16 + 1, lit(16)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
+    banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sig").as("sig_i"), col("b.sig").as("sig_j")).distinct()
+      .withColumn("hamming", hamming(col("sig_i"), col("sig_j")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+}

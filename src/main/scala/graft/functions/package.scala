@@ -16,4 +16,13 @@ package object functions {
       graftbridge.expression(str),
       graftbridge.expression(find),
       graftbridge.expression(repl)))
+
+  /** Sequential-deterministic dot product of two float/double arrays. */
+  def dot_product(a: Column, b: Column): Column =
+    graftbridge.column(DotProductExpr(
+      graftbridge.expression(a), graftbridge.expression(b)))
+
+  /** k-seed MinHash signature of a shingle array (one pass, reused md5). */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    graftbridge.column(MinHashSigExpr(graftbridge.expression(shingles), k))
 }

@@ -1,0 +1,86 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training pipelines: media as opaque
+  * `binary` columns + typed metadata, with decode / feature-extract /
+  * frame-sample stages running batch-wise over partitions.
+  *
+  * The actual codec work is STUBBED with a deterministic fake (image/audio
+  * libraries are not in this container); the Spark-side contract — schema,
+  * partition-iterator batch shape, bounded memory — is real and tested.
+  * Swap `stubDecode` for a real codec without touching the plan.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("mime", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType),
+      StructField("sha256", StringType))))))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("frames", ArrayType(StringType))))
+
+  /** Wrap an id+bytes DataFrame into the media schema (columnar, no UDF). */
+  def asMedia(df: DataFrame, idCol: String, bytesCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(bytesCol).cast("binary").as("content"),
+      lit(mime).as("mime"),
+      struct(
+        octet_length(col(bytesCol).cast("binary")).cast("long").as("byte_len"),
+        lower(sha2(col(bytesCol).cast("binary"), 256)).as("sha256")).as("meta"))
+
+  /** Deterministic fake decode: "dimensions" derived from the byte length,
+    * "frames" are md5s of fixed-stride byte windows. Replace with a real
+    * codec (??? boundary) in production.
+    */
+  def stubDecode(mediaId: Long, content: Array[Byte], frameStride: Int): Row = {
+    val len = content.length
+    val width = 16 + (len % 640)
+    val height = 16 + ((len * 7) % 480)
+    val frames = (0 until math.min(8, math.max(1, (len + frameStride - 1) / frameStride)))
+      .map { i =>
+        val from = i * frameStride
+        val until = math.min(len, from + frameStride)
+        if (from >= len) null
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(java.util.Arrays.copyOfRange(content, from, until))
+          .map("%02x".format(_)).mkString
+      }.filter(_ != null)
+    Row(mediaId, width, height, 3, frames)
+  }
+
+  /** Decode stage: mapPartitions over the media rows (the Scala analogue of
+    * a pandas-batch UDF) — batch-iterator in, batch-iterator out, bounded
+    * by one row's bytes at a time.
+    */
+  def decode(media: DataFrame, frameStride: Int = 50): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1), frameStride) }
+      }(enc)
+  }
+
+  /** Frame sampling as a pure-plan variant (SQL-mirrorable for the oracle):
+    * frame i = md5 of the i-th fixed-width byte window of the UTF-8 text.
+    */
+  def frameSamplePlan(textCol: org.apache.spark.sql.Column, stride: Int,
+                      maxFrames: Int): org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(0), lit(maxFrames - 1)),
+        i => when(i * stride < length(textCol),
+          md5(textCol.substr(i * stride + 1, lit(stride))))),
+      x => x.isNotNull)
+}

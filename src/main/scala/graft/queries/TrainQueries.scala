@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` tables, each with a
+  * DuckDB oracle. Shared SQL fragments keep the oracles in lock-step with
+  * the library column expressions.
+  */
+object TrainQueries {
+
+  // ── shared oracle fragments ──
+  /** tokens CTE: mirrors TextAnalysis.tokens */
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** shingle CTE: mirrors TextAnalysis.shingles(n=3) + array_distinct */
+  private val shinglesSql =
+    s"""SELECT doc_id AS id, list_distinct(
+       |  CASE WHEN len($toksSql) >= 3
+       |    THEN list_transform(generate_series(1, len($toksSql)-2),
+       |           i -> array_to_string(($toksSql)[i:i+2], ' '))
+       |    ELSE [array_to_string($toksSql, ' ')] END) AS sh
+       |FROM documents""".stripMargin
+
+  /** exact-jaccard pair scoring ≥ t over the shingle CTE (mirrors
+    * Dedup.jaccardPairs).
+    */
+  private def jaccardSql(t: String): String =
+    s"""WITH tt AS ($shinglesSql),
+       |e AS (SELECT id, unnest(sh) AS shingle FROM tt),
+       |sz AS (SELECT id, count(*) AS n FROM e GROUP BY id),
+       |c AS (SELECT a.id AS i, b.id AS j, count(*) AS nc
+       |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+       |      GROUP BY 1, 2)
+       |SELECT c.i, c.j, round(nc / (si.n + sj.n - nc), 4) AS jaccard
+       |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
+       |WHERE round(nc / (si.n + sj.n - nc), 4) >= $t""".stripMargin
+
+  private val langScoreSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter($toksSql, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x)))"
+    s"""SELECT doc_id,
+       |  ${cnt(TextAnalysis.stopwords("en"))} AS sc_en,
+       |  ${cnt(TextAnalysis.stopwords("es"))} AS sc_es,
+       |  ${cnt(TextAnalysis.stopwords("de"))} AS sc_de,
+       |  ${cnt(TextAnalysis.stopwords("fr"))} AS sc_fr,
+       |  ${cnt(TextAnalysis.stopwords("zh"))} AS sc_zh
+       |FROM documents""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── exact dedup: single hash-shuffle groupBy ──
+    "dedup_exact" -> QueryDef(
+      (spark, dir) => Dedup.exact(Tables.documents(spark, dir))
+        .orderBy(col("content_hash")),
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS representative,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── near-exact dedup on 8-token prefix fingerprint ──
+    "dedup_prefix_fp" -> QueryDef(
+      (spark, dir) => Dedup.byPrefixFingerprint(Tables.documents(spark, dir), 8)
+        .orderBy(col("fingerprint")),
+      s"""SELECT md5(array_to_string(($toksSql)[1:8], ' ')) AS fingerprint,
+         |  min(doc_id) AS representative, count(*) AS n_dups,
+         |  max(doc_id) AS max_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── n-gram Jaccard near-dup pairs (shingle-join candidates) ──
+    "dedup_jaccard3" -> QueryDef(
+      (spark, dir) => Dedup.jaccardPairs(Tables.documents(spark, dir), 3, 0.10)
+        .orderBy(col("i"), col("j")),
+      jaccardSql("0.10") + "\nORDER BY i, j"),
+
+    // ── MinHash + LSH banding (k=12 hashes, 4 bands × 3 rows) ──
+    "dedup_minhash_lsh" -> QueryDef(
+      (spark, dir) => Dedup.minhashLsh(Tables.documents(spark, dir), 3, 12, 4, 0.10)
+        .orderBy(col("i"), col("j")),
+      s"""WITH tt AS ($shinglesSql),
+         |sigs AS (
+         |  SELECT id, list_transform(generate_series(0, 11),
+         |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
+         |  FROM tt),
+         |bands AS (
+         |  SELECT id,
+         |    unnest(generate_series(0, 3)) AS band,
+         |    unnest(list_transform(generate_series(0, 3),
+         |      b -> md5(array_to_string(sig[b*3+1:b*3+3], '|')))) AS key
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS i, b.id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |scored AS (${jaccardSql("0.10")})
+         |SELECT cand.i, cand.j, scored.jaccard
+         |FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
+         |ORDER BY 1, 2""".stripMargin),
+
+    // ── SimHash 64-bit signatures (md5-nibble voting) ──
+    "dedup_simhash_sig" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.simhashBits(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |v AS (
+         |  SELECT doc_id, d,
+         |    sum(((strpos('0123456789abcdef', substr(md5(t), (d // 4) + 1, 1)) - 1)
+         |         // (CASE WHEN d % 4 = 0 THEN 1 WHEN d % 4 = 1 THEN 2
+         |                  WHEN d % 4 = 2 THEN 4 ELSE 8 END)) % 2 * 2 - 1) AS vote
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dims
+         |  GROUP BY doc_id, d)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY d) AS simhash
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ── token counting: whitespace words + BPE-ish subwords ──
+    "text_token_counts" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── heuristic language ID (stopword-marker argmax) ──
+    "text_lang_id" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      s"""WITH s AS ($langScoreSql)
+         |SELECT doc_id, d.lang,
+         |  CASE
+         |    WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_zh THEN 'en'
+         |    WHEN sc_es > 0 AND sc_es > sc_en AND sc_es >= sc_de AND sc_es >= sc_fr AND sc_es >= sc_zh THEN 'es'
+         |    WHEN sc_de > 0 AND sc_de > sc_en AND sc_de > sc_es AND sc_de >= sc_fr AND sc_de >= sc_zh THEN 'de'
+         |    WHEN sc_fr > 0 AND sc_fr > sc_en AND sc_fr > sc_es AND sc_fr > sc_de AND sc_fr >= sc_zh THEN 'fr'
+         |    WHEN sc_zh > 0 AND sc_zh > sc_en AND sc_zh > sc_es AND sc_zh > sc_de AND sc_zh > sc_fr THEN 'zh'
+         |    ELSE 'unknown' END AS lang_pred
+         |FROM s JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // ── quality scoring (length/stopword/alpha features) ──
+    "text_quality" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("n_words"),
+          round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS INT) AS n_words,
+         |    len(regexp_extract_all(lower(text), '[a-z]')) / greatest(length(text), 1) AS ar,
+         |    len(list_filter($toksSql, x -> list_contains(['the','and','of','to','a','in','is'], x)))
+         |      / greatest(len($toksSql), 1) AS sr
+         |  FROM documents)
+         |SELECT doc_id, n_words, round(ar, 4) AS alpha_ratio, round(sr, 4) AS stopword_ratio,
+         |  round(least(n_words / 100.0, 1.0) * 0.4 + least(sr * 3.0, 1.0) * 0.3 + ar * 0.3, 4) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ── document fingerprint (normalized-token md5) ──
+    "text_fingerprint" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── embedding cosine near-dup pairs (unit-norm ⇒ dot = cosine) ──
+    "emb_near_dup" -> QueryDef(
+      (spark, dir) => Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.45)
+        .orderBy(col("i"), col("j")),
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY i, j""".stripMargin),
+
+    // ── brute-force cosine top-k (exact ANN baseline; ranks on rounded
+    //    sims + id tiebreak ⇒ fully deterministic) ──
+    "ann_topk" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        Similarity.topK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e, 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── LSH-bucketed ANN (scale path; oracle-free: recall checked in
+    //    SimilaritySpec against the brute-force baseline) ──
+    "ann_lsh_topk" -> QueryDef(
+      (spark, dir) =>
+        Similarity.lshTopK(Tables.embeddings(spark, dir),
+          tables = 8, planes = 4, dims = 64, k = 5, threshold = 0.2)
+          .orderBy(col("qid"), col("rank")),
+      None),
+
+    // ── multimodal: opaque binary + typed metadata (decode stubbed) ──
+    "mm_media_meta" -> QueryDef(
+      (spark, dir) => {
+        val m = Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+        m.select(col("media_id"), col("mime"),
+          col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"))
+          .orderBy(col("media_id"))
+      },
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY media_id""".stripMargin),
+
+    // ── multimodal: frame sampling over byte windows (stride 50, ≤8) ──
+    "mm_frame_sample" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(Multimodal.frameSamplePlan(col("text"), 50, 8)))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumnRenamed("col", "frame_md5")
+        .orderBy(col("doc_id"), col("frame_idx")),
+      """WITH fr AS (
+        |  SELECT doc_id, list_filter(list_transform(generate_series(0, 7),
+        |    i -> CASE WHEN i * 50 < length(text)
+        |              THEN md5(substr(text, i * 50 + 1, 50)) END),
+        |    x -> x IS NOT NULL) AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(frames))) - 1 AS INT) AS frame_idx,
+        |  unnest(frames) AS frame_md5
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+}

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline is brute-force cosine via codegen'd array lambdas (no UDFs);
+  * the scale path buckets vectors with random-hyperplane LSH so the join
+  * shuffles on bucket signature instead of going quadratic. Embeddings in
+  * TESTDATA are unit-norm, so cosine ≡ dot product.
+  */
+object Similarity {
+
+  /** Deterministic sequential dot product (native expression — see
+    * graft.functions.DotProductExpr; same left-to-right double accumulation
+    * as `aggregate(zip_with(...))` but one tight loop per pair).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs (i<j) with dot ≥ threshold — embedding near-dup detection.
+    * O(n²) compare but one broadcast/shuffle join; use `lshBuckets` for
+    * corpora where n² is prohibitive.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("sim", round(dot(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
+  /** Brute-force top-k neighbours for each query vector (exact baseline).
+    * Ties break on neighbour id for determinism.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature for one hash table: bit p = sign of
+    * dot(v, plane_p), planes built deterministically from md5 parity
+    * (component d of plane (table,p) is +1 iff the (d%32)-th hex nibble of
+    * md5("<table>:<p>:<d/32>") is ≥ 8). SQL-mirrorable, no RNG state.
+    */
+  def lshSignature(vec: Column, table: Int, planes: Int, dims: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) => {
+        val hexIdx = ((d - 1) % 32) + 1
+        val block = floor((d - 1) / 32).cast("int")
+        val nibble = conv(
+          md5(concat(lit(s"$table:"), p.cast("string"), lit(":"), block.cast("string")))
+            .substr(hexIdx, lit(1)), 16, 10).cast("int")
+        val sign = when(nibble >= 8, lit(1.0)).otherwise(lit(-1.0))
+        acc + element_at(vec, d).cast("double") * sign
+      })
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+
+  /** Scale path: multi-table random-hyperplane LSH (OR-amplification:
+    * candidates share a bucket in ANY of `tables` tables — recall
+    * 1-(1-p^planes)^tables), exact re-score inside buckets. The join
+    * shuffles on (table, signature); cost is Σ bucket², never n².
+    */
+  def lshTopK(emb: DataFrame, tables: Int, planes: Int, dims: Int, k: Int,
+              threshold: Double,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // signatures computed once per vector; candidate ids deduped BEFORE
+    // vectors are re-attached (distinct on two longs, not two float arrays)
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), t, planes, dims)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .select(col("id"), col("table"), col("bucket"))
+    val cand = sig.as("a").join(sig.as("b"),
+      col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val pairs = cand
+      .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
+      .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
+      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+}

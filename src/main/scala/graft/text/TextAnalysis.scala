@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * Everything is built from codegen'd builtins (no UDFs) so the whole
+  * stage stays inside WholeStageCodegen and scales linearly; each helper
+  * has an exact SQL rendering for the DuckDB oracle (queries.TrainQueries).
+  */
+object TextAnalysis {
+
+  /** Lower-cased alphanumeric word tokens. */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-word count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Language-marker stopword lists (tiny n-gram-heuristic language ID). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo"))
+
+  /** Count of tokens within a marker list. */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Heuristic language ID: arg-max of per-language marker counts with a
+    * fixed tie-break order (en > es > de > fr > zh).
+    */
+  def languageId(c: Column): Column = {
+    val t = tokens(c)
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scores = langs.map(l => l -> markerCount(t, stopwords(l))).toMap
+    langs.foldRight(lit("unknown"): Column) { (l, rest) =>
+      val beatsLater = langs.dropWhile(_ != l).drop(1)
+        .map(o => scores(l) >= scores(o)).reduceOption(_ && _).getOrElse(lit(true))
+      val beatsEarlier = langs.takeWhile(_ != l)
+        .map(o => scores(l) > scores(o)).reduceOption(_ && _).getOrElse(lit(true))
+      when(scores(l) > 0 && beatsLater && beatsEarlier, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality features: word count, character count, alpha ratio,
+    * stopword(en) ratio, mean word length — each deterministic arithmetic.
+    */
+  def wordCount(c: Column): Column = tokenCount(c)
+  def alphaRatio(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]"), lit(0))) / greatest(length(c), lit(1))
+  def stopwordRatio(c: Column): Column =
+    markerCount(tokens(c), stopwords("en")) / greatest(tokenCount(c), lit(1))
+  def meanWordLen(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z0-9]"), lit(0))) / greatest(tokenCount(c), lit(1))
+
+  /** Composite quality score in [0,1]: length saturation + stopword signal
+    * + alpha density (weights fixed; SQL-mirrored in the oracle).
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      least(wordCount(c) / lit(100.0), lit(1.0)) * 0.4 +
+        least(stopwordRatio(c) * lit(3.0), lit(1.0)) * 0.3 +
+        alphaRatio(c) * 0.3,
+      4)
+
+  /** Document fingerprint: md5 over the normalized token stream. */
+  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
+
+  /** Prefix fingerprint (first k tokens) — groups near-identical prefixes. */
+  def prefixFingerprint(c: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(tokens(c), 1, k)))
+
+  /** Token n-gram shingles: array of space-joined n-grams. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** 64-bit SimHash from token md5s, one bit per md5 nibble-bit: dimension
+    * d∈[0,64) uses nibble d/4, bit d%4; vote +1/-1 per token occurrence.
+    * Returned as a 64-char bitstring (deterministic, SQL-mirrorable).
+    * Exposed row-wise (no explode) so it pipelines in one pass.
+    */
+  def simhashBits(c: Column): Column = {
+    val toks = tokens(c)
+    val dims = sequence(lit(0), lit(63))
+    val bits = transform(dims, d => {
+      val nibbleIdx = floor(d / 4).cast("int") + 1   // 1-based hex char position
+      val bitIdx = d % 4
+      val denom = when(bitIdx === 0, 1).when(bitIdx === 1, 2)
+        .when(bitIdx === 2, 4).otherwise(8)
+      val votes = aggregate(toks, lit(0), (acc, t) => {
+        val nibble = conv(md5(t).substr(nibbleIdx, lit(1)), 16, 10).cast("int")
+        val bit = floor(nibble / denom).cast("int") % 2
+        acc + (bit * 2 - 1)
+      })
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+}

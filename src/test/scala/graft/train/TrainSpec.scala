@@ -1,0 +1,152 @@
+package graft.train
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / counts / fingerprint are deterministic and normalized") {
+    val df = Seq("The  Fast, fast QUERY!  42").toDF("text")
+    val row = df.select(
+      TextAnalysis.tokens($"text"),
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text"),
+      TextAnalysis.fingerprint($"text")).head()
+    assert(row.getSeq[String](0) == Seq("the", "fast", "fast", "query", "42"))
+    assert(row.getInt(1) == 5)
+    assert(row.getInt(2) == 7) // the, fast, ",", fast, query, "!", 42
+    assert(row.getString(3).length == 32)
+  }
+
+  test("languageId picks the marker-richest language, en wins ties") {
+    val df = Seq(
+      "the cat and the dog is in a house",   // en
+      "el que la de y en",                   // es
+      "xyz qqq www").toDF("text")            // no markers
+    val got = df.select(TextAnalysis.languageId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "unknown"))
+  }
+
+  test("shingles: n-grams when long enough, whole text otherwise") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextAnalysis.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("simhash: 64 bits, identical text → identical sig, disjoint text → differs") {
+    val df = Seq("spark hash join table scan", "spark hash join table scan",
+      "zzz yyy xxx www vvv").toDF("text")
+    val sigs = df.select(TextAnalysis.simhashBits($"text")).as[String].collect()
+    assert(sigs.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup groups identical content") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy($"representative")
+      .select($"representative", $"n_dups").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, 3, 0.5).as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds every high-jaccard pair (recall vs exact, sf0.001)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, 3, 12, 4, 0.10)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("simhash pairs: planted near-identical docs collide within hamming 6") {
+    val base = "spark query engine shuffles data across the cluster for joins and aggregates today"
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words entirely unrelated zebra"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, 6).select($"i", $"j").as[(Long, Long)].collect()
+    assert(got.toSeq.contains((1L, 2L)))
+    assert(!got.toSeq.contains((1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("dot of unit vectors with themselves ≈ 1") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+    val got = e.select(Similarity.dot($"embedding", $"embedding")).as[Double].collect()
+    assert(got.forall(d => math.abs(d - 1.0) < 1e-5))
+  }
+
+  test("multi-table lshTopK recall@5 vs brute force ≥ 0.5 (OR-amplified ANN)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = Similarity.topK(e.filter($"vec_id" % 50 === 0), e, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, tables = 8, planes = 4, dims = 64, k = 5, threshold = 0.0)
+      .filter($"qid" % 50 === 0)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMedia: binary content + typed metadata (schema contract)") {
+    val m = Multimodal.asMedia(Seq((7L, "hello world")).toDF("id", "payload"),
+      "id", "payload", "text/plain")
+    assert(m.schema("content").dataType.typeName == "binary")
+    val row = m.select($"media_id", $"meta.byte_len", $"meta.sha256").head()
+    assert(row.getLong(0) == 7L)
+    assert(row.getLong(1) == 11L)
+    assert(row.getString(2) ==
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+  }
+
+  test("decode stub: mapPartitions batch path yields deterministic frames") {
+    val m = Multimodal.asMedia(
+      Seq((1L, "a" * 120), (2L, "b" * 10)).toDF("id", "p"), "id", "p", "text/plain")
+    val got = Multimodal.decode(m, frameStride = 50).orderBy($"media_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    def frames(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[String]]("frames").toSeq
+    assert(frames(r1).length == 3)   // 120 bytes / 50 → 3 windows
+    assert(r1.getInt(1) == 16 + 120 % 640)                // stub width
+    assert(frames(got(1)).length == 1)
+    // deterministic: same input → same frames on re-run
+    val again = Multimodal.decode(m, 50).orderBy($"media_id").collect()
+    assert(frames(again(0)) == frames(r1))
+  }
+
+  test("frameSamplePlan matches the mapPartitions stub's windowing") {
+    val df = Seq((1L, "x" * 120)).toDF("doc_id", "text")
+    val planned = df.select(Multimodal.frameSamplePlan($"text", 50, 8)).as[Seq[String]].head()
+    assert(planned.length == 3)
+  }
+}
