@@ -12,7 +12,8 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     graft.queries.CoreQueries.defs ++
       graft.queries.RefOpQueries.defs ++
-      graft.queries.TrainQueries.defs
+      graft.queries.TrainQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped operators verified in batch mode (the same plans
+  * run under Structured Streaming in graft.streaming; SURVEY §2.9). The
+  * `events` table is the micro-batch analogue of the reference's SQS
+  * record stream.
+  */
+object EventQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── tumbling-window aggregation (streaming groupBy window(ts)) ──
+    "ev_hourly_agg" -> QueryDef(
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("value_c"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("value_c"))
+          .orderBy(col("hour"), col("event_type")),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    // ── sessionization: 30-min inactivity gap (gaps-and-islands; the
+    //    streaming form is session_window/flatMapGroupsWithState) ──
+    "ev_sessionize" -> QueryDef(
+      (spark, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800L * 1000000L
+            || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+        Tables.events(spark, dir)
+          .withColumn("new_s", newSession)
+          .withColumn("session_idx",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flags)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin),
+
+    // ── latest-event-per-key (streaming dropDuplicates / dedup-by-UUID) ──
+    "ev_latest_per_user" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(spark, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("event_type"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // ── retry routing: business retry limit (reference: fail at 3,
+    //    tre_bagit_checksum_validation.py:159-163) ──
+    "ev_retry_route" -> QueryDef(
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+            (get_json_object(col("props"), "$.k").cast("int") % 5).as("retries"))
+          .withColumn("route",
+            when(col("retries") >= 3, lit("fail"))
+              .otherwise(lit("retry")))
+          .groupBy(col("route")).agg(count(lit(1)).as("n"))
+          .orderBy(col("route")),
+      """SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 5 >= 3
+        |         THEN 'fail' ELSE 'retry' END AS route, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY route""".stripMargin)
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.core.model.TreEvents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** S9 + §2.9: the streaming front-end. A file-drop directory stands in for
+  * the SQS queue (each line = one record body, exactly the double-JSON
+  * SNS envelope the reference unwraps, tre_forward.py:50-65); micro-batches
+  * feed the same batch pipeline via foreachBatch.
+  *
+  * Streaming policies (reference behavior per SURVEY §2.9):
+  *  - dedup: `dropDuplicates` on the latest UUID (the reference's TODO test
+  *    leaves duplicate-resend behavior unresolved; we pick drop-by-UUID and
+  *    state it). Unbounded state by default — pass a watermark column for
+  *    bounded state at scale.
+  *  - validation split: structurally invalid events → DLQ (error-channel
+  *    table + alert emitter, mirroring tre-dlq-slack-alerts).
+  *  - retry: `number-of-retries` ≥ maxRetries → fail route
+  *    (tre_bagit_checksum_validation.py:159-163; limit 3).
+  */
+object EventStream {
+
+  /** Read a file-drop queue of raw JSON event lines as a stream. */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", 10)   // ≤10 records/batch, like SQS→Lambda
+      .text(dir)
+      .withColumnRenamed("value", "json")
+
+  /** Decode + validate + dedup: returns the decoded frame with
+    * `event`, `event_errors`, `latest_uuid`, `ok` columns.
+    */
+  def decoded(raw: DataFrame): DataFrame =
+    TreEvents.decode(raw, "json")
+      .withColumn("ok", size(col("event_errors")) === 0)
+      .dropDuplicates("latest_uuid")
+
+  /** Retry routing on the event's `number-of-retries` parameter. */
+  def withRetryRoute(df: DataFrame, maxRetries: Int = 3): DataFrame = {
+    val retries = coalesce(
+      get_json_object(
+        element_at(col("event.parameters"), col("event.producer.event-name")),
+        "$.number-of-retries").cast("int"),
+      lit(0))
+    df.withColumn("retries", retries)
+      .withColumn("route",
+        when(!col("ok"), lit("dlq"))
+          .when(col("retries") >= maxRetries, lit("fail"))
+          .otherwise(lit("ok")))
+  }
+
+  /** Per-batch handler contract: (okEvents, dlqEvents, batchId). */
+  type BatchHandler = (DataFrame, DataFrame, Long) => Unit
+
+  /** Drive the stream through foreachBatch with an ok/DLQ split — the
+    * Spark analogue of the Step Function dispatch (K5) + DLQ alert (K7).
+    */
+  def writer(decodedStream: DataFrame, handler: BatchHandler): DataStreamWriter[Row] =
+    withRetryRoute(decodedStream).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val ok = batch.filter(col("route") =!= "dlq")
+        val dlq = batch.filter(col("route") === "dlq")
+        handler(ok.toDF(), dlq.toDF(), id)
+      }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def event(uuid: String, name: String = "bagit-available",
+                    retries: Int = 0, valid: Boolean = true): String = {
+    val ts = if (valid) "1660000000000000000" else "null"
+    s"""{"version":"1.0.0","timestamp":$ts,
+       |"UUIDs":[{"TDR-UUID":"$uuid"}],
+       |"producer":{"name":"TDR","process":"p","type":"judgment",
+       |"environment":"dev","event-name":"$name"},
+       |"parameters":{"$name":{"reference":"TDR-2022-AA1",
+       |"number-of-retries":$retries}}}""".stripMargin.replaceAll("\n", "")
+  }
+
+  val u1 = "9717f66c-9e1f-4b0d-8289-6a0b2a32a2a5"
+  val u2 = "2d421b33-5cd2-45b1-a169-d0a6e743b9b4"
+  val u3 = "7a10c1b2-33d4-45e6-8f90-aa0b2a32a2a5"
+
+  test("stream intake: decode, drop duplicate UUIDs, split DLQ, route retries") {
+    val dir = Files.createTempDirectory("queue")
+    Files.write(dir.resolve("batch1.jsonl"), java.util.Arrays.asList(
+      event(u1),                                  // ok
+      event(u1),                                  // duplicate resend → dropped
+      event(u2, retries = 3),                     // over retry limit → fail route
+      event(u3, valid = false)))                  // invalid → dlq
+
+    var okRows: Seq[(String, String)] = Nil
+    var dlqCount = -1L
+    val q = EventStream.writer(
+      EventStream.decoded(EventStream.readRaw(spark, dir.toString)),
+      (ok, dlq, _) => {
+        okRows = ok.select($"latest_uuid", $"route").as[(String, String)]
+          .collect().toSeq.sortBy(_._1)
+        dlqCount = dlq.count()
+      }).start()
+    q.awaitTermination(60000)
+
+    assert(okRows == Seq(u2 -> "fail", u1 -> "ok").sortBy(_._1))
+    assert(dlqCount == 1)
+  }
+
+  test("windowed aggregation runs under streaming (memory sink)") {
+    val dir = Files.createTempDirectory("evstream")
+    // replay a slice of the events table as a file stream
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(200).coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+    val schema = spark.read.parquet(dir.toString + "/in").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/in")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_agg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("select sum(n) from ev_agg").as[Long].head()
+    assert(got == 200L)
+  }
+}
