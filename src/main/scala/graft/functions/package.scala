@@ -25,4 +25,8 @@ package object functions {
   /** k-seed MinHash signature of a shingle array (one pass, reused md5). */
   def minhash_sig(shingles: Column, k: Int): Column =
     graftbridge.column(MinHashSigExpr(graftbridge.expression(shingles), k))
+
+  /** Per-table LSH bucket signatures (precomputed hyperplane sign matrix). */
+  def lsh_sig(vec: Column, tables: Int, planes: Int, dims: Int): Column =
+    graftbridge.column(LshSigExpr(graftbridge.expression(vec), tables, planes, dims))
 }

@@ -81,13 +81,13 @@ object Similarity {
   def lshTopK(emb: DataFrame, tables: Int, planes: Int, dims: Int, k: Int,
               threshold: Double,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // signatures computed once per vector; candidate ids deduped BEFORE
-    // vectors are re-attached (distinct on two longs, not two float arrays)
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(array((0 until tables).map(t =>
-        lshSignature(col(vecCol), t, planes, dims)): _*)))
+    // signatures computed once per vector via the native all-tables
+    // expression (precomputed sign matrix — see LshSigExpr); candidate ids
+    // deduped BEFORE vectors are re-attached (distinct on two longs, not
+    // two float arrays)
+    val sig = emb.select(col(idCol).as("id"),
+      posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .select(col("id"), col("table"), col("bucket"))
     val cand = sig.as("a").join(sig.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))

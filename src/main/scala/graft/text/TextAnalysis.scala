@@ -78,8 +78,19 @@ object TextAnalysis {
   def prefixFingerprint(c: Column, k: Int): Column =
     md5(concat_ws(" ", slice(tokens(c), 1, k)))
 
-  /** Token n-gram shingles: array of space-joined n-grams. */
+  /** Token n-gram shingles: array of space-joined n-grams (native
+    * expression — the token array is evaluated once per row).
+    */
   def shingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.functions.NGramShinglesExpr(graftbridge.expression(tokens(c)), n))
+  }
+
+  /** Declarative rendering of the same shingles (parity/oracle reference;
+    * re-tokenizes per element — do not use at scale).
+    */
+  def shinglesDeclarative(c: Column, n: Int): Column = {
     val t = tokens(c)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
@@ -90,9 +101,17 @@ object TextAnalysis {
   /** 64-bit SimHash from token md5s, one bit per md5 nibble-bit: dimension
     * d∈[0,64) uses nibble d/4, bit d%4; vote +1/-1 per token occurrence.
     * Returned as a 64-char bitstring (deterministic, SQL-mirrorable).
-    * Exposed row-wise (no explode) so it pipelines in one pass.
+    * Uses the native one-md5-per-token expression (SimHashExpr).
     */
   def simhashBits(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.SimHashExpr(graftbridge.expression(tokens(c))))
+  }
+
+  /** Declarative rendering of the same signature (parity reference for the
+    * oracle and SimHashExpr tests; 64× the hashing — do not use at scale).
+    */
+  def simhashBitsDeclarative(c: Column): Column = {
     val toks = tokens(c)
     val dims = sequence(lit(0), lit(63))
     val bits = transform(dims, d => {

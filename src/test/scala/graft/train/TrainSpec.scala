@@ -39,6 +39,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == Seq("a b"))
   }
 
+  test("native shingles match the declarative rendering on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val n = docs.select($"doc_id", TextAnalysis.shingles($"text", 3).as("s"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect()
+    val d = docs.select($"doc_id", TextAnalysis.shinglesDeclarative($"text", 3).as("s"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect()
+    assert(n.toSeq == d.toSeq)
+  }
+
   test("simhash: 64 bits, identical text → identical sig, disjoint text → differs") {
     val df = Seq("spark hash join table scan", "spark hash join table scan",
       "zzz yyy xxx www vvv").toDF("text")
@@ -46,6 +55,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sigs.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2))
+  }
+
+  test("native SimHashExpr matches the declarative nibble-vote rendering") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val native = docs.select($"doc_id", TextAnalysis.simhashBits($"text").as("s"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    val decl = docs.select($"doc_id", TextAnalysis.simhashBitsDeclarative($"text").as("s"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(native.toSeq == decl.toSeq)
   }
 }
 
@@ -100,6 +118,17 @@ class SimilaritySpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
     val got = e.select(Similarity.dot($"embedding", $"embedding")).as[Double].collect()
     assert(got.forall(d => math.abs(d - 1.0) < 1e-5))
+  }
+
+  test("native LshSigExpr matches the declarative md5-parity signature") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val native = e.select($"vec_id",
+      graft.functions.lsh_sig($"embedding", 3, 4, 64).as("sigs"))
+    val declarative = e.select($"vec_id", array(
+      (0 until 3).map(t => Similarity.lshSignature($"embedding", t, 4, 64)): _*).as("sigs"))
+    val n = native.orderBy($"vec_id").as[(Long, Seq[String])].collect()
+    val d = declarative.orderBy($"vec_id").as[(Long, Seq[String])].collect()
+    assert(n.toSeq == d.toSeq)
   }
 
   test("multi-table lshTopK recall@5 vs brute force ≥ 0.5 (OR-amplified ANN)") {
