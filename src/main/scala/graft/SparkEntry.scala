@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++
       graft.queries.RefOpQueries.defs ++
       graft.queries.TrainQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Broader analytical surface over the star schema: semi/anti joins,
+  * rollup grouping, scalar and correlated subquery shapes — the Spark
+  * built-ins a user of the engine gets beyond the reference's own operator
+  * set (SURVEY §2.5 note: the TESTDATA schema exercises them).
+  */
+object AnalyticsQueries {
+
+  private def cents(alias: String): String =
+    s"CAST(sum(CAST(round($alias*100) AS BIGINT)) AS BIGINT)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── semi join: orders with at least one late lineitem (EXISTS) ──
+    "q4_order_priority" -> QueryDef(
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        val l = Tables.lineitem(spark, dir)
+          .filter(col("l_linenumber") >= 3)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_linenumber >= 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ── anti join: customers with no orders (NOT EXISTS) ──
+    "q_customers_without_orders" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ── rollup: revenue by (returnflag, linestatus) with subtotals;
+    //    sentinel 'ALL' instead of NULL so the hash compare is unambiguous ──
+    "q_rollup_revenue" -> QueryDef(
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("rev_c"))
+          .orderBy(col("rf"), col("ls")),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin),
+
+    // ── scalar subquery: parts priced above the global average ──
+    "q_above_avg_parts" -> QueryDef(
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+        val avgPrice = p.agg(avg(col("p_retailprice")).as("a"))
+        p.join(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("a"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            max(round(col("p_retailprice") * 100, 0).cast("long")).as("max_price_c"))
+          .orderBy(col("p_brand"))
+      },
+      """SELECT p_brand, count(*) AS n,
+        |  max(CAST(round(p_retailprice*100) AS BIGINT)) AS max_price_c
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // ── correlated aggregate (TPC-H q17 shape): lineitems under 50% of
+    //    their part's average quantity ──
+    "q17_small_quantity_revenue" -> QueryDef(
+      (spark, dir) => {
+        val l = Tables.lineitem(spark, dir)
+        val perPart = l.groupBy(col("l_partkey").as("pk"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        l.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"),
+            count(lit(1)).as("n"))
+      },
+      s"""SELECT ${cents("l_extendedprice")} AS rev_c, count(*) AS n
+         |FROM lineitem l
+         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+         |                    WHERE l_partkey = l.l_partkey)""".stripMargin),
+
+    // ── conditional aggregation pivot shape (event counts by type) ──
+    "q_pivot_events" -> QueryDef(
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            count(when(col("event_type") === "click", 1)).as("clicks"),
+            count(when(col("event_type") === "view", 1)).as("views"),
+            count(when(col("event_type") === "purchase", 1)).as("purchases"),
+            count(when(col("event_type") === "error", 1)).as("errors"))
+          .orderBy(col("user_id")),
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+}
