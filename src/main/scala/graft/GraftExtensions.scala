@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's custom expressions. Register with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`, then:
+  *
+  * {{{
+  *   SELECT percent_encode(path),
+  *          replace_first(path, 'data/', 'file:/B/S/'),
+  *          dot_product(a, b),
+  *          minhash_sig(shingles, 12),
+  *          simhash64(tokens),
+  *          ngram_shingles(tokens, 3),
+  *          lsh_sig(vec, 8, 4, 64)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("percent_encode"),
+      info("percent_encode", "RFC-3986 path quote keeping ':' and '/'"),
+      (args: Seq[Expression]) => PercentEncodeExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("replace_first"),
+      info("replace_first", "replace first literal occurrence"),
+      (args: Seq[Expression]) => ReplaceFirstExpr(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "sequential dot product of two numeric arrays"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "k-seed MinHash signature of a shingle array"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "64-bit SimHash bitstring of a token array"),
+      (args: Seq[Expression]) => SimHashExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("ngram_shingles"),
+      info("ngram_shingles", "token n-gram shingles"),
+      (args: Seq[Expression]) => NGramShinglesExpr(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("lsh_sig"),
+      info("lsh_sig", "multi-table hyperplane LSH bucket signatures"),
+      (args: Seq[Expression]) => LshSigExpr(args(0), intArg(args(1), "tables"),
+        intArg(args(2), "planes"), intArg(args(3), "dims"))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions into an ALREADY-RUNNING session (e.g. a
+    * notebook or test session created without `withExtensions`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "percent_encode" -> (args => PercentEncodeExpr(args.head)),
+      "replace_first" -> (args => ReplaceFirstExpr(args(0), args(1), args(2))),
+      "dot_product" -> (args => DotProductExpr(args(0), args(1))),
+      "minhash_sig" -> (args => MinHashSigExpr(args(0), lit(args(1), "k"))),
+      "simhash64" -> (args => SimHashExpr(args.head)),
+      "ngram_shingles" -> (args => NGramShinglesExpr(args(0), lit(args(1), "n"))),
+      "lsh_sig" -> (args => LshSigExpr(args(0), lit(args(1), "tables"),
+        lit(args(2), "planes"), lit(args(3), "dims"))))
+    fns.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  private def lit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT percent_encode('file:/B/S/doc x.txt') AS pe,
+        |  replace_first('data/data/x', 'data/', 'P/') AS rf,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  ngram_shingles(array('a', 'b', 'c', 'd'), 3) AS ng,
+        |  minhash_sig(array('x y z'), 2) AS mh,
+        |  lsh_sig(array(0.5D, -0.5D), 2, 4, 2) AS lsh""".stripMargin).head()
+    assert(row.getAs[String]("pe") == "file:/B/S/doc%20x.txt")
+    assert(row.getAs[String]("rf") == "P/data/x")
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[String]("sh").length == 64)
+    assert(row.getSeq[String](row.fieldIndex("ng")) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](row.fieldIndex("mh")).forall(_.length == 32))
+    assert(row.getSeq[String](row.fieldIndex("lsh")).map(_.length) == Seq(4, 4))
+  }
+
+  test("withExtensions wiring: fresh session sees the functions via SQL conf") {
+    // a sibling session sharing the context but with its own state
+    val s2: SparkSession = spark.newSession()
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT percent_encode('a b')").head().getString(0) == "a%20b")
+  }
+}
