@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Additional TPC-H-shaped benchmark queries: LIKE/IN predicates,
+  * conditional aggregation over joins, OR-of-ANDs pushdown, top-k over a
+  * 4-way join — rounding out the analytical shapes a user expects.
+  */
+object MoreTpchQueries {
+
+  private def cents(alias: String): String =
+    s"CAST(sum(CAST(round($alias*100) AS BIGINT)) AS BIGINT)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── q10 shape: top customers by returned-item revenue (4-way join + top-k) ──
+    "q10_returned_items" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+        val n = Tables.nation(spark, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("c_custkey"))
+          .limit(20)
+      },
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${cents("l_extendedprice*(1-l_discount)")} AS revenue_c
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // ── q12 shape: IN-list filter + conditional aggregation over a join ──
+    "q12_priority_class" -> QueryDef(
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val l = Tables.lineitem(spark, dir)
+          .filter(col("l_linestatus").isin("F", "O") &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linestatus IN ('F', 'O')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // ── q14 shape: promo revenue share (LIKE-prefix + ratio of exact sums) ──
+    "q14_promo_share" -> QueryDef(
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+        val l = Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"),
+              round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+                .cast("long")).otherwise(0L)).as("promo_c"),
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long")).as("total_c"))
+          .select(col("promo_c"), col("total_c"),
+            round(col("promo_c") * 100.0 / col("total_c"), 4).as("promo_pct"))
+      },
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_c,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
+        |FROM s""".stripMargin),
+
+    // ── q19 shape: OR-of-ANDs predicate (brand/size/quantity bands) ──
+    "q19_disjunctive_filter" -> QueryDef(
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+        val l = Tables.lineitem(spark, dir)
+        val cond =
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_c"),
+            count(lit(1)).as("n"))
+      },
+      s"""SELECT ${cents("l_extendedprice*(1-l_discount)")} AS revenue_c, count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  )
+}
