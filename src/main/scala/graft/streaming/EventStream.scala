@@ -55,6 +55,37 @@ object EventStream {
   /** Per-batch handler contract: (okEvents, dlqEvents, batchId). */
   type BatchHandler = (DataFrame, DataFrame, Long) => Unit
 
+  /** Cross-batch retry tracking via mapGroupsWithState: counts attempts per
+    * consignment reference across micro-batches and emits the current
+    * decision (`retry` until `maxRetries` attempts seen, then `fail`).
+    * The reference externalizes this state to S3 retry folders
+    * (tre_editorial_integration.py:472-542); this is the streaming-native
+    * alternative when the queue replays faster than storage round-trips.
+    */
+  def retryTracker(decodedStream: DataFrame, maxRetries: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = decodedStream.sparkSession
+    import spark.implicits._
+    val keyed = decodedStream
+      .select(
+        get_json_object(
+          element_at(col("event.parameters"), col("event.producer.event-name")),
+          "$.reference").as("reference"),
+        col("latest_uuid"))
+      .as[(String, String)]
+    keyed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (ref: String, batch: Iterator[(String, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Int]) => {
+          val attempts = state.getOption.getOrElse(0) + batch.size
+          state.update(attempts)
+          (ref, attempts, if (attempts >= maxRetries) "fail" else "retry")
+        })
+      .toDF("reference", "attempts", "decision")
+  }
+
   /** Drive the stream through foreachBatch with an ok/DLQ split — the
     * Spark analogue of the Step Function dispatch (K5) + DLQ alert (K7).
     */

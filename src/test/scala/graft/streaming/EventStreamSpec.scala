@@ -45,6 +45,46 @@ class EventStreamSpec extends SparkSpec {
     assert(dlqCount == 1)
   }
 
+  test("retryTracker accumulates attempts across micro-batches (mapGroupsWithState)") {
+    val dir = Files.createTempDirectory("retryq")
+    // 3 attempts for TDR-2022-AA1 arriving over three files (one per batch
+    // via maxFilesPerTrigger=10? all ≤10 files land in one batch — so use
+    // distinct UUIDs to count within-batch too)
+    Files.write(dir.resolve("b1.jsonl"), java.util.Arrays.asList(event(u1)))
+    Files.write(dir.resolve("b2.jsonl"), java.util.Arrays.asList(event(u2)))
+    Files.write(dir.resolve("b3.jsonl"), java.util.Arrays.asList(event(u3)))
+    val tracked = EventStream.retryTracker(
+      EventStream.decoded(EventStream.readRaw(spark, dir.toString)), maxRetries = 3)
+    val q = tracked.writeStream.outputMode("update")
+      .format("memory").queryName("retries")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val last = spark.sql(
+      "select attempts, decision from retries order by attempts desc limit 1").head()
+    assert(last.getInt(0) == 3)
+    assert(last.getString(1) == "fail")
+  }
+
+  test("session_window aggregation runs under streaming") {
+    val dir = Files.createTempDirectory("sessstream")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(300).coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+    val schema = spark.read.parquet(dir.toString + "/in").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/in")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val total = spark.sql("select sum(n) from sessions").as[Long].head()
+    assert(total == 300L)   // every event lands in exactly one session
+    val nSessions = spark.sql("select count(*) from sessions").as[Long].head()
+    assert(nSessions > 0 && nSessions < 300)   // gaps actually merged events
+  }
+
   test("windowed aggregation runs under streaming (memory sink)") {
     val dir = Files.createTempDirectory("evstream")
     // replay a slice of the events table as a file stream
