@@ -69,7 +69,22 @@ object TreEvents {
     */
   def createFrom(priorEvent: Column, producerName: String, process: String,
                  environment: String, eventName: String,
-                 parameters: Column, producerType: Option[String] = None): Column = {
+                 parameters: Column): Column =
+    createFromCol(priorEvent, producerName, process, environment,
+      lit(eventName), parameters, None)
+
+  def createFrom(priorEvent: Column, producerName: String, process: String,
+                 environment: String, eventName: String,
+                 parameters: Column, producerType: Option[String]): Column =
+    createFromCol(priorEvent, producerName, process, environment,
+      lit(eventName), parameters, producerType)
+
+  /** Column-typed event name: lets one select emit ok/error events per row
+    * (dual outputs, tre_vb_validate_bagit.py:124-161).
+    */
+  def createFromCol(priorEvent: Column, producerName: String, process: String,
+                    environment: String, eventName: Column,
+                    parameters: Column, producerType: Option[String] = None): Column = {
     val newUuids = concat(
       coalesce(priorEvent.getField("UUIDs"), array()),
       array(map(lit(s"$producerName-UUID"), uuid())))
@@ -84,7 +99,7 @@ object TreEvents {
         lit(process).as("process"),
         inheritedType.as("type"),
         lit(environment).as("environment"),
-        lit(eventName).as("event-name")).as("producer"),
+        eventName.as("event-name")).as("producer"),
       parameters.as("parameters"))
   }
 

@@ -19,13 +19,18 @@ object BagitValidate {
     * Reference per-item verify: s3_lib/s3_lib/checksum_lib.py:81-99,121-154.
     */
   def verifyChecksums(files: DataFrame, manifest: DataFrame): DataFrame = {
-    val f = files.select(col("bagId"), col("name"),
+    // disjoint column names before the join: both inputs may derive from
+    // the same source frame (e.g. one exploded-entries Dataset), which
+    // otherwise trips DetectAmbiguousSelfJoin
+    val f = files.select(col("bagId").as("f_bagId"), col("name").as("f_name"),
       lower(sha2(col("content"), 256)).as("computed"))
-    val m = manifest.select(col("bagId"), col("file"), lower(col("checksum")).as("expected"))
-    m.join(f, m("bagId") === f("bagId") && m("file") === f("name"), "full_outer")
+    val m = manifest.select(col("bagId").as("m_bagId"), col("file").as("m_file"),
+      lower(col("checksum")).as("expected"))
+    m.join(f, col("m_bagId") === col("f_bagId") && col("m_file") === col("f_name"),
+      "full_outer")
       .select(
-        coalesce(m("bagId"), f("bagId")).as("bagId"),
-        coalesce(m("file"), f("name")).as("file"),
+        coalesce(col("m_bagId"), col("f_bagId")).as("bagId"),
+        coalesce(col("m_file"), col("f_name")).as("file"),
         col("expected"), col("computed"),
         when(col("expected").isNull, lit("not_in_manifest"))
           .when(col("computed").isNull, lit("missing_file"))

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.core.archive.{Tar, TarEntry}
+import graft.core.io.TextTables
+import graft.core.model.TreEvents
+import graft.ops.validate.BagitValidate
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The integrated batch pipeline (SURVEY §3.1 / §7.1 module 7): what the
+  * reference runs as a Step Function of Lambdas becomes ONE Spark job over
+  * a batch of consignments — process boundaries collapse into stage
+  * DataFrames, S3 intermediate state into in-plan columns.
+  *
+  *   explode(tar) → parse side-files → checksum verify (J3) →
+  *   count reconciliation (A1) + set differences (U1/U2) →
+  *   per-bag verdict with error channel → provenance-chained result event
+  *
+  * Every stage result is exposed so tests/operators can inspect the
+  * "execution history" (the reference's per-step inputs/outputs,
+  * tre_module_test consignment_tester.py:147-259).
+  */
+final case class PipelineResult(
+    entries: Dataset[TarEntry],
+    checksums: DataFrame,
+    reconciliation: DataFrame,
+    verdicts: DataFrame,
+    events: DataFrame)
+
+object TrePipeline {
+
+  /** Run validation over a directory of `<reference>.tar.gz` bags. */
+  def run(spark: SparkSession, bagsGlob: String,
+          environment: String = "dev"): PipelineResult = {
+    import spark.implicits._
+
+    // S7: one streaming explode per archive, bagId = archive basename
+    val entries = Tar.explodePath(spark, bagsGlob)
+      .map(e => e.copy(source = e.source.stripSuffix(".tar.gz")))
+      .cache()
+
+    // strip the leading "<reference>/" bag-root component
+    val files = entries.filter(!_.isDir)
+      .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1), e.bytes))
+      .toDF("bagId", "name", "content")
+
+    // S1 from exploded bytes: data-file manifest per bag
+    val manifestLines = files
+      .filter(col("name") === "manifest-sha256.txt")
+      .select(col("bagId"),
+        explode(split(decode(col("content"), "UTF-8"), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    // fixed-width parse (S1) with the bag key carried through
+    val manifestKeyed = manifestLines.select(col("bagId"),
+      lower(substring(col("line"), 1, 64)).as("checksum"),
+      trim(expr("substring(line, 65)")).as("file"))
+
+    // J3: verify payload checksums against the manifest
+    val dataFiles = files.filter(col("name").startsWith("data/"))
+    val checksums = BagitValidate.verifyChecksums(
+      dataFiles, manifestKeyed.select(col("bagId"), col("file"), col("checksum")))
+
+    // A1: count reconciliation — root manifest rows = files outside data/
+    // minus the manifest itself ("Catch-22", tre_vb_validate_bagit_files.py:88-121)
+    val rootManifest = files
+      .filter(!col("name").startsWith("data/") &&
+        col("name") =!= "manifest-sha256.txt")
+      .select(col("bagId"), col("name").as("file"))
+    val reconciliation = BagitValidate.reconcileCounts(
+      rootManifest, manifestKeyed.select(col("bagId"), col("file")),
+      files.select(col("bagId"), col("name")))
+
+    // per-bag verdict: checksum failures ∪ reconciliation failures
+    val checksumErrors = checksums.filter(col("status") =!= "ok")
+      .groupBy("bagId")
+      .agg(collect_list(concat(col("status"), lit(": "), col("file"))).as("cs_errors"))
+    val verdicts = reconciliation
+      .join(checksumErrors, Seq("bagId"), "left")
+      .withColumn("errors", concat(
+        coalesce(col("cs_errors"), array().cast("array<string>")),
+        when(!col("counts_ok"), array(lit("file count mismatch")))
+          .otherwise(array().cast("array<string>")),
+        when(!col("data_counts_ok"), array(lit("data file count mismatch")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("ok", size(col("errors")) === 0)
+      .select(col("bagId"), col("ok"), col("errors"),
+        col("n_root"), col("n_data"), col("n_extracted"))
+
+    // result event with provenance chain: prior TDR event → TRE event
+    // (dual ok/error outputs, tre_vb_validate_bagit.py:124-161)
+    val prior = struct(
+      lit(TreEvents.Version).as("version"),
+      lit(0L).as("timestamp"),
+      array(map_from_arrays(array(lit("TDR-UUID")),
+        array(md5(col("bagId"))))).as("UUIDs"),
+      struct(lit("TDR").as("name"), lit("export").as("process"),
+        lit("judgment").as("type"), lit(environment).as("environment"),
+        lit("bagit-available").as("event-name")).as("producer"),
+      map_from_arrays(array(lit("bagit-available")), array(lit("{}")))
+        .as("parameters"))
+    val eventName = when(col("ok"), lit("bagit-validated"))
+      .otherwise(lit("bagit-validation-error"))
+    val events = verdicts.withColumn("event",
+      TreEvents.createFromCol(prior, "TRE", "tre-validate-bagit", environment,
+        eventName,
+        map_from_arrays(
+          array(eventName),
+          array(to_json(struct(col("bagId").as("reference"),
+            col("errors").as("errors")))))))
+      .withColumn("event_name", eventName)
+
+    PipelineResult(entries, checksums, reconciliation, verdicts, events)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class TrePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+
+  /** Two bags: one valid, one with a corrupted manifest digest. */
+  private def makeBags(dir: java.nio.file.Path): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    def write(name: String, files: Seq[(String, String)]): Unit = {
+      val out = new TarArchiveOutputStream(
+        new GzipCompressorOutputStream(Files.newOutputStream(dir.resolve(name))))
+      files.foreach { case (n, c) =>
+        val b = c.getBytes; val e = new TarArchiveEntry(n)
+        e.setSize(b.length.toLong); out.putArchiveEntry(e); out.write(b); out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    val doc = "JUDGMENT ONE"
+    write("TDR-2022-OK1.tar.gz", Seq(
+      "./TDR-2022-OK1/bagit.txt" -> "BagIt-Version: 0.97",
+      "./TDR-2022-OK1/bag-info.txt" -> "Consignment-Series: S 1",
+      "./TDR-2022-OK1/manifest-sha256.txt" -> (sha(doc) + "  data/doc.docx"),
+      "./TDR-2022-OK1/data/doc.docx" -> doc))
+    write("TDR-2022-BAD1.tar.gz", Seq(
+      "./TDR-2022-BAD1/bagit.txt" -> "BagIt-Version: 0.97",
+      "./TDR-2022-BAD1/bag-info.txt" -> "Consignment-Series: S 1",
+      "./TDR-2022-BAD1/manifest-sha256.txt" -> (("0" * 64) + "  data/doc.docx"),
+      "./TDR-2022-BAD1/data/doc.docx" -> doc))
+  }
+
+  test("integrated pipeline: N bags in one job, per-bag verdicts + provenance events") {
+    val dir = Files.createTempDirectory("bags")
+    makeBags(dir)
+    val r = TrePipeline.run(spark, dir.toString + "/*.tar.gz")
+
+    assert(r.entries.count() == 8)
+
+    val verdicts = r.verdicts.orderBy($"bagId").collect()
+    val ok = verdicts.find(_.getString(0) == "TDR-2022-OK1").get
+    val bad = verdicts.find(_.getString(0) == "TDR-2022-BAD1").get
+    assert(ok.getAs[Boolean]("ok"))
+    assert(!bad.getAs[Boolean]("ok"))
+    assert(bad.getAs[scala.collection.Seq[String]]("errors")
+      .exists(_.startsWith("checksum_mismatch")))
+
+    // counts: 1 (manifest itself) + 2 root + 1 data = 4 extracted
+    assert(ok.getAs[Long]("n_root") == 2L)
+    assert(ok.getAs[Long]("n_data") == 1L)
+    assert(ok.getAs[Long]("n_extracted") == 4L)
+
+    // provenance: TDR-UUID chain extended with a fresh TRE-UUID
+    val ev = r.events.orderBy($"bagId")
+      .select($"event_name", size($"event.UUIDs"),
+        element_at(map_keys(element_at($"event.UUIDs", -1)), 1))
+      .as[(String, Int, String)].collect()
+    assert(ev.toSeq.map(_._1).sorted ==
+      Seq("bagit-validated", "bagit-validation-error"))
+    assert(ev.forall(e => e._2 == 2 && e._3 == "TRE-UUID"))
+  }
+}
