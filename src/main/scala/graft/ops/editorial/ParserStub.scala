@@ -1,0 +1,55 @@
+package graft.ops.editorial
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Step-6 parser contract (the reference's .NET judgment parser behind a
+  * Lambda; contract visible at
+  * lambda_functions/tre-prepare-parser-input/prepare_parser_input.py:174-188
+  * and testing/parser_testing/test_parser_lambda_fn.py:82-134).
+  *
+  * The engine treats the parser as an exchangeable per-row service invoked
+  * batch-wise with `mapPartitions`: in → `{context, parser-inputs}` rows,
+  * out → `{parser-outputs}` rows (xml/metadata/images/log/error-messages).
+  * This deterministic STUB honours the output schema exactly — swap
+  * `parse` for a real docx→XML invocation without touching the plan.
+  * Documents whose name contains "invalid" produce the error-path shape
+  * (error-messages non-empty, nullable outputs null), mirroring the
+  * reference's fail-corpus tests (test_parser_error_path.py:23-60).
+  */
+object ParserStub {
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("consignment_reference", StringType),
+    StructField("xml", StringType),
+    StructField("metadata", StringType),
+    StructField("images", ArrayType(StringType)),
+    StructField("attachments", ArrayType(StringType)),
+    StructField("log", StringType),
+    StructField("error_messages", ArrayType(StringType))))
+
+  /** One parser invocation (pure, deterministic). */
+  def parse(reference: String, judgmentDoc: String): Row = {
+    if (judgmentDoc.contains("invalid"))
+      Row(reference, null, null, Seq.empty[String], Seq.empty[String],
+        "parser.log", Seq(s"Unable to parse document '$judgmentDoc'"))
+    else
+      Row(reference, s"$reference.xml", "metadata.json",
+        Seq("image-1.png"), Seq.empty[String], "parser.log", Seq.empty[String])
+  }
+
+  /** Batch-wise invocation over located parser events
+    * (Editorial.locateBlocks output): the mapPartitions seam where a real
+    * parser container/process call goes.
+    */
+  def run(located: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(outputSchema)
+    located.select(
+      col("parser_inputs.consignment-reference").as("ref"),
+      col("context.judgment-document").as("doc"))
+      .mapPartitions { it =>
+        it.map(r => parse(r.getString(0), r.getString(1)))
+      }(enc)
+  }
+}

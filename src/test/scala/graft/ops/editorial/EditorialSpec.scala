@@ -114,6 +114,24 @@ class EditorialSpec extends SparkSpec {
     assert(got.toSeq == Seq(0, 0, 1, 1))
   }
 
+  test("parser stub honours the parser-outputs contract, error path included") {
+    val invalid = ctxBlock.replace("test.docx", "invalid.docx")
+    val located = Editorial.locateBlocks(
+      Seq(okEvent, s"""[$invalid,[$outBlock]]""").toDF("json"), "json")
+    val rows = ParserStub.run(located).collect()
+    def errs(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[String]]("error_messages")
+    // ok corpus: xml/metadata/log populated, no errors
+    val ok = rows.find(errs(_).isEmpty).get
+    assert(ok.getString(1) == "ABC-123.xml")
+    assert(ok.getString(2) == "metadata.json")
+    // fail corpus: error-messages populated, outputs null (reference
+    // error-path shape, test_parser_error_path.py:23-60)
+    val bad = rows.find(errs(_).nonEmpty).get
+    assert(bad.getString(1) == null)
+    assert(errs(bad).head.contains("invalid.docx"))
+  }
+
   private def get(json: String, path: String): String = {
     val df0 = Seq(json).toDF("j")
     df0.select(get_json_object(col("j"), path)).head().getString(0)
