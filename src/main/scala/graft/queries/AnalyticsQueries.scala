@@ -107,6 +107,39 @@ object AnalyticsQueries {
          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
          |                    WHERE l_partkey = l.l_partkey)""".stripMargin),
 
+    // ── cube: all grouping-set combinations with grouping_id ──
+    "q_cube_revenue" -> QueryDef(
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"))
+          .orderBy(col("rf"), col("ls")),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin),
+
+    // ── explicit grouping sets ──
+    "q_grouping_sets" -> QueryDef(
+      (spark, dir) => {
+        Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+        spark.sql(
+          """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+            |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY st, pri""".stripMargin)
+      },
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin),
+
     // ── conditional aggregation pivot shape (event counts by type) ──
     "q_pivot_events" -> QueryDef(
       (spark, dir) =>

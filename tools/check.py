@@ -59,7 +59,8 @@ for name in sorted(os.listdir(outdir)):
         if not same:
             print(f"FAIL {name}: values differ ({len(g)} rows)"); fail += 1; continue
         else:
-            print(f"WARN {name}: dtype-only diff, values match ({len(g)} rows)")
+            # stricter than the driver: a dtype mismatch is a failure here
+            print(f"FAIL {name}: dtype-only diff ({len(g)} rows)"); fail += 1; continue
     print(f"OK   {name}: {len(g)} rows")
     ok += 1
 print(f"\n{ok} ok, {fail} fail, {skip} skip/no-oracle")
