@@ -39,6 +39,29 @@ object ParserStub {
         Seq("image-1.png"), Seq.empty[String], "parser.log", Seq.empty[String])
   }
 
+  /** Column-level rendering of the same contract (for fully-declarative
+    * pipelines; identical semantics to `parse`).
+    */
+  def outputStruct(reference: org.apache.spark.sql.Column,
+                   judgmentDoc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val err = struct(
+      lit(null).cast(StringType).as("xml"),
+      lit(null).cast(StringType).as("metadata"),
+      array().cast(ArrayType(StringType)).as("images"),
+      array().cast(ArrayType(StringType)).as("attachments"),
+      lit("parser.log").as("log"),
+      array(concat(lit("Unable to parse document '"), judgmentDoc, lit("'")))
+        .as("error_messages"))
+    val ok = struct(
+      concat(reference, lit(".xml")).as("xml"),
+      lit("metadata.json").as("metadata"),
+      array(lit("image-1.png")).as("images"),
+      array().cast(ArrayType(StringType)).as("attachments"),
+      lit("parser.log").as("log"),
+      array().cast(ArrayType(StringType)).as("error_messages"))
+    when(judgmentDoc.contains("invalid"), err).otherwise(ok)
+  }
+
   /** Batch-wise invocation over located parser events
     * (Editorial.locateBlocks output): the mapPartitions seam where a real
     * parser container/process call goes.

@@ -27,6 +27,14 @@ final case class PipelineResult(
     verdicts: DataFrame,
     events: DataFrame)
 
+/** Full main-path result (§3.1 steps 3–7). */
+final case class FullPipelineResult(
+    validation: PipelineResult,
+    parserInputs: DataFrame,
+    parserOutputs: DataFrame,
+    editorial: DataFrame,
+    bundles: DataFrame)
+
 object TrePipeline {
 
   /** Run validation over a directory of `<reference>.tar.gz` bags. */
@@ -110,5 +118,67 @@ object TrePipeline {
       .withColumn("event_name", eventName)
 
     PipelineResult(entries, checksums, reconciliation, verdicts, events)
+  }
+
+  /** The complete §3.1 main path in one job: validate → prepare parser
+    * input (step 5: first data file, prepare_parser_input.py:124-131) →
+    * parser contract (step 6, stub seam) → TRE metadata + editorial bundle
+    * tar.gz per consignment (step 7) under `<outDir>/<ref>/0/`.
+    */
+  def runFull(spark: SparkSession, bagsGlob: String, outDir: String,
+              environment: String = "dev", version: String = "0.1.0"): FullPipelineResult = {
+    import spark.implicits._
+    import graft.ops.editorial.{Editorial, ParserStub}
+
+    val v = run(spark, bagsGlob, environment)
+    val okBags = v.verdicts.filter(col("ok")).select(col("bagId"))
+
+    // step 5: judgment doc = FIRST data file (compat with the reference's
+    // data[0] assumption; generalized inventory kept in `entries`)
+    val dataDocs = v.entries.filter(!_.isDir)
+      .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1)))
+      .toDF("bagId", "name")
+      .filter(col("name").startsWith("data/"))
+      .groupBy(col("bagId")).agg(min(col("name")).as("judgment_doc"))
+    val parserInputs = okBags.join(dataDocs, Seq("bagId"))
+      .withColumn("msg", Editorial.parserInputMessage(
+        col("bagId"), lit("local"), concat(lit("file://"), col("judgment_doc")),
+        concat(lit("parsed/judgment/"), col("bagId"), lit("/0/")),
+        element_at(split(col("judgment_doc"), "/"), -1),
+        lit("judgment"), lit(0)))
+
+    // step 6: parser contract (stub seam — swap for the real parser)
+    val parserOutputs = parserInputs.select(
+      col("bagId"), col("judgment_doc"),
+      ParserStub.outputStruct(col("bagId"),
+        element_at(split(col("judgment_doc"), "/"), -1)).as("po"))
+
+    // step 7: TRE metadata JSON + bundle (metadata + judgment doc bytes)
+    val docBytes = v.entries.filter(!_.isDir)
+      .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1), e.bytes))
+      .toDF("bagId", "name", "bytes")
+    val editorial = parserOutputs
+      .withColumn("tre_metadata", to_json(struct(
+        struct(lit("TRE").as("name"), lit("transform").as("process"),
+          lit("judgment").as("type"), lit(environment).as("environment")).as("producer"),
+        struct(
+          concat(lit("TRE-"), col("bagId")).as("reference"),
+          lit(version).as(s"$environment-tre-version"),
+          col("po.xml").as("xml"), col("po.log").as("log"),
+          col("po.error_messages").as("error-messages")).as("parameters"))))
+    val bundleEntries = editorial
+      .select(col("bagId"), col("tre_metadata"))
+      .join(docBytes.filter(col("name").startsWith("data/")), Seq("bagId"))
+      .as[(String, String, String, Array[Byte])]
+      .flatMap { case (bag, meta, name, bytes) =>
+        Seq(
+          TarEntry(bag, s"$bag/0/metadata.json", meta.getBytes("UTF-8"), 0L, isDir = false),
+          TarEntry(bag, s"$bag/0/" + name.substring(name.indexOf('/') + 1), bytes, 0L, isDir = false))
+      }
+    val bundles = graft.core.archive.Tar
+      .packageBags(bundleEntries, outDir).toDF()
+
+    FullPipelineResult(v, parserInputs, parserOutputs.withColumnRenamed("po", "parser_outputs"),
+      editorial, bundles)
   }
 }

@@ -37,6 +37,36 @@ class TrePipelineSpec extends SparkSpec {
       "./TDR-2022-BAD1/data/doc.docx" -> doc))
   }
 
+  test("full main path: validate → parser input → parse → editorial bundle") {
+    val dir = Files.createTempDirectory("bags2")
+    val out = Files.createTempDirectory("sips")
+    makeBags(dir)
+    val r = TrePipeline.runFull(spark, dir.toString + "/*.tar.gz", out.toString)
+
+    // only the valid bag advances past validation
+    assert(r.parserInputs.count() == 1)
+    val pi = r.parserInputs.select($"msg").as[String].head()
+    assert(get_json(pi, "$['parser-inputs']['consignment-reference']") == "TDR-2022-OK1")
+    assert(get_json(pi, "$.context['judgment-document']") == "doc.docx")
+
+    val po = r.parserOutputs.select($"parser_outputs.xml").as[String].head()
+    assert(po == "TDR-2022-OK1.xml")
+
+    // bundle written: metadata.json + the judgment doc under <ref>/0/
+    val b = r.bundles.collect().head
+    assert(b.getAs[String]("bagId") == "TDR-2022-OK1")
+    val names = b.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+      .map(_.getString(0)).sorted
+    assert(names == Seq("TDR-2022-OK1/0/doc.docx", "TDR-2022-OK1/0/metadata.json"))
+    // the packed archive is a readable tar.gz with the doc bytes intact
+    val back = graft.core.archive.Tar
+      .explodePath(spark, b.getAs[String]("path")).collect()
+    assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "JUDGMENT ONE")
+  }
+
+  private def get_json(json: String, path: String): String =
+    Seq(json).toDF("j").select(get_json_object($"j", path)).head().getString(0)
+
   test("integrated pipeline: N bags in one job, per-bag verdicts + provenance events") {
     val dir = Files.createTempDirectory("bags")
     makeBags(dir)
