@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.AnalyticsQueries.defs ++
       graft.queries.ArchiveQueries.defs ++
-      graft.queries.MoreTpchQueries.defs
+      graft.queries.MoreTpchQueries.defs ++
+      graft.queries.EditorialQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
