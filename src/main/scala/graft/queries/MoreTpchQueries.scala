@@ -99,6 +99,25 @@ object MoreTpchQueries {
         |SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
         |FROM s""".stripMargin),
 
+    // ── q13 shape: left-outer join histogram (customers by order count,
+    //    zero bucket included) ──
+    "q13_order_distribution" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
     // ── q19 shape: OR-of-ANDs predicate (brand/size/quantity bands) ──
     "q19_disjunctive_filter" -> QueryDef(
       (spark, dir) => {
