@@ -63,7 +63,8 @@ object Dedup {
   def minhashSignature(docs: DataFrame, n: Int, k: Int,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
-    docs.select(col(idCol).as("id"), graft.functions.minhash_sig(sh, k).as("sig"))
+    docs.select(col(idCol).as("id"), graft.functions.minhash_sig(sh, k).as("sig"),
+      size(sh).as("n_sh"))
   }
 
   /** LSH banding over the MinHash signature: band key = md5 of the
@@ -78,26 +79,26 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sigs = minhashSignature(docs, n, k, idCol, textCol)
-    val banded = sigs.select(col("id"),
+    // shingle-set sizes ride along with the signatures — no separate
+    // explode + groupBy shuffle just to count them
+    val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val cand = banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j")).distinct()
     // exact-jaccard re-score restricted to candidates
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(graft.text.TextAnalysis.shingles(col(textCol), n))).as("shingle"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
+    cand
       .join(sh.as("ea"), col("i") === col("ea.id"))
       .join(sh.as("eb"), col("j") === col("eb.id") &&
         col("ea.shingle") === col("eb.shingle"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("id"), col("n_sh").as("n_i")), col("i") === col("id")).drop("id")
-      .join(sizes.select(col("id"), col("n_sh").as("n_j")), col("j") === col("id")).drop("id")
+      .groupBy(col("i"), col("j"), col("n_i"), col("n_j"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)

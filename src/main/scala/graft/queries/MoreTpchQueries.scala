@@ -99,6 +99,32 @@ object MoreTpchQueries {
         |SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
         |FROM s""".stripMargin),
 
+    // ── q18 shape: HAVING filter on an aggregated subquery gating a join ──
+    "q18_large_orders" -> QueryDef(
+      (spark, dir) => {
+        val l = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_c"))
+          .filter(col("qty_c") > 15000)   // > 150 units
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("totalprice_c"),
+            col("qty_c"))
+          .orderBy(col("qty_c").desc, col("o_orderkey"))
+          .limit(25)
+      },
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, qty_c
+        |FROM orders JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 15000) b
+        |  ON o_orderkey = b.l_orderkey
+        |ORDER BY qty_c DESC, o_orderkey LIMIT 25""".stripMargin),
+
     // ── q13 shape: left-outer join histogram (customers by order count,
     //    zero bucket included) ──
     "q13_order_distribution" -> QueryDef(

@@ -215,6 +215,24 @@ object TrainQueries {
           .orderBy(col("qid"), col("rank")),
       None),
 
+    // ── deterministic stratified sampling (hash-gated, reproducible) ──
+    "sample_stratified" -> QueryDef(
+      (spark, dir) => {
+        val sampled = graft.ops.Sampling.stratified(
+          Tables.documents(spark, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+        sampled.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |        AS INT) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 65536 AS INT)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ── multimodal: opaque binary + typed metadata (decode stubbed) ──
     "mm_media_meta" -> QueryDef(
       (spark, dir) => {
