@@ -206,14 +206,47 @@ object TrainQueries {
         |  FROM s)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
-    // ── LSH-bucketed ANN (scale path; oracle-free: recall checked in
-    //    SimilaritySpec against the brute-force baseline) ──
+    // ── LSH-bucketed ANN (scale path). Fully oracle-checked: the
+    //    hyperplane sign matrix is data-independent md5 parity, so the
+    //    oracle rebuilds it in SQL (2048 rows) and replays bucket →
+    //    candidate → rescore → rank. Recall vs brute force is additionally
+    //    spec-checked in SimilaritySpec. ──
     "ann_lsh_topk" -> QueryDef(
       (spark, dir) =>
         Similarity.lshTopK(Tables.embeddings(spark, dir),
           tables = 8, planes = 4, dims = 64, k = 5, threshold = 0.2)
           .orderBy(col("qid"), col("rank")),
-      None),
+      """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 7)) AS t),
+        |                        (SELECT unnest(generate_series(0, 3)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS qid, b.id AS nid
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs WHERE sim >= 0.2)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
     // ── deterministic stratified sampling (hash-gated, reproducible) ──
     "sample_stratified" -> QueryDef(
