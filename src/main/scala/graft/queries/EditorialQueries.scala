@@ -14,6 +14,56 @@ import org.apache.spark.sql.functions._
 object EditorialQueries {
 
   val defs: Map[String, QueryDef] = Map(
+
+    // ── P1–P8 + J1 under the gate: synthesize file-metadata rows from
+    //    documents (v1.1/v1.2 domain variants by row), run the DRI
+    //    metadata transform, and hash against the expected canonicalized
+    //    output stated directly in SQL. ──
+    "dri_sip_metadata" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val isFolder = pmod(col("doc_id"), lit(10)) === 0
+        val csv = docs.select(
+          col("doc_id"),
+          concat(lit("data/content/doc "), col("doc_id"),
+            when(isFolder, lit("")).otherwise(lit(".txt"))).as("Filepath"),
+          concat(lit("doc "), col("doc_id")).as("FileName"),
+          when(isFolder, lit("Folder")).otherwise(lit("File")).as("FileType"),
+          lit("1").as("Filesize"),
+          lit("Crown Copyright").as("RightsCopyright"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("Public Record"))
+            .otherwise(lit("Public Record(s)")).as("LegalStatus"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("TNA"))
+            .otherwise(lit("The National Archives, Kew")).as("HeldBy"),
+          lit("English").as("Language"),
+          lit("").as("FoiExemptionCode"),
+          when(isFolder, lit("")).otherwise(lit("2022-09-29T15:10:20")).as("LastModified"))
+        val manifest = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(concat(lit("data/content/doc "), col("doc_id"), lit(".txt")).as("file"),
+            sha2(col("text"), 256).as("checksum"))
+        val bagInfo = Map(
+          "Consignment-Series" -> "MOCKA 101",
+          "Consignment-Export-Datetime" -> "2022-07-18T12:45:45Z",
+          "Internal-Sender-Identifier" -> "TDR-2022-AA1")
+        graft.ops.drisip.DriSip.metadataRows(csv, manifest, bagInfo, Some("doc_id"))
+          .withColumn("n_errors", size(col("errors"))).drop("errors")
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  'file:/MOCKA101Y22TBAA1/MOCKA_101/content/doc%20' || doc_id
+        |    || (CASE WHEN doc_id % 10 = 0 THEN '/' ELSE '.txt' END) AS identifier,
+        |  'doc ' || doc_id AS file_name,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'folder' ELSE 'file' END AS folder,
+        |  CASE WHEN doc_id % 10 = 0 THEN '2022-07-18T12:45:45'
+        |       ELSE '2022-09-29T15:10:20' END AS date_last_modified,
+        |  CASE WHEN doc_id % 10 = 0 THEN '' ELSE sha256(text) END AS checksum,
+        |  'Crown Copyright' AS rights_copyright,
+        |  'Public Record(s)' AS legal_status,
+        |  'The National Archives, Kew' AS held_by,
+        |  'English' AS language,
+        |  'TDR-2022-AA1' AS TDR_consignment_ref,
+        |  0 AS n_errors
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "j4_block_location" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
