@@ -167,6 +167,43 @@ object CoreQueries {
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin),
 
+    // ── window function breadth: lag/lead/ntile/first/last in one pass ──
+    "q_window_shapes" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            ntile(4).over(w).as("quartile"),
+            first(col("o_orderkey")).over(wFull).as("first_order"),
+            last(col("o_orderkey")).over(wFull).as("last_order"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ── ordered collect: sorted event-type list per user ──
+    "ev_collect_sorted" -> QueryDef(
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("types"))
+          .orderBy(col("user_id")),
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // ── window frame: per-customer running total (rows unbounded-preceding) ──
     "q_running_total" -> QueryDef(
       (spark, dir) => {
