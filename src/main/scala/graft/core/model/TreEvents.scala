@@ -36,6 +36,27 @@ object TreEvents {
   private val uuid4Pattern =
     "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
 
+  /** v1 "raw dict" message (the flat 5-field generation consumed by
+    * tre-bagit-checksum-validation,
+    * lambda_functions/tre-bagit-checksum-validation/tre_bagit_checksum_validation.py:52-59).
+    */
+  val v1Schema: StructType = StructType(Seq(
+    StructField("consignment-reference", StringType),
+    StructField("s3-bagit-url", StringType),
+    StructField("s3-sha-url", StringType),
+    StructField("consignment-type", StringType),
+    StructField("number-of-retries", IntegerType)))
+
+  def parseV1(jsonCol: Column): Column = from_json(jsonCol, v1Schema)
+
+  def v1ValidationErrors(m: Column): Column = array_compact(array(
+    when(m.isNull, lit("message: not valid JSON")),
+    when(m.getField("consignment-reference").isNull, lit("consignment-reference: missing")),
+    when(m.getField("s3-bagit-url").isNull, lit("s3-bagit-url: missing")),
+    when(m.getField("s3-sha-url").isNull, lit("s3-sha-url: missing")),
+    when(m.getField("consignment-type").isNull, lit("consignment-type: missing")),
+    when(m.getField("number-of-retries").isNull, lit("number-of-retries: missing"))))
+
   /** Decode a JSON-string column into the envelope struct. The `parameters`
     * values come back as raw JSON via the MapType(String,String) schema
     * (Spark keeps unparsed nested objects as strings when the target type

@@ -72,6 +72,31 @@ object AnalyticsQueries {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin),
 
+    // ── full outer join with matched/only-left/only-right classification ──
+    "q_full_outer_reconcile" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+          .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").as("ckey"), col("c_mktsegment"))
+        val o = Tables.orders(spark, dir)
+          .filter(pmod(col("o_custkey"), lit(2)) === 0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("ckey") === col("o_custkey"), "full_outer")
+          .select(when(col("ckey").isNotNull && col("o_custkey").isNotNull, "matched")
+            .when(col("ckey").isNotNull, "customer_only")
+            .otherwise("orders_only").as("side"))
+          .groupBy(col("side")).agg(count(lit(1)).as("n"))
+          .orderBy(col("side"))
+      },
+      """SELECT CASE WHEN ckey IS NOT NULL AND o_custkey IS NOT NULL THEN 'matched'
+        |            WHEN ckey IS NOT NULL THEN 'customer_only'
+        |            ELSE 'orders_only' END AS side, count(*) AS n
+        |FROM (SELECT c_custkey AS ckey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |                 WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+        |  ON ckey = o_custkey
+        |GROUP BY 1 ORDER BY side""".stripMargin),
+
     // ── scalar subquery: parts priced above the global average ──
     "q_above_avg_parts" -> QueryDef(
       (spark, dir) => {

@@ -70,6 +70,23 @@ class TreEventsSpec extends SparkSpec {
     assert(v.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
   }
 
+  test("v1 flat message decode + validation (tdr_message generation)") {
+    val ok = """{"consignment-reference":"TDR-2021-CF6L",
+      |"s3-bagit-url":"https://x/t.tar.gz","s3-sha-url":"https://x/t.tar.gz.sha256",
+      |"consignment-type":"judgment","number-of-retries":0}"""
+      .stripMargin.replaceAll("\n", "")
+    val bad = """{"consignment-reference":"TDR-2021-CF6L"}"""
+    val df = Seq(ok, bad).toDF("json")
+      .select(TreEvents.parseV1($"json").as("m"))
+      .select($"m.consignment-reference", $"m.number-of-retries",
+        size(TreEvents.v1ValidationErrors($"m")).as("n_errors"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "TDR-2021-CF6L")
+    assert(rows(0).getInt(1) == 0)
+    assert(rows(0).getInt(2) == 0)
+    assert(rows(1).getInt(2) == 4)   // four missing fields
+  }
+
   test("sqs double-decode unwraps Records[].body → SNS Message (S9)") {
     val sns = s"""{"Message":${ujsonQuote(okEvent)},"MessageAttributes":{}}"""
     val df = Seq(sns).toDF("body")
