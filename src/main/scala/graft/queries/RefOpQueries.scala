@@ -293,6 +293,25 @@ object RefOpQueries {
         |FROM v
         |ORDER BY major DESC, minor DESC, patch DESC, version LIMIT 1""".stripMargin),
 
+    // ── §2.8: URL parsing (urlparse(...).path, tre_vb_validate_bagit.py:78-83) ──
+    "p_url_parse" -> QueryDef(
+      (spark, dir) => {
+        val urls = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            concat(lit("https://bucket.s3.eu-west-2.amazonaws.com/consignments/judgment/TDR-"),
+              col("doc_id"), lit("/0/doc.tar.gz?X-Amz-Expires=60")).as("url"))
+        urls.select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          element_at(split(parse_url(col("url"), lit("PATH")), "/"), -1).as("basename"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  'bucket.s3.eu-west-2.amazonaws.com' AS host,
+        |  '/consignments/judgment/TDR-' || doc_id || '/0/doc.tar.gz' AS path,
+        |  'doc.tar.gz' AS basename
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── §2.8: ISO-8601 formatting + Z-strip (tre_bagit.py:83-88) ──
     "p5_timestamp_format" -> QueryDef(
       (spark, dir) =>
