@@ -99,6 +99,103 @@ object MoreTpchQueries {
         |SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
         |FROM s""".stripMargin),
 
+    // ── q7 shape: bilateral nation volume (OR of symmetric pairs + year) ──
+    "q7_nation_volume" -> QueryDef(
+      (spark, dir) => {
+        val n1 = Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+        Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter(pair)
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_c"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  ${cents("l_extendedprice*(1-l_discount)")} AS revenue_c
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // ── q8 shape: market share — conditional revenue ratio per year ──
+    "q8_market_share" -> QueryDef(
+      (spark, dir) => {
+        val n = Tables.nation(spark, dir)
+        Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("n_name") === "NATION_1",
+              round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+                .cast("long")).otherwise(0L)).as("nation_c"),
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long")).as("total_c"))
+          .select(col("o_year"), col("nation_c"), col("total_c"),
+            round(col("nation_c") * 10000.0 / col("total_c"), 4).as("share_bp"))
+          .orderBy(col("o_year"))
+      },
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_1'
+        |    THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nation_c,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c,
+        |  round(CAST(sum(CASE WHEN n_name = 'NATION_1'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) * 10000.0
+        |    / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT), 4) AS share_bp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin),
+
+    // ── q22 shape: substring buckets + avg scalar subquery + anti join ──
+    "q22_global_sales_opportunity" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+          .withColumn("segcode", substring(col("c_mktsegment"), 1, 2))
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("ab"))
+        val recentOrders = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab") &&
+            col("segcode").isin("BU", "MA", "AU"))
+          .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("segcode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(round(col("c_acctbal") * 100, 0).cast("long")).as("totacctbal_c"))
+          .orderBy(col("segcode"))
+      },
+      """SELECT substr(c_mktsegment, 1, 2) AS segcode, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND substr(c_mktsegment, 1, 2) IN ('BU', 'MA', 'AU')
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY segcode""".stripMargin),
+
     // ── q18 shape: HAVING filter on an aggregated subquery gating a join ──
     "q18_large_orders" -> QueryDef(
       (spark, dir) => {

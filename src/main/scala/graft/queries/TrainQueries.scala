@@ -248,6 +248,25 @@ object TrainQueries {
         |  FROM pairs WHERE sim >= 0.2)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── corpus n-gram frequency profile (vocabulary statistics) ──
+    "text_top_ngrams" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        docs.select(explode(TextAnalysis.shingles(col("text"), 2)).as("ngram"))
+          .groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(50)
+      },
+      s"""WITH t AS (
+         |  SELECT unnest(CASE WHEN len($toksSql) >= 2
+         |    THEN list_transform(generate_series(1, len($toksSql)-1),
+         |           i -> array_to_string(($toksSql)[i:i+1], ' '))
+         |    ELSE [array_to_string($toksSql, ' ')] END) AS ngram
+         |  FROM documents)
+         |SELECT ngram, count(*) AS n FROM t
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin),
+
     // ── deterministic stratified sampling (hash-gated, reproducible) ──
     "sample_stratified" -> QueryDef(
       (spark, dir) => {
