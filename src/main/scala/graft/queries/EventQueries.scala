@@ -82,6 +82,33 @@ object EventQueries {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin),
 
+    // ── as-of join: latest prior purchase value attached to each click
+    //    (oracle: DuckDB's NATIVE ASOF JOIN — an independent implementation
+    //    of the same semantics) ──
+    "ev_asof_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(round(col("value") * 100, 0).cast("long")).as("purchase_c"))
+        graft.ops.AsofJoin.join(clicks, purchases, "user_id", "ts", Seq("purchase_c"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_purchase_c").as("last_purchase_c"))
+          .orderBy(col("event_id"))
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) AS purchase_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.purchase_c AS last_purchase_c
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin),
+
     // ── retry routing: business retry limit (reference: fail at 3,
     //    tre_bagit_checksum_validation.py:159-163) ──
     "ev_retry_route" -> QueryDef(
