@@ -248,6 +248,20 @@ object TrainQueries {
         |  FROM pairs WHERE sim >= 0.2)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── vocabulary richness per doc (type-token ratio) ──
+    "text_vocab" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))).as("n_types"))
+        .withColumn("ttr", round(col("n_types") / greatest(col("n_tokens"), lit(1)), 4))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($toksSql)) AS INT) AS n_types,
+         |  round(len(list_distinct($toksSql)) / greatest(len($toksSql), 1), 4) AS ttr
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── corpus n-gram frequency profile (vocabulary statistics) ──
     "text_top_ngrams" -> QueryDef(
       (spark, dir) => {
