@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** CPU-heavy per-row stages (shingling, signatures) must not inherit a
+    * single-partition layout from a small parquet file — one hot file
+    * would pin the whole stage to one core. Cheap to shuffle (input is
+    * small when this matters; at real scale inputs are already split).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact dedup on content hash: one row per distinct content with the
     * representative (min id) and the duplicate count. Single hash-shuffle.
     */
@@ -38,7 +48,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
@@ -63,7 +73,7 @@ object Dedup {
   def minhashSignature(docs: DataFrame, n: Int, k: Int,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
-    docs.select(col(idCol).as("id"), graft.functions.minhash_sig(sh, k).as("sig"),
+    spread(docs).select(col(idCol).as("id"), graft.functions.minhash_sig(sh, k).as("sig"),
       size(sh).as("n_sh"))
   }
 
@@ -91,7 +101,7 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j")).distinct()
     // exact-jaccard re-score restricted to candidates
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(graft.text.TextAnalysis.shingles(col(textCol), n))).as("shingle"))
     cand
       .join(sh.as("ea"), col("i") === col("ea.id"))
@@ -111,7 +121,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = spread(docs).select(col(idCol).as("id"),
       TextAnalysis.simhashBits(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
