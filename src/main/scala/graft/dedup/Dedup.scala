@@ -115,6 +115,51 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every doc gets the MIN id
+    * reachable through the pair graph (its cluster representative).
+    * Iterative label propagation — each round joins current labels to the
+    * edge list and takes the min over neighbours; near-dup clusters are
+    * shallow (dup chains, not social graphs), so a handful of rounds
+    * converges. Each round is one shuffle on id.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list + self-loops so singletons keep their label
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighbourMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighbourMin, labels("id") === neighbourMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changes = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Corpus-level dedup: near-dup pairs (any detector) → clusters → keep
+    * one representative (min id) per cluster; docs in no pair survive
+    * untouched. Returns the deduplicated corpus.
+    */
+  def dedupeByPairs(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs)
+    val drop = cl.filter(col("id") =!= col("cluster")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   /** SimHash near-dup: 64-bit signature (TextAnalysis.simhashBits) compared
     * by Hamming distance within 16-bit band buckets (signatures within
     * distance d share ≥1 of 4 bands when d ≤ 3).

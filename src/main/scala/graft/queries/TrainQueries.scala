@@ -102,6 +102,39 @@ object TrainQueries {
          |FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
          |ORDER BY 1, 2""".stripMargin),
 
+    // ── end-to-end corpus dedup: pairs → connected components →
+    //    representative survives (oracle: recursive-CTE transitive closure) ──
+    "dedup_end_to_end" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.jaccardPairs(docs, 3, 0.10)
+        val cl = Dedup.clusters(pairs)
+        val removed = cl.filter(col("id") =!= col("cluster"))
+        val survivors = Dedup.dedupeByPairs(docs, pairs)
+        val nDocs = docs.count()
+        val nRemoved = removed.count()
+        val nClustersMulti = cl.select(col("cluster")).distinct().count()
+        val nSurvive = survivors.count()
+        import spark.implicits._
+        Seq((nDocs, nRemoved, nClustersMulti, nSurvive))
+          .toDF("n_docs", "n_removed", "n_clusters", "n_survive")
+      },
+      s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM labels WHERE id <> cluster) AS n_removed,
+         |  (SELECT count(DISTINCT cluster) FROM labels) AS n_clusters,
+         |  (SELECT count(*) FROM documents) -
+         |    (SELECT count(*) FROM labels WHERE id <> cluster) AS n_survive""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

@@ -99,6 +99,21 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("clusters: label propagation finds transitive dup groups") {
+    // chain 1-2-3 plus pair 10-11: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupeByPairs keeps one representative per cluster + all singletons") {
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val kept = Dedup.dedupeByPairs(docs, pairs).select($"doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))   // reps 1 and 5, singleton 4
+  }
+
   test("simhash pairs: planted near-identical docs collide within hamming 6") {
     val base = "spark query engine shuffles data across the cluster for joins and aggregates today"
     val docs = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words entirely unrelated zebra"))
