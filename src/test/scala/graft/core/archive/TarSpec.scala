@@ -43,6 +43,12 @@ class TarSpec extends SparkSpec {
     assert(new String(doc.bytes, "UTF-8") == "DOCX BYTES")
   }
 
+  test("explode of an empty tar.gz yields zero rows, no error") {
+    val dir = Files.createTempDirectory("emptytar")
+    makeTarGz(dir, "empty.tar.gz", Seq.empty)
+    assert(Tar.explodePath(spark, dir.toString + "/*.tar.gz").count() == 0)
+  }
+
   test("packageBags round-trips entries with prefix substitution (K2/K3)") {
     val dir = Files.createTempDirectory("tarpack")
     val entries = Seq(

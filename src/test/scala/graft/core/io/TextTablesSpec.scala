@@ -29,6 +29,14 @@ class TextTablesSpec extends SparkSpec {
     assert(got(1).getString(1) == "a:b@c.d")
   }
 
+  test("manifest parse: short/malformed lines degrade like the reference slicing") {
+    // line[0:64] on a short line = whole line; line[64:] = '' (checksum_lib.py:48-49)
+    val got = TextTables.parseManifest(Seq("deadbeef  short").toDF("line")).head()
+    assert(got.getString(0) == "deadbeef  short")
+    assert(got.getString(1) == "")
+    assert(got.getString(2) == "")
+  }
+
   test("basename/dirname column helpers (P9)") {
     val df = Seq("a/b/c.txt", "c.txt").toDF("p")
       .select(TextTables.basename($"p"), TextTables.dirname($"p"))
