@@ -139,7 +139,9 @@ object Dedup {
         .join(neighbourMin, labels("id") === neighbourMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+        // truncate lineage each round: iterative self-joins otherwise grow
+        // the logical plan (and re-planning cost) exponentially
+        .localCheckpoint(eager = true)
       val changes = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.label") =!= col("l.label")).count()
       labels = updated
