@@ -29,6 +29,18 @@ class TextTablesSpec extends SparkSpec {
     assert(got(1).getString(1) == "a:b@c.d")
   }
 
+  test("file-source readers: readManifest / readKeyValue / keyValueMap") {
+    val dir = java.nio.file.Files.createTempDirectory("tt")
+    java.nio.file.Files.write(dir.resolve("manifest-sha256.txt"),
+      ("a" * 64 + "  data/doc.docx").getBytes)
+    java.nio.file.Files.write(dir.resolve("bag-info.txt"),
+      "Consignment-Series: MOCKA 101\nContact-Email: a:b@c.d".getBytes)
+    val m = TextTables.readManifest(spark, dir.resolve("manifest-sha256.txt").toString).head()
+    assert(m.getString(0) == "a" * 64 && m.getString(1) == "data/doc.docx")
+    val kv = TextTables.keyValueMap(spark, dir.resolve("bag-info.txt").toString)
+    assert(kv == Map("Consignment-Series" -> "MOCKA 101", "Contact-Email" -> "a:b@c.d"))
+  }
+
   test("manifest parse: short/malformed lines degrade like the reference slicing") {
     // line[0:64] on a short line = whole line; line[64:] = '' (checksum_lib.py:48-49)
     val got = TextTables.parseManifest(Seq("deadbeef  short").toDF("line")).head()

@@ -45,6 +45,15 @@ class EventStreamSpec extends SparkSpec {
     assert(dlqCount == 1)
   }
 
+  test("withRetryRoute defaults missing number-of-retries to 0 (batch mode)") {
+    val noRetries = event(u1).replace(""","number-of-retries":0""", "")
+    val df = graft.core.model.TreEvents.decode(Seq(noRetries).toDF("json"), "json")
+      .withColumn("ok", size($"event_errors") === 0)
+    val r = EventStream.withRetryRoute(df).select($"retries", $"route").head()
+    assert(r.getInt(0) == 0)
+    assert(r.getString(1) == "ok")
+  }
+
   test("retryTracker accumulates attempts across micro-batches (mapGroupsWithState)") {
     val dir = Files.createTempDirectory("retryq")
     // 3 attempts for TDR-2022-AA1 arriving over three files (one per batch
