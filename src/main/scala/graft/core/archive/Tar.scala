@@ -72,45 +72,56 @@ object Tar {
   def explodePath(spark: SparkSession, glob: String): Dataset[TarEntry] =
     explode(spark.read.format("binaryFile").load(glob))
 
-  /** K3 prefix substitution: first-occurrence remove/add on entry names
-    * (tar_lib.py:159-160).
+  /** K3 prefix substitution, reference semantics (tar_lib.py:159-160
+    * `s3_object.replace(drop, '', 1)` then f'{add}{...}'): remove the FIRST
+    * occurrence of `drop` anywhere in the name, then unconditionally
+    * prepend `add` — even when `drop` never matched.
     */
-  def substitutePrefix(name: String, drop: String, add: String): String =
-    if (drop.nonEmpty && name.startsWith(drop)) add + name.substring(drop.length)
-    else if (drop.isEmpty) add + name
-    else name
+  def substitutePrefix(name: String, drop: String, add: String): String = {
+    val idx = if (drop.isEmpty) -1 else name.indexOf(drop)
+    val stripped =
+      if (idx < 0) name
+      else name.substring(0, idx) + name.substring(idx + drop.length)
+    add + stripped
+  }
 
   /** K2/K3: pack each bag's entries into `<outDir>/<bagId>.tar.gz`,
-    * streaming entries in `orderCol` order to a Hadoop stream. Returns one
-    * row per archive with the recorded item list (name, size), mirroring
-    * tar_lib.py:96-125.
+    * streaming entries to a Hadoop stream in `orderCol` order —
+    * `flatMapSortedGroups` sorts within groups during the shuffle, so the
+    * entry order (and the recorded item list, and the archive bytes) is
+    * deterministic across runs and task retries, like the reference's
+    * caller-order tar_lib.py:96-125. Returns one row per archive with the
+    * recorded item list (name, size).
     */
   def packageBags(entries: Dataset[TarEntry], outDir: String,
                   prefixDrop: String = "", prefixAdd: String = "",
-                  mtimeSeconds: Option[Long] = None): Dataset[PackedArchive] = {
+                  mtimeSeconds: Option[Long] = None,
+                  orderCol: String = "name"): Dataset[PackedArchive] = {
     val spark = entries.sparkSession
     import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    entries.groupByKey(_.source).mapGroups { (bagId, it) =>
-      val outPath = new Path(outDir, s"$bagId.tar.gz")
-      val fs = outPath.getFileSystem(hadoopConf.value)
-      val out = new TarArchiveOutputStream(
-        new GzipCompressorOutputStream(new BufferedOutputStream(fs.create(outPath, true))))
-      out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-      val items = Seq.newBuilder[TarItem]
-      it.filterNot(_.isDir).foreach { e =>
-        val name = substitutePrefix(e.name, prefixDrop, prefixAdd)
-        val te = new TarArchiveEntry(name)
-        te.setSize(e.bytes.length.toLong)
-        te.setModTime(mtimeSeconds.getOrElse(e.mtime) * 1000L)
-        out.putArchiveEntry(te)
-        out.write(e.bytes)
-        out.closeArchiveEntry()
-        items += TarItem(name, e.bytes.length.toLong)
+    entries.groupByKey(_.source)
+      .flatMapSortedGroups(col(orderCol)) { (bagId, it) =>
+        val outPath = new Path(outDir, s"$bagId.tar.gz")
+        val fs = outPath.getFileSystem(hadoopConf.value)
+        val out = new TarArchiveOutputStream(
+          new GzipCompressorOutputStream(new BufferedOutputStream(fs.create(outPath, true))))
+        out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        val items = Seq.newBuilder[TarItem]
+        try {
+          it.filterNot(_.isDir).foreach { e =>
+            val name = substitutePrefix(e.name, prefixDrop, prefixAdd)
+            val te = new TarArchiveEntry(name)
+            te.setSize(e.bytes.length.toLong)
+            te.setModTime(mtimeSeconds.getOrElse(e.mtime) * 1000L)
+            out.putArchiveEntry(te)
+            out.write(e.bytes)
+            out.closeArchiveEntry()
+            items += TarItem(name, e.bytes.length.toLong)
+          }
+        } finally out.close()
+        Iterator.single(PackedArchive(bagId, outPath.toString, items.result()))
       }
-      out.close()
-      PackedArchive(bagId, outPath.toString, items.result())
-    }
   }
 }

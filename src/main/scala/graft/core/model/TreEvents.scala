@@ -30,11 +30,16 @@ object TreEvents {
     // event-name -> raw JSON payload; parsed per event type on demand
     StructField("parameters", MapType(StringType, StringType))))
 
-  val Version = "1.0.0"
+  /** Reference MESSAGE_VERSION (message.py:35). */
+  val Version = "0.0.2"
 
   private val uuidKeyPattern = "^[a-zA-Z0-9_-]+-UUID$"
-  private val uuid4Pattern =
-    "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+  /** schema.json:19 accepts ANY UUID version (the builder generates v4 but
+    * the schema doesn't pin it) — validating stricter than the schema would
+    * DLQ-route reference-valid events.
+    */
+  private val uuidPattern =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 
   /** v1 "raw dict" message (the flat 5-field generation consumed by
     * tre-bagit-checksum-validation,
@@ -87,6 +92,12 @@ object TreEvents {
     * and append `{<producer>-UUID: uuid4}`, inherit `producer.type` when
     * not overridden, restamp producer/event-name, keep parameters supplied
     * by the caller. Returns the new envelope struct column.
+    *
+    * Reference bug NOT replicated: message.py:155-160 reads `type` from the
+    * TOP level of the prior message dict, where it never exists (the schema
+    * nests it under `producer`), so the reference always falls through to
+    * null. The stated intent ("Default to type of prior_message") is
+    * honoured here by reading `prior.producer.type`.
     */
   def createFrom(priorEvent: Column, producerName: String, process: String,
                  environment: String, eventName: String,
@@ -138,8 +149,8 @@ object TreEvents {
       m => size(filter(map_keys(m), k => k.rlike(uuidKeyPattern))) =!= size(map_keys(m))),
       lit("UUIDs: key must match <name>-UUID")),
     when(exists(e.getField("UUIDs"),
-      m => exists(map_values(m), v => !v.rlike(uuid4Pattern))),
-      lit("UUIDs: value must be a UUIDv4")),
+      m => exists(map_values(m), v => !v.rlike(uuidPattern))),
+      lit("UUIDs: value must be a UUID")),
     when(e.getField("producer").isNull, lit("producer: missing")),
     when(e.getField("producer").getField("event-name").isNull,
       lit("producer.event-name: missing")),

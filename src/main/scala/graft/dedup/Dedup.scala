@@ -115,14 +115,21 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Label-propagation outcome: `labels` maps id → cluster label,
+    * `converged` is false when `maxIter` was hit with changes pending
+    * (labels are then an OVER-estimate of the cluster count — some
+    * components still carry >1 label, i.e. under-deduplication).
+    */
+  final case class ClusterResult(labels: DataFrame, converged: Boolean, iterations: Int)
+
   /** Connected components over near-dup pairs: every doc gets the MIN id
     * reachable through the pair graph (its cluster representative).
-    * Iterative label propagation — each round joins current labels to the
-    * edge list and takes the min over neighbours; near-dup clusters are
-    * shallow (dup chains, not social graphs), so a handful of rounds
-    * converges. Each round is one shuffle on id.
+    * Iterative label propagation with POINTER DOUBLING — each round takes
+    * the min label over graph neighbours, then shortcuts label→label-of-
+    * label, so hop distance doubles per round and a chain of length L
+    * converges in O(log L) rounds, not L. Each round is two shuffles on id.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clustersResult(pairs: DataFrame, maxIter: Int = 10): ClusterResult = {
     // undirected edge list + self-loops so singletons keep their label
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
@@ -135,10 +142,17 @@ object Dedup {
       val neighbourMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val updated = labels
+      val stepped = labels
         .join(neighbourMin, labels("id") === neighbourMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer doubling: adopt the label of my label (renamed columns —
+      // a two-sided op over shared lineage trips DetectAmbiguousSelfJoin)
+      val byId = stepped.select(col("id").as("rep_id"), col("label").as("rep_label"))
+      val updated = stepped
+        .join(byId, col("label") === col("rep_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("rep_label"), col("label"))).as("label"))
         // truncate lineage each round: iterative self-joins otherwise grow
         // the logical plan (and re-planning cost) exponentially
         .localCheckpoint(eager = true)
@@ -148,7 +162,17 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster")
+    edges.unpersist()
+    ClusterResult(labels.withColumnRenamed("label", "cluster"), converged, iter)
+  }
+
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val r = clustersResult(pairs, maxIter)
+    if (!r.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters: label propagation did NOT converge after ${r.iterations} rounds; " +
+          "components may carry multiple representatives (under-deduplication)")
+    r.labels
   }
 
   /** Corpus-level dedup: near-dup pairs (any detector) → clusters → keep

@@ -153,7 +153,10 @@ object TrePipeline {
       ParserStub.outputStruct(col("bagId"),
         element_at(split(col("judgment_doc"), "/"), -1)).as("po"))
 
-    // step 7: TRE metadata JSON + bundle (metadata + judgment doc bytes)
+    // step 7: TRE metadata JSON + bundle (metadata + judgment doc bytes).
+    // metadata.json is emitted once per bag, and only the step-5 judgment
+    // doc is bundled — a bag with k>1 data files must not get k duplicate
+    // metadata entries or bundle every data file.
     val docBytes = v.entries.filter(!_.isDir)
       .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1), e.bytes))
       .toDF("bagId", "name", "bytes")
@@ -166,15 +169,22 @@ object TrePipeline {
           lit(version).as(s"$environment-tre-version"),
           col("po.xml").as("xml"), col("po.log").as("log"),
           col("po.error_messages").as("error-messages")).as("parameters"))))
-    val bundleEntries = editorial
+    val metaEntries = editorial
       .select(col("bagId"), col("tre_metadata"))
-      .join(docBytes.filter(col("name").startsWith("data/")), Seq("bagId"))
-      .as[(String, String, String, Array[Byte])]
-      .flatMap { case (bag, meta, name, bytes) =>
-        Seq(
-          TarEntry(bag, s"$bag/0/metadata.json", meta.getBytes("UTF-8"), 0L, isDir = false),
-          TarEntry(bag, s"$bag/0/" + name.substring(name.indexOf('/') + 1), bytes, 0L, isDir = false))
+      .as[(String, String)]
+      .map { case (bag, meta) =>
+        TarEntry(bag, s"$bag/0/metadata.json", meta.getBytes("UTF-8"), 0L, isDir = false)
       }
+    val docEntries = editorial
+      .select(col("bagId"), col("judgment_doc"))
+      .join(docBytes, Seq("bagId"))
+      .filter(col("name") === col("judgment_doc"))
+      .select(col("bagId"), col("name"), col("bytes"))
+      .as[(String, String, Array[Byte])]
+      .map { case (bag, name, bytes) =>
+        TarEntry(bag, s"$bag/0/" + name.substring(name.indexOf('/') + 1), bytes, 0L, isDir = false)
+      }
+    val bundleEntries = metaEntries.unionByName(docEntries)
     val bundles = graft.core.archive.Tar
       .packageBags(bundleEntries, outDir).toDF()
 

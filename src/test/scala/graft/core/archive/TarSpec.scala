@@ -60,13 +60,45 @@ class TarSpec extends SparkSpec {
       prefixDrop = "TDR-2022-AA1/", prefixAdd = "BATCH/SERIES/").collect()
     assert(packed.length == 2)
     val bagA = packed.find(_.bagId == "bagA").get
-    assert(bagA.items.map(_.name).sorted ==
+    // flatMapSortedGroups(name) ⇒ items arrive in name order, deterministically
+    assert(bagA.items.map(_.name) ==
       Seq("BATCH/SERIES/bag-info.txt", "BATCH/SERIES/data/doc.docx"))
     assert(bagA.items.map(_.size).sum == 8)
+    // reference semantics: add prefix is prepended even when drop didn't match
+    val bagB = packed.find(_.bagId == "bagB").get
+    assert(bagB.items.map(_.name) == Seq("BATCH/SERIES/other/x.txt"))
     // re-explode what we packed: round trip
     val back = Tar.explodePath(spark, dir.toString + "/bagA.tar.gz").collect()
     assert(back.map(_.name).sorted.toSeq ==
       Seq("BATCH/SERIES/bag-info.txt", "BATCH/SERIES/data/doc.docx"))
     assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "DOCX")
+  }
+
+  test("substitutePrefix matches tar_lib replace-first-anywhere semantics") {
+    // drop matched at the start
+    assert(Tar.substitutePrefix("TDR/a.txt", "TDR/", "X/") == "X/a.txt")
+    // drop matched mid-string: first occurrence removed, add still prepended
+    assert(Tar.substitutePrefix("pre/TDR/a.txt", "TDR/", "X/") == "X/pre/a.txt")
+    // only the FIRST occurrence is removed
+    assert(Tar.substitutePrefix("TDR/TDR/a", "TDR/", "") == "TDR/a")
+    // no match: name unchanged but add prefix is still prepended
+    assert(Tar.substitutePrefix("other/x.txt", "TDR/", "X/") == "X/other/x.txt")
+    // empty drop: pure prepend
+    assert(Tar.substitutePrefix("a.txt", "", "X/") == "X/a.txt")
+  }
+
+  test("packageBags archive bytes are deterministic across runs") {
+    val dir1 = Files.createTempDirectory("tardet1")
+    val dir2 = Files.createTempDirectory("tardet2")
+    // reversed input order must not change the packed archive
+    val es = Seq(
+      TarEntry("bag", "z.txt", "Z".getBytes, 1660000000L, isDir = false),
+      TarEntry("bag", "a.txt", "A".getBytes, 1660000000L, isDir = false),
+      TarEntry("bag", "m.txt", "M".getBytes, 1660000000L, isDir = false))
+    Tar.packageBags(es.toDS(), dir1.toString).collect()
+    Tar.packageBags(es.reverse.toDS().repartition(3), dir2.toString).collect()
+    val b1 = Files.readAllBytes(dir1.resolve("bag.tar.gz"))
+    val b2 = Files.readAllBytes(dir2.resolve("bag.tar.gz"))
+    assert(java.util.Arrays.equals(b1, b2))
   }
 }

@@ -47,8 +47,17 @@ class TreEventsSpec extends SparkSpec {
     val errs = TreEvents.decode(Seq(bad).toDF("json"), "json")
       .select(explode($"event_errors")).as[String].collect().toSet
     assert(errs.contains("UUIDs: key must match <name>-UUID"))
-    assert(errs.contains("UUIDs: value must be a UUIDv4"))
+    assert(errs.contains("UUIDs: value must be a UUID"))
     assert(errs.contains("producer.type: must be judgment|standard|null"))
+  }
+
+  test("non-v4 UUIDs are schema-valid (schema.json:19 doesn't pin the version)") {
+    // a v1-style UUID (version nibble 1, variant nibble 0) — reference-valid
+    val ev = okEvent.replace("2d421b33-5cd2-45b1-a169-d0a6e743b9b4",
+      "2d421b33-5cd2-15b1-0169-d0a6e743b9b4")
+    val errs = TreEvents.decode(Seq(ev).toDF("json"), "json")
+      .select(size($"event_errors")).head().getInt(0)
+    assert(errs == 0)
   }
 
   test("createFrom appends a fresh UUID and inherits producer.type (message.py:133-164)") {

@@ -67,6 +67,36 @@ class TrePipelineSpec extends SparkSpec {
   private def get_json(json: String, path: String): String =
     Seq(json).toDF("j").select(get_json_object($"j", path)).head().getString(0)
 
+  test("bundle for a bag with k>1 data files: one metadata.json, judgment doc only") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val dir = Files.createTempDirectory("bagsmulti")
+    val out = Files.createTempDirectory("sipsmulti")
+    val doc = "JUDGMENT"; val annex = "ANNEX"; val extra = "EXTRA"
+    val o = new TarArchiveOutputStream(
+      new GzipCompressorOutputStream(Files.newOutputStream(dir.resolve("TDR-2022-MULTI.tar.gz"))))
+    Seq(
+      "./TDR-2022-MULTI/bagit.txt" -> "BagIt-Version: 0.97",
+      "./TDR-2022-MULTI/bag-info.txt" -> "Consignment-Series: S 1",
+      "./TDR-2022-MULTI/manifest-sha256.txt" ->
+        (sha(doc) + "  data/a-judgment.docx\n" + sha(annex) + "  data/b-annex.pdf\n" +
+          sha(extra) + "  data/c-extra.txt"),
+      "./TDR-2022-MULTI/data/a-judgment.docx" -> doc,
+      "./TDR-2022-MULTI/data/b-annex.pdf" -> annex,
+      "./TDR-2022-MULTI/data/c-extra.txt" -> extra
+    ).foreach { case (n, c) =>
+      val b = c.getBytes; val e = new TarArchiveEntry(n)
+      e.setSize(b.length.toLong); o.putArchiveEntry(e); o.write(b); o.closeArchiveEntry()
+    }
+    o.close()
+    val r = TrePipeline.runFull(spark, dir.toString + "/*.tar.gz", out.toString)
+    val b = r.bundles.collect().head
+    val names = b.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+      .map(_.getString(0)).sorted
+    // exactly ONE metadata.json + the judgment doc (first data file), no annexes
+    assert(names == Seq("TDR-2022-MULTI/0/a-judgment.docx", "TDR-2022-MULTI/0/metadata.json"))
+  }
+
   test("integrated pipeline: N bags in one job, per-bag verdicts + provenance events") {
     val dir = Files.createTempDirectory("bags")
     makeBags(dir)

@@ -106,6 +106,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: pointer doubling converges on chains far longer than maxIter") {
+    // one 40-hop chain: plain propagation needs 39 rounds; doubling needs ~6
+    val pairs = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("i", "j")
+    val r = Dedup.clustersResult(pairs, maxIter = 10)
+    assert(r.converged, s"did not converge in ${r.iterations} rounds")
+    val labels = r.labels.as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("clustersResult reports converged=false when maxIter is insufficient") {
+    val pairs = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("i", "j")
+    val r = Dedup.clustersResult(pairs, maxIter = 2)
+    assert(!r.converged)
+  }
+
   test("dedupeByPairs keeps one representative per cluster + all singletons") {
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
