@@ -37,6 +37,16 @@ final case class FullPipelineResult(
 
 object TrePipeline {
 
+  /** Exploded entries → (bagId, name, content) rows with the leading
+    * `<reference>/` bag-root component stripped.
+    */
+  private def filesOf(spark: SparkSession, entries: Dataset[TarEntry]): DataFrame = {
+    import spark.implicits._
+    entries.filter(!_.isDir)
+      .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1), e.bytes))
+      .toDF("bagId", "name", "content")
+  }
+
   /** Run validation over a directory of `<reference>.tar.gz` bags. */
   def run(spark: SparkSession, bagsGlob: String,
           environment: String = "dev"): PipelineResult = {
@@ -47,11 +57,41 @@ object TrePipeline {
       .map(e => e.copy(source = e.source.stripSuffix(".tar.gz")))
       .cache()
 
-    // strip the leading "<reference>/" bag-root component
-    val files = entries.filter(!_.isDir)
-      .map(e => (e.source, e.name.substring(e.name.indexOf('/') + 1), e.bytes))
-      .toDF("bagId", "name", "content")
+    val files = filesOf(spark, entries)
 
+    val (checksums, reconciliation, verdicts) = verdictsForFiles(files)
+
+    // result event with provenance chain: prior TDR event → TRE event
+    // (dual ok/error outputs, tre_vb_validate_bagit.py:124-161)
+    val prior = struct(
+      lit(TreEvents.Version).as("version"),
+      lit(0L).as("timestamp"),
+      array(map_from_arrays(array(lit("TDR-UUID")),
+        array(md5(col("bagId"))))).as("UUIDs"),
+      struct(lit("TDR").as("name"), lit("export").as("process"),
+        lit("judgment").as("type"), lit(environment).as("environment"),
+        lit("bagit-available").as("event-name")).as("producer"),
+      map_from_arrays(array(lit("bagit-available")), array(lit("{}")))
+        .as("parameters"))
+    val eventName = when(col("ok"), lit("bagit-validated"))
+      .otherwise(lit("bagit-validation-error"))
+    val events = verdicts.withColumn("event",
+      TreEvents.createFromCol(prior, "TRE", "tre-validate-bagit", environment,
+        eventName,
+        map_from_arrays(
+          array(eventName),
+          array(to_json(struct(col("bagId").as("reference"),
+            col("errors").as("errors")))))))
+      .withColumn("event_name", eventName)
+
+    PipelineResult(entries, checksums, reconciliation, verdicts, events)
+  }
+
+  /** Checksum verification (J3) + count reconciliation (A1) + per-bag
+    * verdict for a batch of exploded bag files. Factored out so the retry
+    * loop can re-validate a failing subset without re-exploding archives.
+    */
+  private def verdictsForFiles(files: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // S1 from exploded bytes: data-file manifest per bag
     val manifestLines = files
       .filter(col("name") === "manifest-sha256.txt")
@@ -94,30 +134,7 @@ object TrePipeline {
       .select(col("bagId"), col("ok"), col("errors"),
         col("n_root"), col("n_data"), col("n_extracted"))
 
-    // result event with provenance chain: prior TDR event → TRE event
-    // (dual ok/error outputs, tre_vb_validate_bagit.py:124-161)
-    val prior = struct(
-      lit(TreEvents.Version).as("version"),
-      lit(0L).as("timestamp"),
-      array(map_from_arrays(array(lit("TDR-UUID")),
-        array(md5(col("bagId"))))).as("UUIDs"),
-      struct(lit("TDR").as("name"), lit("export").as("process"),
-        lit("judgment").as("type"), lit(environment).as("environment"),
-        lit("bagit-available").as("event-name")).as("producer"),
-      map_from_arrays(array(lit("bagit-available")), array(lit("{}")))
-        .as("parameters"))
-    val eventName = when(col("ok"), lit("bagit-validated"))
-      .otherwise(lit("bagit-validation-error"))
-    val events = verdicts.withColumn("event",
-      TreEvents.createFromCol(prior, "TRE", "tre-validate-bagit", environment,
-        eventName,
-        map_from_arrays(
-          array(eventName),
-          array(to_json(struct(col("bagId").as("reference"),
-            col("errors").as("errors")))))))
-      .withColumn("event_name", eventName)
-
-    PipelineResult(entries, checksums, reconciliation, verdicts, events)
+    (checksums, reconciliation, verdicts)
   }
 
   /** The complete §3.1 main path in one job: validate → prepare parser
@@ -190,5 +207,89 @@ object TrePipeline {
 
     FullPipelineResult(v, parserInputs, parserOutputs.withColumnRenamed("po", "parser_outputs"),
       editorial, bundles)
+  }
+
+  /** Initial editorial output message (outputMessage shape,
+    * tre_editorial_integration.py:311-324) for the attempt-0 state seed.
+    */
+  private def initialMessage(bag: String, consignmentType: String, retries: Int): String =
+    s"""{"editorial-output":{"consignment-reference":"$bag",""" +
+      s""""s3-folder-url":"file://$bag.tar.gz","s3-sha256-url":"file://$bag.tar.gz.sha256",""" +
+      s""""consignment-type":"$consignmentType","number-of-retries":$retries},""" +
+      s""""tar-gz":{"bucket":"local","key":"$bag.tar.gz","items":"[]"}}"""
+
+  /** §3.1 with the retry protocol wired end-to-end (RetryHandler
+    * tre_editorial_integration.py:432-542 + the Step Function's retry-limit
+    * hard fail, driven the way test_editorial_retry.py:33-60 and
+    * test_tdr_bagit_retry.py:62-77 drive the reference):
+    *
+    *  - attempt 0 validates every bag in one job and seeds the
+    *    per-consignment `output-message.json` under
+    *    `<state>/<type>/<ref>/0/0/` — retries=0 when valid, bumped to 1 on
+    *    failure (tre_bagit_checksum_validation.py:159-163);
+    *  - each later attempt k re-validates ONLY the still-failing bags
+    *    (one distributed job per round, not per bag) and performs the
+    *    RetryHandler storage round trip per bag on executors: find latest
+    *    retry folder → require incoming == last+1 → reload saved message →
+    *    bump → save under folder k;
+    *  - incoming ≥ maxRetries hard-fails the consignment (route `fail`).
+    *
+    * Rounds are a driver loop bounded by maxRetries; every round's work is
+    * distributed (the driver only unions DataFrames and checks emptiness).
+    * Returns the attempt history:
+    * (bagId, attempt, incoming, route, msg_path, message).
+    */
+  def runWithRetries(spark: SparkSession, bagsGlob: String, stateDir: String,
+                     environment: String = "dev", maxRetries: Int = 3,
+                     consignmentType: String = "judgment"): DataFrame = {
+    import spark.implicits._
+    import graft.ops.editorial.RetryLoop
+
+    val v = run(spark, bagsGlob, environment)
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val state = stateDir
+    val ctype = consignmentType
+
+    // attempt 0: validate everything, seed state (one task per bag)
+    val attempt0 = v.verdicts.select(col("bagId"), col("ok"))
+      .as[(String, Boolean)]
+      .map { case (bag, ok) =>
+        val retries = if (ok) 0 else 1   // bumped on error, ready for resubmit
+        val msg = initialMessage(bag, ctype, retries)
+        val path = RetryLoop.seedState(hadoopConf.value, state, ctype, bag, msg)
+        (bag, 0, 0, if (ok) "ok" else "retry", path, msg)
+      }
+      .toDF("bagId", "attempt", "incoming", "route", "msg_path", "message")
+      .cache()
+
+    var history = attempt0
+    var failing = attempt0.filter(col("route") === "retry").select("bagId")
+    var attempt = 1
+    while (attempt <= maxRetries && !failing.isEmpty) {
+      // honest re-validation of the failing subset from the cached entries
+      val files = filesOf(spark, v.entries)
+        .join(broadcast(failing), Seq("bagId"))
+      val (_, _, verdicts) = verdictsForFiles(files)
+      val a = attempt
+      val rec = verdicts.select(col("bagId"), col("ok"))
+        .as[(String, Boolean)]
+        .map { case (bag, ok) =>
+          if (ok) (bag, a, a, "ok", "", "")
+          else if (a >= maxRetries) (bag, a, a, "fail", "", "")
+          else RetryLoop.handleRetry(hadoopConf.value, state, ctype, bag, a) match {
+            case Right(msg) =>
+              (bag, a, a, "retry",
+                RetryLoop.messagePath(state, ctype, bag, 0, a).toString, msg)
+            case Left(err) => (bag, a, a, s"error: $err", "", "")
+          }
+        }
+        .toDF("bagId", "attempt", "incoming", "route", "msg_path", "message")
+        .cache()
+      history = history.unionByName(rec)
+      failing = rec.filter(col("route") === "retry").select("bagId")
+      attempt += 1
+    }
+    history
   }
 }

@@ -109,6 +109,50 @@ object EventQueries {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin),
 
+    // ── editorial retry protocol (RetryHandler,
+    //    tre_editorial_integration.py:432-542): per-consignment sequential
+    //    state machine — incoming must be last-accepted+1, limit 3 hard-
+    //    fails. Spark side is a distributed per-key sorted scan
+    //    (flatMapSortedGroups); the oracle replays the same state machine
+    //    with a recursive CTE. ──
+    "ev_editorial_retry" -> QueryDef(
+      (spark, dir) => {
+        val base = Tables.events(spark, dir)
+          .filter(col("event_id") % 31 === 0)
+          .select(concat(lit("R-"), pmod(col("user_id"), lit(40))).as("reference"),
+            col("event_id"))
+          .withColumn("seq", row_number()
+            .over(Window.partitionBy(col("reference")).orderBy(col("event_id")))
+            .cast("int"))
+          .withColumn("incoming",
+            (col("seq") + when(col("event_id") % 5 === 0, 1).otherwise(0)).cast("int"))
+        graft.ops.editorial.RetryLoop
+          .retryStateMachine(base, "reference", "seq", "incoming", maxRetries = 3)
+          .orderBy(col("reference"), col("seq"))
+      },
+      """WITH RECURSIVE base AS (
+        |  SELECT 'R-' || (user_id % 40) AS reference, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id % 40 ORDER BY event_id) AS INT) AS seq
+        |  FROM events WHERE event_id % 31 = 0),
+        |b2 AS (
+        |  SELECT reference, seq,
+        |    CAST(seq + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS incoming
+        |  FROM base),
+        |step AS (
+        |  SELECT reference, 0 AS seq, 0 AS incoming, 0 AS expected,
+        |    CAST(NULL AS VARCHAR) AS route, 0 AS last
+        |  FROM (SELECT DISTINCT reference FROM b2)
+        |  UNION ALL
+        |  SELECT b.reference, b.seq, b.incoming, s.last + 1 AS expected,
+        |    CASE WHEN b.incoming >= 3 THEN 'fail'
+        |         WHEN b.incoming <> s.last + 1 THEN 'error'
+        |         ELSE 'retry' END AS route,
+        |    CASE WHEN b.incoming < 3 AND b.incoming = s.last + 1
+        |         THEN b.incoming ELSE s.last END AS last
+        |  FROM step s JOIN b2 b ON b.reference = s.reference AND b.seq = s.seq + 1)
+        |SELECT reference, seq, incoming, expected, route
+        |FROM step WHERE seq >= 1 ORDER BY reference, seq""".stripMargin),
+
     // ── retry routing: business retry limit (reference: fail at 3,
     //    tre_bagit_checksum_validation.py:159-163) ──
     "ev_retry_route" -> QueryDef(
