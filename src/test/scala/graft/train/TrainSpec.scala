@@ -161,6 +161,21 @@ class SimilaritySpec extends SparkSpec {
     assert(n.toSeq == d.toSeq)
   }
 
+  test("LSH near-dup recall vs the exact all-pairs oracle (deterministic)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(e, 0.45)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(e, 0.45, tables = 24, planes = 3, dims = 64)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // md5-parity planes are data-independent ⇒ recall is a fixed number
+    // for this corpus, not a flaky sample; every LSH pair is a true pair
+    // (exact rescore), so precision is 1 by construction
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall")
+    assert((lsh -- exact).isEmpty)
+  }
+
   test("multi-table lshTopK recall@5 vs brute force ≥ 0.5 (OR-amplified ANN)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Similarity.topK(e.filter($"vec_id" % 50 === 0), e, 5)
