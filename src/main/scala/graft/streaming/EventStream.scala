@@ -24,19 +24,40 @@ import org.apache.spark.sql.Row
 object EventStream {
 
   /** Read a file-drop queue of raw JSON event lines as a stream. */
-  def readRaw(spark: SparkSession, dir: String): DataFrame =
+  def readRaw(spark: SparkSession, dir: String,
+              maxFilesPerTrigger: Int = 10): DataFrame =
     spark.readStream
-      .option("maxFilesPerTrigger", 10)   // ≤10 records/batch, like SQS→Lambda
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // ≤10 records/batch, like SQS→Lambda
       .text(dir)
       .withColumnRenamed("value", "json")
 
   /** Decode + validate + dedup: returns the decoded frame with
     * `event`, `event_errors`, `latest_uuid`, `ok` columns.
+    *
+    * Pass `dedupWatermark` (e.g. "1 hour") on a long-running stream:
+    * dedup state is then dropped once the event-time watermark passes
+    * (`dropDuplicatesWithinWatermark`), instead of growing one entry per
+    * UUID forever. `None` keeps exact all-history dedup (batch jobs,
+    * bounded replays). Event time = the envelope's epoch-nanos timestamp.
+    * Structurally invalid events carry no trustworthy timestamp or UUID,
+    * so they bypass the watermark dedup and flow straight to the DLQ
+    * split (the reference DLQs every invalid message, never dedups them).
     */
-  def decoded(raw: DataFrame): DataFrame =
-    TreEvents.decode(raw, "json")
+  def decoded(raw: DataFrame, dedupWatermark: Option[String] = None): DataFrame = {
+    val base = TreEvents.decode(raw, "json")
       .withColumn("ok", size(col("event_errors")) === 0)
-      .dropDuplicates("latest_uuid")
+    dedupWatermark match {
+      case None => base.dropDuplicates("latest_uuid")
+      case Some(delay) =>
+        val withTime = base.withColumn("event_time", coalesce(
+          timestamp_micros((col("event.timestamp") / 1000L).cast("long")),
+          timestamp_micros(lit(0L))))
+        withTime.filter(col("ok"))
+          .withWatermark("event_time", delay)
+          .dropDuplicatesWithinWatermark("latest_uuid")
+          .unionByName(withTime.filter(!col("ok")))
+    }
+  }
 
   /** Retry routing on the event's `number-of-retries` parameter. */
   def withRetryRoute(df: DataFrame, maxRetries: Int = 3): DataFrame = {
@@ -62,9 +83,9 @@ object EventStream {
     * (tre_editorial_integration.py:472-542); this is the streaming-native
     * alternative when the queue replays faster than storage round-trips.
     */
-  def retryTracker(decodedStream: DataFrame, maxRetries: Int = 3): DataFrame = {
+  def retryTracker(decodedStream: DataFrame, maxRetries: Int = 3,
+                   stateTimeoutMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    import org.apache.spark.sql.{Encoders, Row}
     val spark = decodedStream.sparkSession
     import spark.implicits._
     val keyed = decodedStream
@@ -74,14 +95,29 @@ object EventStream {
           "$.reference").as("reference"),
         col("latest_uuid"))
       .as[(String, String)]
+    // With a processing-time timeout, per-consignment state expires after
+    // `stateTimeoutMs` without new attempts (emitting a final `expired`
+    // row) instead of accumulating forever; None keeps the unbounded
+    // behavior for bounded replays.
+    val timeoutConf = stateTimeoutMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
     keyed
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (ref: String, batch: Iterator[(String, String)],
          state: org.apache.spark.sql.streaming.GroupState[Int]) => {
-          val attempts = state.getOption.getOrElse(0) + batch.size
-          state.update(attempts)
-          (ref, attempts, if (attempts >= maxRetries) "fail" else "retry")
+          if (state.hasTimedOut) {
+            val attempts = state.getOption.getOrElse(0)
+            state.remove()
+            (ref, attempts, "expired")
+          } else {
+            val attempts = state.getOption.getOrElse(0) + batch.size
+            state.update(attempts)
+            stateTimeoutMs.foreach(state.setTimeoutDuration)
+            (ref, attempts, if (attempts >= maxRetries) "fail" else "retry")
+          }
         })
       .toDF("reference", "attempts", "decision")
   }

@@ -8,13 +8,14 @@ class EventStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private def event(uuid: String, name: String = "bagit-available",
-                    retries: Int = 0, valid: Boolean = true): String = {
+                    retries: Int = 0, valid: Boolean = true,
+                    ref: String = "TDR-2022-AA1"): String = {
     val ts = if (valid) "1660000000000000000" else "null"
     s"""{"version":"1.0.0","timestamp":$ts,
        |"UUIDs":[{"TDR-UUID":"$uuid"}],
        |"producer":{"name":"TDR","process":"p","type":"judgment",
        |"environment":"dev","event-name":"$name"},
-       |"parameters":{"$name":{"reference":"TDR-2022-AA1",
+       |"parameters":{"$name":{"reference":"$ref",
        |"number-of-retries":$retries}}}""".stripMargin.replaceAll("\n", "")
   }
 
@@ -31,17 +32,21 @@ class EventStreamSpec extends SparkSpec {
       event(u3, valid = false)))                  // invalid → dlq
 
     var okRows: Seq[(String, String)] = Nil
-    var dlqCount = -1L
+    var dlqCount = 0L
+    // watermarked dedup: state is bounded (dropDuplicatesWithinWatermark),
+    // duplicates inside the watermark still collapse to one row; results
+    // accumulate across batches (the watermark commit adds an empty one)
     val q = EventStream.writer(
-      EventStream.decoded(EventStream.readRaw(spark, dir.toString)),
+      EventStream.decoded(EventStream.readRaw(spark, dir.toString),
+        dedupWatermark = Some("1 hour")),
       (ok, dlq, _) => {
-        okRows = ok.select($"latest_uuid", $"route").as[(String, String)]
-          .collect().toSeq.sortBy(_._1)
-        dlqCount = dlq.count()
+        okRows = okRows ++ ok.select($"latest_uuid", $"route").as[(String, String)]
+          .collect().toSeq
+        dlqCount += dlq.count()
       }).start()
     q.awaitTermination(60000)
 
-    assert(okRows == Seq(u2 -> "fail", u1 -> "ok").sortBy(_._1))
+    assert(okRows.sortBy(_._1) == Seq(u2 -> "fail", u1 -> "ok").sortBy(_._1))
     assert(dlqCount == 1)
   }
 
@@ -72,6 +77,30 @@ class EventStreamSpec extends SparkSpec {
       "select attempts, decision from retries order by attempts desc limit 1").head()
     assert(last.getInt(0) == 3)
     assert(last.getString(1) == "fail")
+  }
+
+  test("retryTracker state expires via processing-time timeout (bounded state)") {
+    val dir = Files.createTempDirectory("retrytimeout")
+    // ref A appears only in the first micro-batch; refs B then keep later
+    // batches alive so A's 1 ms timeout fires and its state is removed
+    Files.write(dir.resolve("b1.jsonl"), java.util.Arrays.asList(event(u1, ref = "TDR-A")))
+    Files.write(dir.resolve("b2.jsonl"), java.util.Arrays.asList(event(u2, ref = "TDR-B")))
+    Files.write(dir.resolve("b3.jsonl"), java.util.Arrays.asList(event(u3, ref = "TDR-B")))
+    val tracked = EventStream.retryTracker(
+      EventStream.decoded(EventStream.readRaw(spark, dir.toString, maxFilesPerTrigger = 1)),
+      maxRetries = 3, stateTimeoutMs = Some(1L))
+    val q = tracked.writeStream.outputMode("update")
+      .format("memory").queryName("retries_timeout")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "select reference, attempts, decision from retries_timeout").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // A was tracked, then expired with its last-known attempt count
+    assert(rows.contains(("TDR-A", 1, "retry")))
+    assert(rows.contains(("TDR-A", 1, "expired")))
+    // B's state survived (data kept arriving within the timeout)
+    assert(rows.exists(r => r._1 == "TDR-B" && r._3 == "retry"))
   }
 
   test("session_window aggregation runs under streaming") {
