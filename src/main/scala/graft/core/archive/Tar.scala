@@ -21,10 +21,11 @@ final case class PackedArchive(bagId: String, path: String, items: Seq[TarItem])
 /** S7 (tar explode) + K2/K3 (tar package) — SURVEY §2.1/§2.2.
   *
   * The reference reads whole archives into RAM (tar_lib.py:45,87). Here
-  * extraction is a streaming `flatMap` over `binaryFile` rows and packing
-  * is `groupByKey(bagId).mapGroups` writing straight to a Hadoop output
-  * stream, so per-bag memory is bounded by the largest single entry, not
-  * the archive (SURVEY §7.4 "100 TB scale").
+  * extraction opens an `FSDataInputStream` per archive path and decodes
+  * entry-by-entry, and packing is a sorted `groupByKey(bagId)` writing
+  * straight to a Hadoop output stream — per-task memory is bounded by the
+  * largest single ENTRY, not the archive, and there is no `binaryFile`
+  * 2 GB whole-archive-row cap (SURVEY §7.4 "100 TB scale").
   */
 object Tar {
 
@@ -35,27 +36,38 @@ object Tar {
     else new TarArchiveInputStream(buffered)
   }
 
-  /** Iterate entries of one in-memory archive. */
-  def entries(archiveName: String, bytes: Array[Byte]): Iterator[TarEntry] = {
-    val tin = open(archiveName, new ByteArrayInputStream(bytes))
-    Iterator.continually(tin.getNextEntry).takeWhile(_ != null).map { e =>
-      val name = e.getName.stripPrefix("./")
-      val content =
-        if (e.isDirectory) Array.emptyByteArray
-        else {
-          val buf = new java.io.ByteArrayOutputStream(math.max(64, e.getSize.toInt))
-          val chunk = new Array[Byte](64 * 1024)
-          var n = tin.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = tin.read(chunk) }
-          buf.toByteArray
-        }
-      TarEntry(archiveName, name, content, e.getModTime.getTime / 1000L, e.isDirectory)
-    }
+  /** Iterate entries of one archive stream, buffering one entry at a time;
+    * the stream (and `in` under it) is closed when the last entry is
+    * consumed.
+    */
+  def entriesFromStream(archiveName: String, in: InputStream): Iterator[TarEntry] = {
+    val tin = open(archiveName, in)
+    Iterator.continually(tin.getNextEntry)
+      .takeWhile { e => if (e == null) tin.close(); e != null }
+      .map { e =>
+        val name = e.getName.stripPrefix("./")
+        val content =
+          if (e.isDirectory) Array.emptyByteArray
+          else {
+            val buf = new java.io.ByteArrayOutputStream(math.max(64, e.getSize.toInt))
+            val chunk = new Array[Byte](64 * 1024)
+            var n = tin.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = tin.read(chunk) }
+            buf.toByteArray
+          }
+        TarEntry(archiveName, name, content, e.getModTime.getTime / 1000L, e.isDirectory)
+      }
   }
 
+  /** Iterate entries of one in-memory archive (small side archives; the
+    * scan path uses `entriesFromStream`).
+    */
+  def entries(archiveName: String, bytes: Array[Byte]): Iterator[TarEntry] =
+    entriesFromStream(archiveName, new ByteArrayInputStream(bytes))
+
   /** Explode archives read via `spark.read.format("binaryFile")` into one
-    * row per entry. Partitioned by input file ⇒ each archive streams on one
-    * executor; many archives extract in parallel.
+    * row per entry (whole-archive rows — subject to the 2 GB row cap; kept
+    * for frames already holding archive bytes).
     */
   def explode(binaryFiles: DataFrame): Dataset[TarEntry] = {
     val spark = binaryFiles.sparkSession
@@ -68,9 +80,30 @@ object Tar {
       }
   }
 
-  /** Read + explode in one call. */
-  def explodePath(spark: SparkSession, glob: String): Dataset[TarEntry] =
-    explode(spark.read.format("binaryFile").load(glob))
+  /** Streaming scan: list archive paths under `glob` (driver-side catalog
+    * listing, one status per archive), distribute the paths, and have each
+    * task open its archive's `FSDataInputStream` directly — entries decode
+    * one at a time, so archives of ANY size scan in bounded memory. One
+    * archive per task; many archives extract in parallel.
+    */
+  def explodePath(spark: SparkSession, glob: String): Dataset[TarEntry] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).toSeq
+    val parallelism = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths)
+      .repartition(parallelism)
+      .flatMap { path =>
+        val hp = new Path(path)
+        val in = hp.getFileSystem(conf.value).open(hp)
+        entriesFromStream(hp.getName, in)
+      }
+  }
 
   /** K3 prefix substitution, reference semantics (tar_lib.py:159-160
     * `s3_object.replace(drop, '', 1)` then f'{add}{...}'): remove the FIRST

@@ -74,6 +74,29 @@ class TarSpec extends SparkSpec {
     assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "DOCX")
   }
 
+  test("explodePath (FSDataInputStream scan) matches the binaryFile explode") {
+    val dir = Files.createTempDirectory("tarstream")
+    makeTarGz(dir, "A.tar.gz", Seq("./A/x.txt" -> "XX", "./A/data/y.txt" -> "YY"))
+    makeTarGz(dir, "B.tar.gz", Seq("./B/z.txt" -> "ZZ"))
+    def norm(es: Array[TarEntry]) =
+      es.map(e => (e.source, e.name, new String(e.bytes, "UTF-8"), e.mtime)).sorted.toSeq
+    val streamed = norm(Tar.explodePath(spark, dir.toString + "/*.tar.gz").collect())
+    val viaBytes = norm(Tar.explode(
+      spark.read.format("binaryFile").load(dir.toString + "/*.tar.gz")).collect())
+    assert(streamed == viaBytes)
+    assert(streamed.size == 3)
+  }
+
+  test("streaming scan decodes a many-entry archive one entry at a time") {
+    val dir = Files.createTempDirectory("tarmany")
+    val many = (0 until 2000).map(i => s"./big/f$i.txt" -> s"payload-$i")
+    makeTarGz(dir, "big.tar.gz", many)
+    val got = Tar.explodePath(spark, dir.toString + "/*.tar.gz")
+    assert(got.count() == 2000)
+    val one = got.filter((e: TarEntry) => e.name == "big/f1234.txt").collect()
+    assert(new String(one.head.bytes, "UTF-8") == "payload-1234")
+  }
+
   test("substitutePrefix matches tar_lib replace-first-anywhere semantics") {
     // drop matched at the start
     assert(Tar.substitutePrefix("TDR/a.txt", "TDR/", "X/") == "X/a.txt")
