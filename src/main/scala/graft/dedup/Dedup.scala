@@ -77,6 +77,31 @@ object Dedup {
       size(sh).as("n_sh"))
   }
 
+  /** Derive (bands, rows) from the LSH S-curve for a target Jaccard
+    * threshold: a pair at similarity s becomes a candidate with probability
+    * 1-(1-s^r)^b (k = b·r hashes), and the curve's steep crossing sits at
+    * ≈ (1/b)^(1/r). Among the divisor pairs of k, pick the one whose
+    * crossing is the HIGHEST value still ≤ the target — highest recall at
+    * the target with the fewest sub-threshold false candidates. Falls back
+    * to max bands (best recall) when no crossing clears a very low target.
+    */
+  def lshParams(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0, "k must be positive")
+    val options = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    val viable = options.filter { case (b, r) => math.pow(1.0 / b, 1.0 / r) <= threshold }
+    if (viable.nonEmpty) viable.maxBy { case (b, r) => math.pow(1.0 / b, 1.0 / r) }
+    else options.maxBy(_._1)
+  }
+
+  /** `minhashLsh` with (bands, rows) chosen from the target threshold via
+    * `lshParams` instead of hand-tuning.
+    */
+  def minhashLshForThreshold(docs: DataFrame, n: Int, k: Int, threshold: Double,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (bands, _) = lshParams(k, threshold)
+    minhashLsh(docs, n, k, bands, threshold, idCol, textCol)
+  }
+
   /** LSH banding over the MinHash signature: band key = md5 of the
     * concatenated rows of the band. Docs sharing any band key become
     * candidates; ONLY candidates are re-scored with exact Jaccard ≥

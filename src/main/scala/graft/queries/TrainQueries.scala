@@ -41,6 +41,31 @@ object TrainQueries {
        |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
        |WHERE round(nc / (si.n + sj.n - nc), 4) >= $t""".stripMargin
 
+  /** MinHash-LSH oracle for a (bands, rows) parameterization over the
+    * fixed k=12 signature (mirrors Dedup.minhashLsh with
+    * bands·rows = 12).
+    */
+  private def minhashLshSql(bands: Int, rows: Int, t: String): String =
+    s"""WITH tt AS ($shinglesSql),
+       |sigs AS (
+       |  SELECT id, list_transform(generate_series(0, 11),
+       |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
+       |  FROM tt),
+       |bands AS (
+       |  SELECT id,
+       |    unnest(generate_series(0, ${bands - 1})) AS band,
+       |    unnest(list_transform(generate_series(0, ${bands - 1}),
+       |      b -> md5(array_to_string(sig[b*$rows+1:b*$rows+$rows], '|')))) AS key
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS i, b.id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |scored AS (${jaccardSql(t)})
+       |SELECT cand.i, cand.j, scored.jaccard
+       |FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
+       |ORDER BY 1, 2""".stripMargin
+
   private val langScoreSql = {
     def cnt(ws: Seq[String]) =
       s"len(list_filter($toksSql, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x)))"
@@ -78,29 +103,19 @@ object TrainQueries {
         .orderBy(col("i"), col("j")),
       jaccardSql("0.10") + "\nORDER BY i, j"),
 
-    // ── MinHash + LSH banding (k=12 hashes, 4 bands × 3 rows) ──
+    // ── MinHash + LSH banding, (bands, rows) derived from the target
+    //    threshold via the S-curve (Dedup.lshParams): t=0.10 → 12×1,
+    //    t=0.5 → 6×2 — two parameterizations under the gate, same k=12
+    //    signature. ──
     "dedup_minhash_lsh" -> QueryDef(
-      (spark, dir) => Dedup.minhashLsh(Tables.documents(spark, dir), 3, 12, 4, 0.10)
+      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.10)
         .orderBy(col("i"), col("j")),
-      s"""WITH tt AS ($shinglesSql),
-         |sigs AS (
-         |  SELECT id, list_transform(generate_series(0, 11),
-         |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
-         |  FROM tt),
-         |bands AS (
-         |  SELECT id,
-         |    unnest(generate_series(0, 3)) AS band,
-         |    unnest(list_transform(generate_series(0, 3),
-         |      b -> md5(array_to_string(sig[b*3+1:b*3+3], '|')))) AS key
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS i, b.id AS j
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |scored AS (${jaccardSql("0.10")})
-         |SELECT cand.i, cand.j, scored.jaccard
-         |FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
-         |ORDER BY 1, 2""".stripMargin),
+      minhashLshSql(bands = 12, rows = 1, t = "0.10")),
+
+    "dedup_minhash_lsh_t05" -> QueryDef(
+      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.5)
+        .orderBy(col("i"), col("j")),
+      minhashLshSql(bands = 6, rows = 2, t = "0.5")),
 
     // ── end-to-end corpus dedup: pairs → connected components →
     //    representative survives (oracle: recursive-CTE transitive closure) ──

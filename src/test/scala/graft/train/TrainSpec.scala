@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("lshParams picks the S-curve crossing just below the target threshold") {
+    // crossing ≈ (1/b)^(1/r) for k = b·r = 12:
+    //   b=12,r=1 → 0.083   b=6,r=2 → 0.408   b=4,r=3 → 0.630
+    //   b=3,r=4 → 0.760    b=2,r=6 → 0.891   b=1,r=12 → 1.0
+    val table = Seq(
+      0.10 -> (12, 1), 0.45 -> (6, 2), 0.50 -> (6, 2),
+      0.70 -> (4, 3), 0.80 -> (3, 4), 0.95 -> (2, 6))
+    table.foreach { case (t, want) =>
+      assert(Dedup.lshParams(12, t) == want, s"threshold $t")
+    }
+    // nothing crosses below a tiny target → fall back to max bands
+    assert(Dedup.lshParams(12, 0.01) == (12, 1))
+  }
+
+  test("threshold-derived LSH keeps full recall on ≥-threshold pairs (both parameterizations)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // deterministic md5 minhash family ⇒ fixed recall per corpus, no flake
+    Seq(0.10, 0.5).foreach { t =>
+      val exact = Dedup.jaccardPairs(docs, 3, math.max(t, 0.5))
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minhashLshForThreshold(docs, 3, 12, t)
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty)
+      assert((exact -- lsh).isEmpty, s"t=$t missed: ${exact -- lsh}")
+    }
+  }
+
   test("clusters: label propagation finds transitive dup groups") {
     // chain 1-2-3 plus pair 10-11: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
