@@ -29,4 +29,13 @@ package object functions {
   /** Per-table LSH bucket signatures (precomputed hyperplane sign matrix). */
   def lsh_sig(vec: Column, tables: Int, planes: Int, dims: Int): Column =
     graftbridge.column(LshSigExpr(graftbridge.expression(vec), tables, planes, dims))
+
+  /** Bounded-heap top-k per group: array<struct<nid,sim,rank>> by
+    * (score desc, id asc) with map-side partial aggregation — ≤k rows per
+    * group per partition reach the shuffle (vs a window's full sort).
+    */
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    graftbridge.column(TopKByDescExpr(
+      graftbridge.expression(score), graftbridge.expression(id), k)
+      .toAggregateExpression())
 }

@@ -148,9 +148,14 @@ object Similarity {
       .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
       .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
       .filter(col("sim") >= threshold)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+    // top-k pushdown: the bounded-heap aggregate partial-aggregates map-
+    // side, so ≤k candidates per query per partition reach the shuffle —
+    // a window row_number would sort EVERY rescored bucket pair per query
+    // (same output, pinned by FunctionsSpec parity)
+    pairs.groupBy(col("qid"))
+      .agg(graft.functions.topk_by(col("sim"), col("nid"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"), col("t.sim").as("sim"),
+        col("t.rank").as("rank"))
   }
 }

@@ -41,4 +41,33 @@ class FunctionsSpec extends SparkSpec {
       .select(replace_first($"s", $"f", $"r")).as[String].collect()
     assert(got.head == "a-b.c")
   }
+
+  test("topk_by matches the window row_number rendering (declarative parity)") {
+    import org.apache.spark.sql.expressions.Window
+    // many groups, duplicate scores to exercise the nid tie-break, and
+    // more rows than k so eviction actually happens
+    val rows = for { q <- 0L until 20L; n <- 0L until 37L if n != q }
+      yield (q, n, math.round(math.sin(q * 37 + n) * 1e6) / 1e6)
+    val df = rows.toDF("qid", "nid", "sim").repartition(8)
+    val viaAgg = df.groupBy($"qid")
+      .agg(topk_by($"sim", $"nid", 5).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.nid", $"t.sim", $"t.rank")
+      .orderBy($"qid", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"qid", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("topk_by plan shows map-side partial aggregation (pushdown, not a window sort)") {
+    val df = (0L until 100L).map(i => (i % 4, i, i * 0.5)).toDF("qid", "nid", "sim")
+      .repartition(4)
+    val agg = df.groupBy($"qid").agg(topk_by($"sim", $"nid", 3).as("top"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"), s"no partial aggregation in:\n$plan")
+  }
 }
