@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
 final case class TarEntry(source: String, name: String, bytes: Array[Byte],
                           mtime: Long, isDir: Boolean)
 
-/** Items recorded for a packed archive (tar_lib.py:96-104). */
+/** Items recorded for a packed archive (tar_lib.py:96-104); `sha256` is
+  * the digest of the final .tar.gz bytes (the reference publishes it as
+  * the `<archive>.sha256` object next to the archive).
+  */
 final case class TarItem(name: String, size: Long)
-final case class PackedArchive(bagId: String, path: String, items: Seq[TarItem])
+final case class PackedArchive(bagId: String, path: String, items: Seq[TarItem],
+                               sha256: String)
 
 /** S7 (tar explode) + K2/K3 (tar package) — SURVEY §2.1/§2.2.
   *
@@ -138,8 +142,12 @@ object Tar {
       .flatMapSortedGroups(col(orderCol)) { (bagId, it) =>
         val outPath = new Path(outDir, s"$bagId.tar.gz")
         val fs = outPath.getFileSystem(hadoopConf.value)
+        // digest the FINAL compressed bytes while they stream out — the
+        // reference publishes sha256(<archive>.tar.gz) as a sidecar object
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         val out = new TarArchiveOutputStream(
-          new GzipCompressorOutputStream(new BufferedOutputStream(fs.create(outPath, true))))
+          new GzipCompressorOutputStream(new java.security.DigestOutputStream(
+            new BufferedOutputStream(fs.create(outPath, true)), md)))
         out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
         val items = Seq.newBuilder[TarItem]
         try {
@@ -154,7 +162,13 @@ object Tar {
             items += TarItem(name, e.bytes.length.toLong)
           }
         } finally out.close()
-        Iterator.single(PackedArchive(bagId, outPath.toString, items.result()))
+        val sha = md.digest().map("%02x".format(_)).mkString
+        // `<archive>.tar.gz.sha256` sidecar, "<hex>  <name>" like the
+        // manifest rows checksum validation consumes
+        val shaPath = new Path(outDir, s"$bagId.tar.gz.sha256")
+        val sout = fs.create(shaPath, true)
+        try sout.write(s"$sha  $bagId.tar.gz\n".getBytes("UTF-8")) finally sout.close()
+        Iterator.single(PackedArchive(bagId, outPath.toString, items.result(), sha))
       }
   }
 }

@@ -21,7 +21,10 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // file-count guard: metadata-only, unlike df.rdd.getNumPartitions which
+    // forces plan→RDD conversion outside Catalyst and defeats AQE reuse
+    val nFiles = df.inputFiles.length
+    if (nFiles == 0 || nFiles >= target) df else df.repartition(target)
   }
 
   /** Exact dedup on content hash: one row per distinct content with the

@@ -162,6 +162,16 @@ object Editorial {
       coalesce(transform(col("parser_outputs.images"), i => concat(prefix, i)),
         array().cast(ArrayType(StringType)))))
 
+  /** K8 presigned-URL seam (object_lib.py:244-258): generating a real
+    * time-limited URL is one cloud-SDK call per object — plug a presigner
+    * in here. The default renders the storage URL itself (scheme'd paths
+    * pass through, bare paths get file://), which is shape-compatible with
+    * everything downstream.
+    */
+  def presignUrl(path: Column): Column =
+    when(path.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), path)
+      .otherwise(concat(lit("file://"), path))
+
   /** Editorial output message (tre_editorial_integration.py:311-324). */
   def outputMessage(tarGzUrl: Column, tarGzSha256Url: Column, bucket: Column,
                     tarGzKey: Column, itemsJson: Column, retries: Column): Column =

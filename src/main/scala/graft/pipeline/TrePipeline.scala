@@ -27,13 +27,17 @@ final case class PipelineResult(
     verdicts: DataFrame,
     events: DataFrame)
 
-/** Full main-path result (§3.1 steps 3–7). */
+/** Full main-path result (§3.1 steps 3–7). `outputMessages` carries the
+  * editorial output message per bag with the archive + sha256-sidecar URLs
+  * threaded through the K8 presign seam.
+  */
 final case class FullPipelineResult(
     validation: PipelineResult,
     parserInputs: DataFrame,
     parserOutputs: DataFrame,
     editorial: DataFrame,
-    bundles: DataFrame)
+    bundles: DataFrame,
+    outputMessages: DataFrame)
 
 object TrePipeline {
 
@@ -205,8 +209,28 @@ object TrePipeline {
     val bundles = graft.core.archive.Tar
       .packageBags(bundleEntries, outDir).toDF()
 
+    // K8 demonstrated end-to-end: the per-bag output message carries the
+    // packed archive's URL and its .sha256 sidecar URL through the presign
+    // seam (outputMessage shape, tre_editorial_integration.py:311-324)
+    val outputMessages = bundles.select(
+      col("bagId"),
+      Editorial.presignUrl(col("path")).as("s3_folder_url"),
+      Editorial.presignUrl(concat(col("path"), lit(".sha256"))).as("s3_sha256_url"),
+      col("sha256"),
+      to_json(struct(
+        struct(
+          col("bagId").as("consignment-reference"),
+          Editorial.presignUrl(col("path")).as("s3-folder-url"),
+          Editorial.presignUrl(concat(col("path"), lit(".sha256"))).as("s3-sha256-url"),
+          lit("judgment").as("consignment-type"),
+          lit(0).as("number-of-retries")).as("editorial-output"),
+        struct(
+          lit("local").as("bucket"),
+          concat(col("bagId"), lit(".tar.gz")).as("key"),
+          to_json(col("items")).as("items")).as("tar-gz"))).as("output_message"))
+
     FullPipelineResult(v, parserInputs, parserOutputs.withColumnRenamed("po", "parser_outputs"),
-      editorial, bundles)
+      editorial, bundles, outputMessages)
   }
 
   /** Initial editorial output message (outputMessage shape,

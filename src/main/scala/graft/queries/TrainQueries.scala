@@ -234,11 +234,11 @@ object TrainQueries {
     //    recall vs the exact pair set is pinned in SimilaritySpec. ──
     "emb_near_dup" -> QueryDef(
       (spark, dir) => Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), 0.45,
-        tables = 24, planes = 3, dims = 64)
+        tables = 24, planes = 4, dims = 64)
         .orderBy(col("i"), col("j")),
       """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
         |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
-        |                        (SELECT unnest(generate_series(0, 2)) AS p)),
+        |                        (SELECT unnest(generate_series(0, 3)) AS p)),
         |signs AS (
         |  SELECT t, p, d,
         |    CASE WHEN strpos('0123456789abcdef',

@@ -60,13 +60,13 @@ object Similarity {
     * Σ bucket² per table, never n²/2 — and the md5-parity hash family is
     * data-independent, so a SQL oracle can replay the exact same candidate
     * set (deterministic approximate result). `nearDupPairs` stays as the
-    * exact recall oracle: with the default (24 tables × 3 planes) the
+    * exact recall oracle: with the default (24 tables × 4 planes) the
     * measured recall at sim ≥ 0.45 is 7/7 (sf0.001), 14/14 (sf0.01) and 144/144 (sf0.1),
     * pinned in SimilaritySpec. Grow `planes` with log(n) (and `tables` by
     * the S-curve 1-(1-p^planes)^tables) to keep buckets small at scale.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-                      tables: Int = 24, planes: Int = 3, dims: Int = 64,
+                      tables: Int = 24, planes: Int = 4, dims: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sig = emb.select(col(idCol).as("id"),
       posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))

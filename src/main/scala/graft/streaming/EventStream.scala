@@ -21,15 +21,32 @@ import org.apache.spark.sql.Row
   *  - retry: `number-of-retries` ≥ maxRetries → fail route
   *    (tre_bagit_checksum_validation.py:159-163; limit 3).
   */
+/** The queue-connector seam: a source yields a streaming DataFrame with a
+  * single `json` column of raw message bodies. `FileDropSource` is the
+  * zero-egress stand-in for SQS (each line = one record body); a real
+  * connector (Kafka `value`, SQS poller) implements `read` and drops in —
+  * nothing downstream of `decoded` changes.
+  */
+trait QueueSource {
+  def read(spark: SparkSession): DataFrame
+}
+
+/** File-drop directory as a queue (tre_sqs_sf_trigger.py:6-9 analogue). */
+final case class FileDropSource(dir: String, maxFilesPerTrigger: Int = 10)
+    extends QueueSource {
+  override def read(spark: SparkSession): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // ≤10 records/batch, like SQS→Lambda
+      .text(dir)
+      .withColumnRenamed("value", "json")
+}
+
 object EventStream {
 
   /** Read a file-drop queue of raw JSON event lines as a stream. */
   def readRaw(spark: SparkSession, dir: String,
               maxFilesPerTrigger: Int = 10): DataFrame =
-    spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger) // ≤10 records/batch, like SQS→Lambda
-      .text(dir)
-      .withColumnRenamed("value", "json")
+    FileDropSource(dir, maxFilesPerTrigger).read(spark)
 
   /** Decode + validate + dedup: returns the decoded frame with
     * `event`, `event_errors`, `latest_uuid`, `ok` columns.

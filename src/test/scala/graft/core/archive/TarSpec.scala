@@ -72,6 +72,14 @@ class TarSpec extends SparkSpec {
     assert(back.map(_.name).sorted.toSeq ==
       Seq("BATCH/SERIES/bag-info.txt", "BATCH/SERIES/data/doc.docx"))
     assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "DOCX")
+    // recorded sha256 is the digest of the final archive bytes, and the
+    // .sha256 sidecar holds "<hex>  <name>"
+    val fileSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(dir.resolve("bagA.tar.gz")))
+      .map("%02x".format(_)).mkString
+    assert(bagA.sha256 == fileSha)
+    val sidecar = new String(Files.readAllBytes(dir.resolve("bagA.tar.gz.sha256")), "UTF-8")
+    assert(sidecar == s"$fileSha  bagA.tar.gz\n")
   }
 
   test("explodePath (FSDataInputStream scan) matches the binaryFile explode") {

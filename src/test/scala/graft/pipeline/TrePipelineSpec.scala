@@ -62,6 +62,22 @@ class TrePipelineSpec extends SparkSpec {
     val back = graft.core.archive.Tar
       .explodePath(spark, b.getAs[String]("path")).collect()
     assert(new String(back.find(_.name.endsWith("doc.docx")).get.bytes) == "JUDGMENT ONE")
+
+    // K8: output message threads the archive + sha256-sidecar URLs
+    val om = r.outputMessages.collect().head
+    assert(om.getAs[String]("bagId") == "TDR-2022-OK1")
+    val folderUrl = om.getAs[String]("s3_folder_url")
+    val shaUrl = om.getAs[String]("s3_sha256_url")
+    assert(folderUrl.endsWith("TDR-2022-OK1.tar.gz"))
+    assert(shaUrl == folderUrl + ".sha256")
+    val msg = om.getAs[String]("output_message")
+    assert(get_json(msg, "$['editorial-output']['s3-folder-url']") == folderUrl)
+    assert(get_json(msg, "$['tar-gz']['key']") == "TDR-2022-OK1.tar.gz")
+    // the sidecar object exists and matches the recorded archive digest
+    val shaPath = new org.apache.hadoop.fs.Path(b.getAs[String]("path") + ".sha256")
+    val fs = shaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(shaPath))
+    assert(om.getAs[String]("sha256").length == 64)
   }
 
   private def get_json(json: String, path: String): String =

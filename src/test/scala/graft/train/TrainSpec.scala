@@ -192,7 +192,7 @@ class SimilaritySpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, 0.45)
       .select($"i", $"j").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.nearDupPairsLsh(e, 0.45, tables = 24, planes = 3, dims = 64)
+    val lsh = Similarity.nearDupPairsLsh(e, 0.45, tables = 24, planes = 4, dims = 64)
       .select($"i", $"j").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "test data should contain planted near-dups")
     // md5-parity planes are data-independent ⇒ recall is a fixed number
