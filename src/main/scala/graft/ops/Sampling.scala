@@ -34,4 +34,26 @@ object Sampling {
       conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10).cast("int") <
         (rateCol * 65536).cast("int"))
   }
+
+  /** Target-mixture sampling (domain/language balancing for a training
+    * corpus): derive per-stratum acceptance rates so sampled counts track
+    * the target weights, scaled so the SCARCEST stratum (min n_l/w_l) is
+    * used in full and everything else downsamples:
+    * C = min_l n_l/w_l, rate_l = min(1, C·w_l/n_l). Strata outside the
+    * weight map are dropped. The stratum-count aggregate collects
+    * #strata rows to the driver — languages/sources, a handful by
+    * construction, not data-scale.
+    */
+  def mixture(df: DataFrame, keyCol: String, stratumCol: String,
+              weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = weights.collect {
+      case (s, w) if w > 0 && counts.getOrElse(s, 0L) > 0L => counts(s) / w
+    }.min
+    val rates = weights.map { case (s, w) =>
+      s -> counts.get(s).filter(_ > 0).map(n => math.min(1.0, c * w / n)).getOrElse(0.0)
+    }
+    stratified(df, keyCol, stratumCol, rates, defaultRate = 0.0)
+  }
 }

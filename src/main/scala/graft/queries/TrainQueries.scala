@@ -325,6 +325,40 @@ object TrainQueries {
         |  FROM pairs WHERE sim >= 0.2)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── IVF-style ANN (coarse quantize → probe top-2 cells → exact
+    //    rescore). Sampled centroids are data-rows, so the oracle replays
+    //    the whole index build + probe in SQL. ──
+    "ann_ivf_topk" -> QueryDef(
+      (spark, dir) =>
+        Similarity.ivfTopK(Tables.embeddings(spark, dir),
+          centroidMod = 37, nprobe = 2, k = 5, queryMod = 50)
+          .orderBy(col("qid"), col("rank")),
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    round(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // ── vocabulary richness per doc (type-token ratio) ──
     "text_vocab" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
@@ -375,6 +409,76 @@ object TrainQueries {
         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
         |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 65536 AS INT)
         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ── PII-style scrubbing: emails → <EMAIL>, URLs → <URL>, ≥6-digit
+    //    runs → <NUM>. Synthetic docs carry no PII, so the query plants
+    //    deterministic address/URL/id fragments per row and redacts them;
+    //    the oracle replays the same regex chain (RE2 ∩ java.regex). ──
+    "text_redact" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.redact(concat(
+            lit("contact user"), col("doc_id"),
+            lit("@example.com or https://data.example.org/items/"), col("doc_id"),
+            lit(" ref "), lpad(col("doc_id").cast("string"), 8, "0"),
+            lit(" :: "), substring(col("text"), 1, 40))).as("redacted"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  'contact user' || doc_id || '@example.com or https://data.example.org/items/'
+        |    || doc_id || ' ref ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+        |    || ' :: ' || substr(text, 1, 40),
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^\s]+', '<URL>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── repetition profile (Gopher-style quality signal): the most
+    //    frequent 2-gram's share of all 2-grams per doc ──
+    "text_repetition" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("max_g"), sum(col("n")).as("n_g"))
+        .withColumn("top_share", round(col("max_g") / col("n_g"), 4))
+        .orderBy(col("doc_id")),
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(CASE WHEN len($toksSql) >= 2
+         |    THEN list_transform(generate_series(1, len($toksSql)-1),
+         |           i -> array_to_string(($toksSql)[i:i+1], ' '))
+         |    ELSE [array_to_string($toksSql, ' ')] END) AS g
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, g, count(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS max_g, CAST(sum(n) AS BIGINT) AS n_g,
+         |  round(max(n) / sum(n), 4) AS top_share
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ── target-mixture sampling: rates derived from observed stratum
+    //    counts so the sample tracks the target weights, scarcest stratum
+    //    used in full (C = min n_l/w_l) ──
+    "sample_mixture" -> QueryDef(
+      (spark, dir) => {
+        val sampled = graft.ops.Sampling.mixture(
+          Tables.documents(spark, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.05))
+        sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      """WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 0.2), ('de', 0.15),
+        |                            ('fr', 0.1), ('zh', 0.05)) AS t(lang, w)),
+        |c AS (SELECT min(n.n / w.w) AS c FROM n JOIN w USING (lang)),
+        |r AS (SELECT w.lang, least(1.0, (SELECT c FROM c) * w.w / n.n) AS rate
+        |      FROM w JOIN n USING (lang))
+        |SELECT d.lang, count(*) AS n_sampled
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+        |        AS INT) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+        |  < CAST(floor(r.rate * 65536) AS INT)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
 
     // ── multimodal: opaque binary + typed metadata (decode stubbed) ──
     "mm_media_meta" -> QueryDef(

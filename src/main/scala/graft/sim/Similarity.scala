@@ -86,6 +86,43 @@ object Similarity {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** IVF-style ANN: coarse-quantize against a deterministic sampled
+    * centroid set (every `centroidMod`-th vector — SQL-replayable; real
+    * deployments swap in k-means-trained centroids, the plan shape is
+    * identical), assign every vector to its best cell via ONE broadcast of
+    * the m ≪ n centroids, probe each query's top `nprobe` cells, and
+    * rescore exactly inside probed cells with the bounded-heap top-k
+    * aggregate. Cost: n·m assignment dots + Σ probed-cell sizes — the
+    * candidate join shuffles on cell id, never n².
+    */
+  def ivfTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, k: Int, queryMod: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = emb.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
+    val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", round(dot(col("v"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+    val cells = ranked.filter(col("rnk") === 1).select(col("id"), col("cid"))
+    val probes = ranked
+      .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
+      .select(col("id").as("qid"), col("cid"))
+    val cand = probes
+      .join(cells.select(col("id").as("nid"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    cand
+      .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
+      .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
+      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_by(col("sim"), col("nid"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"), col("t.sim").as("sim"),
+        col("t.rank").as("rank"))
+  }
+
   /** Brute-force top-k neighbours for each query vector (exact baseline).
     * Ties break on neighbour id for determinism.
     */

@@ -108,6 +108,22 @@ object TextAnalysis {
     graftbridge.column(graft.functions.SimHashExpr(graftbridge.expression(tokens(c))))
   }
 
+  /** Training-data scrubbing: emails → `<EMAIL>`, then URLs → `<URL>`,
+    * then runs of ≥6 digits → `<NUM>` (ids, phone-ish numbers). Order
+    * matters: the email pattern has no scheme so it must run before the
+    * URL pass eats `user@host` fragments inside URLs; digit runs go last
+    * so URL/email digits are already gone. Patterns stay in the
+    * RE2 ∩ java.util.regex common subset so the DuckDB oracle replays
+    * them verbatim.
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** Declarative rendering of the same signature (parity reference for the
     * oracle and SimHashExpr tests; 64× the hashing — do not use at scale).
     */
