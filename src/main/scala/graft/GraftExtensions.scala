@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_sig", "multi-table hyperplane LSH bucket signatures"),
       (args: Seq[Expression]) => LshSigExpr(args(0), intArg(args(1), "tables"),
         intArg(args(2), "planes"), intArg(args(3), "dims"))))
+    ext.injectFunction((FunctionIdentifier("topk_by"),
+      info("topk_by", "bounded-heap top-k aggregate: array<struct<nid,sim,rank>>"),
+      (args: Seq[Expression]) => TopKByDescExpr(args(0), args(1),
+        intArg(args(2), "k")).toAggregateExpression()))
   }
 }
 
@@ -71,7 +75,9 @@ object GraftExtensions {
       "simhash64" -> (args => SimHashExpr(args.head)),
       "ngram_shingles" -> (args => NGramShinglesExpr(args(0), lit(args(1), "n"))),
       "lsh_sig" -> (args => LshSigExpr(args(0), lit(args(1), "tables"),
-        lit(args(2), "planes"), lit(args(3), "dims"))))
+        lit(args(2), "planes"), lit(args(3), "dims"))),
+      "topk_by" -> (args => TopKByDescExpr(args(0), args(1),
+        lit(args(2), "k")).toAggregateExpression()))
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }

@@ -24,6 +24,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("lsh")).map(_.length) == Seq(4, 4))
   }
 
+  test("topk_by aggregate is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT qid, t.nid, t.rank FROM (
+        |  SELECT qid, explode(topk_by(sim, nid, 2)) AS t
+        |  FROM VALUES (1L, 10L, 0.9D), (1L, 11L, 0.8D), (1L, 12L, 0.95D),
+        |              (2L, 10L, 0.5D) AS v(qid, nid, sim)
+        |  GROUP BY qid)
+        |ORDER BY qid, t.rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 12L, 1), (1L, 10L, 2), (2L, 10L, 1)))
+  }
+
   test("withExtensions wiring: fresh session sees the functions via SQL conf") {
     // a sibling session sharing the context but with its own state
     val s2: SparkSession = spark.newSession()
