@@ -291,11 +291,11 @@ object TrainQueries {
     "ann_lsh_topk" -> QueryDef(
       (spark, dir) =>
         Similarity.lshTopK(Tables.embeddings(spark, dir),
-          tables = 8, planes = 4, dims = 64, k = 5, threshold = 0.2)
+          tables = 12, planes = 5, dims = 64, k = 5, threshold = 0.2)
           .orderBy(col("qid"), col("rank")),
       """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
-        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 7)) AS t),
-        |                        (SELECT unnest(generate_series(0, 3)) AS p)),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 11)) AS t),
+        |                        (SELECT unnest(generate_series(0, 4)) AS p)),
         |signs AS (
         |  SELECT t, p, d,
         |    CASE WHEN strpos('0123456789abcdef',

@@ -224,7 +224,7 @@ class SimilaritySpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Similarity.topK(e.filter($"vec_id" % 50 === 0), e, 5)
       .select($"qid", $"nid").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(e, tables = 8, planes = 4, dims = 64, k = 5, threshold = 0.0)
+    val lsh = Similarity.lshTopK(e, tables = 12, planes = 5, dims = 64, k = 5, threshold = 0.0)
       .filter($"qid" % 50 === 0)
       .select($"qid", $"nid").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
