@@ -173,20 +173,23 @@ object Dedup {
       val stepped = labels
         .join(neighbourMin, labels("id") === neighbourMin("src"), "left")
         .select(labels("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          labels("label").as("old_label"))
       // pointer doubling: adopt the label of my label (renamed columns —
       // a two-sided op over shared lineage trips DetectAmbiguousSelfJoin)
       val byId = stepped.select(col("id").as("rep_id"), col("label").as("rep_label"))
+      val finalLabel = least(col("label"), coalesce(col("rep_label"), col("label")))
       val updated = stepped
         .join(byId, col("label") === col("rep_id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("rep_label"), col("label"))).as("label"))
+        // the changed flag rides along, so convergence detection is a
+        // filter over the checkpointed frame instead of a join-per-round
+        .select(col("id"), finalLabel.as("label"),
+          (finalLabel =!= col("old_label")).as("changed"))
         // truncate lineage each round: iterative self-joins otherwise grow
         // the logical plan (and re-planning cost) exponentially
         .localCheckpoint(eager = true)
-      val changes = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
+      val changes = updated.filter(col("changed")).count()
+      labels = updated.select(col("id"), col("label"))
       converged = changes == 0
       iter += 1
     }
