@@ -197,20 +197,20 @@ object RefOpQueries {
     // ── A1/A2: file-count reconciliation per bag
     //    (tre_vb_validate_bagit_files.py:88-121: 1 + |root| + |data| = |extracted|) ──
     "a1_count_reconciliation" -> QueryDef(
-      (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
-        val rootN = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .groupBy(col("source")).agg(count(lit(1)).as("root_n"))
-        val dataN = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-          .groupBy(col("source")).agg(count(lit(1)).as("data_n"))
-        val extracted = docs.groupBy(col("source")).agg(count(lit(1)).as("extracted_n"))
-        extracted
-          .join(rootN, Seq("source"), "left").na.fill(0L, Seq("root_n"))
-          .join(dataN, Seq("source"), "left").na.fill(0L, Seq("data_n"))
+      // all three counts come off ONE scan as conditional aggregates (one
+      // shuffle, map-side partial) — the join-based reconcile for
+      // genuinely independent inputs is `BagitValidate.reconcileCounts`,
+      // exercised by the pipeline + specs
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .groupBy(col("source"))
+          .agg(
+            sum(when(pmod(col("doc_id"), lit(5)) === 0, 1L).otherwise(0L)).as("root_n"),
+            sum(when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)).as("data_n"),
+            count(lit(1)).as("extracted_n"))
           .select(col("source"), col("root_n"), col("data_n"), col("extracted_n"),
             (col("root_n") + col("data_n") === col("extracted_n")).as("reconciled"))
-          .orderBy(col("source"))
-      },
+          .orderBy(col("source")),
       """WITH r AS (SELECT source, count(*) AS root_n FROM documents WHERE doc_id % 5 = 0 GROUP BY source),
         |d AS (SELECT source, count(*) AS data_n FROM documents WHERE doc_id % 5 <> 0 GROUP BY source),
         |e AS (SELECT source, count(*) AS extracted_n FROM documents GROUP BY source)
