@@ -34,12 +34,25 @@ object TextAnalysis {
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
+  private val langOrder = Seq("en", "es", "de", "fr", "zh")
+
   /** Heuristic language ID: arg-max of per-language marker counts with a
-    * fixed tie-break order (en > es > de > fr > zh).
+    * fixed tie-break order (en > es > de > fr > zh). Native single-pass
+    * expression — the declarative rendering below re-evaluates the token
+    * array per HOF reference (~25×/row interpreted).
     */
   def languageId(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.LangIdExpr(
+      graftbridge.expression(tokens(c)), langOrder, langOrder.map(stopwords)))
+  }
+
+  /** Declarative rendering of the same arg-max (parity reference for the
+    * oracle and LangIdExpr tests — do not use in hot paths).
+    */
+  def languageIdDeclarative(c: Column): Column = {
     val t = tokens(c)
-    val langs = Seq("en", "es", "de", "fr", "zh")
+    val langs = langOrder
     val scores = langs.map(l => l -> markerCount(t, stopwords(l))).toMap
     langs.foldRight(lit("unknown"): Column) { (l, rest) =>
       val beatsLater = langs.dropWhile(_ != l).drop(1)

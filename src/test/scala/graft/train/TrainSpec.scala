@@ -32,6 +32,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "unknown"))
   }
 
+  test("native LangIdExpr matches the declarative arg-max rendering on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = docs.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    val decl = docs.select($"doc_id", TextAnalysis.languageIdDeclarative($"text").as("l"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(native.toSeq == decl.toSeq)
+  }
+
   test("shingles: n-grams when long enough, whole text otherwise") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextAnalysis.shingles($"text", 3)).as[Seq[String]].collect()
