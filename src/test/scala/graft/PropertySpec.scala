@@ -64,6 +64,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substitutePrefix matches the Python replace-first model for arbitrary strings") {
+    import graft.core.archive.Tar
+    val frag: Gen[String] = Gen.listOf(Gen.oneOf("abTDR/._".toSeq)).map(_.mkString)
+    samples(Gen.zip(frag, frag, frag), 200).foreach { case (name, drop, add) =>
+      // Python: f'{add}{name.replace(drop, "", 1)}' (replace of "" is identity)
+      val model =
+        if (drop.isEmpty) add + name
+        else add + name.replaceFirst(java.util.regex.Pattern.quote(drop), "")
+      assert(Tar.substitutePrefix(name, drop, add) == model,
+        s"name='$name' drop='$drop' add='$add'")
+    }
+  }
+
+  test("retry state machine invariants: errors never advance state, fails are terminal-per-message") {
+    import graft.ops.editorial.RetryLoop
+    val seqGen: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 6))
+    samples(seqGen, 40).zipWithIndex.foreach { case (incomings, ref) =>
+      val df = incomings.zipWithIndex
+        .map { case (inc, i) => (s"R$ref", i + 1, inc) }
+        .toDF("reference", "seq", "incoming")
+      val got = RetryLoop.retryStateMachine(df, "reference", "seq", "incoming", 3)
+        .orderBy($"seq")
+        .select($"incoming", $"expected", $"route")
+        .as[(Int, Int, String)].collect().toSeq
+      // replay the model sequentially
+      var last = 0
+      got.foreach { case (inc, expected, route) =>
+        assert(expected == last + 1, "expected must always be last accepted + 1")
+        route match {
+          case "fail"  => assert(inc >= 3)                       // limit fires first
+          case "error" => assert(inc < 3 && inc != expected)     // rejected, no advance
+          case "retry" => assert(inc < 3 && inc == expected); last = inc
+          case other   => fail(s"unknown route $other")
+        }
+      }
+    }
+  }
+
+  test("topk_by equals sort-take model for random grouped data") {
+    import graft.functions.topk_by
+    import org.apache.spark.sql.functions._
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 400L),
+      Gen.chooseNum(-1000, 1000).map(_ / 100.0))
+    val rows = samples(rowGen, 300).distinct
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq  // unique (qid, nid)
+    val df = rows.toDF("qid", "nid", "sim").repartition(7)
+    val got = df.groupBy($"qid").agg(topk_by($"sim", $"nid", 4).as("t"))
+      .select($"qid", explode($"t").as("e"))
+      .select($"qid", $"e.nid", $"e.sim", $"e.rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(4).zipWithIndex
+        .map { case ((_, n, s), i) => (q, n, s, i + 1) }
+    }.sorted
+    assert(got == model)
+  }
+
   test("count-equality is weaker than set-difference (A2 vs U2)") {
     // a swap (one extra + one missing) passes counts but fails set-diff
     val listing = Seq(("b", "x"), ("b", "y")).toDF("bagId", "name")
