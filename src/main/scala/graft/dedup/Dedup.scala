@@ -186,8 +186,10 @@ object Dedup {
         .select(col("id"), finalLabel.as("label"),
           (finalLabel =!= col("old_label")).as("changed"))
         // truncate lineage each round: iterative self-joins otherwise grow
-        // the logical plan (and re-planning cost) exponentially
-        .localCheckpoint(eager = true)
+        // the logical plan (and re-planning cost) exponentially. Lazy
+        // checkpoint — the changes count right below materializes it, so
+        // each round is ONE job, not a checkpoint job plus a count job.
+        .localCheckpoint(eager = false)
       val changes = updated.filter(col("changed")).count()
       labels = updated.select(col("id"), col("label"))
       converged = changes == 0
