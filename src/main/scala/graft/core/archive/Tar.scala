@@ -90,14 +90,17 @@ object Tar {
     * one at a time, so archives of ANY size scan in bounded memory. One
     * archive per task; many archives extract in parallel.
     */
-  def explodePath(spark: SparkSession, glob: String): Dataset[TarEntry] = {
+  def explodePath(spark: SparkSession, glob: String,
+                  pathFilter: String => Boolean = _ => true): Dataset[TarEntry] = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pathFilter prunes BEFORE any archive opens — a retry pass over a few
+    // failing bags re-reads only those archives
     val paths = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.getPath.toString).toSeq
+      .filter(_.isFile).map(_.getPath.toString).filter(pathFilter).toSeq
     val parallelism = math.max(1, math.min(paths.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(paths)

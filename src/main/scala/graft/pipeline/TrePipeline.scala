@@ -265,7 +265,8 @@ object TrePipeline {
     */
   def runWithRetries(spark: SparkSession, bagsGlob: String, stateDir: String,
                      environment: String = "dev", maxRetries: Int = 3,
-                     consignmentType: String = "judgment"): DataFrame = {
+                     consignmentType: String = "judgment",
+                     onAttempt: Int => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     import graft.ops.editorial.RetryLoop
 
@@ -291,9 +292,18 @@ object TrePipeline {
     var failing = attempt0.filter(col("route") === "retry").select("bagId")
     var attempt = 1
     while (attempt <= maxRetries && !failing.isEmpty) {
-      // honest re-validation of the failing subset from the cached entries
-      val files = filesOf(spark, v.entries)
-        .join(broadcast(failing), Seq("bagId"))
+      onAttempt(attempt)   // seam: the reference re-fetches fresh content
+      // re-validation re-reads ONLY the failing archives from storage —
+      // a bag repaired upstream between retries (the reference's
+      // re-download path) is observed, unlike re-checking cached bytes.
+      // The failing-id collect is one string per failing bag, bounded by
+      // the consignment count, not data volume.
+      val failingSet = failing.as[String].collect().toSet
+      val fresh = Tar.explodePath(spark, bagsGlob,
+          p => failingSet.contains(
+            p.split('/').last.stripSuffix(".tar.gz")))
+        .map(e => e.copy(source = e.source.stripSuffix(".tar.gz")))
+      val files = filesOf(spark, fresh)
       val (_, _, verdicts) = verdictsForFiles(files)
       val a = attempt
       val rec = verdicts.select(col("bagId"), col("ok"))

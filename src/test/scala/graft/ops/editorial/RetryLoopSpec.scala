@@ -56,22 +56,27 @@ class RetryLoopSpec extends SparkSpec {
       Left("""Expected number-of-retries to be "3" but got "2""""))
   }
 
-  test("runWithRetries drives a corrupt bag 0→1→2→FAILED with persisted state") {
+  private def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+    .digest(s.getBytes).map("%02x".format(_)).mkString
+
+  private def writeBag(dir: java.nio.file.Path, name: String,
+                       files: Seq[(String, String)]): Unit = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val out = new TarArchiveOutputStream(
+      new GzipCompressorOutputStream(Files.newOutputStream(dir.resolve(name))))
+    files.foreach { case (n, c) =>
+      val b = c.getBytes; val e = new TarArchiveEntry(n)
+      e.setSize(b.length.toLong); out.putArchiveEntry(e); out.write(b); out.closeArchiveEntry()
+    }
+    out.close()
+  }
+
+  test("runWithRetries drives a corrupt bag 0→1→2→FAILED with persisted state") {
     val dir = Files.createTempDirectory("retrybags")
     val state = Files.createTempDirectory("retrystate2")
-    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes).map("%02x".format(_)).mkString
-    def write(name: String, files: Seq[(String, String)]): Unit = {
-      val out = new TarArchiveOutputStream(
-        new GzipCompressorOutputStream(Files.newOutputStream(dir.resolve(name))))
-      files.foreach { case (n, c) =>
-        val b = c.getBytes; val e = new TarArchiveEntry(n)
-        e.setSize(b.length.toLong); out.putArchiveEntry(e); out.write(b); out.closeArchiveEntry()
-      }
-      out.close()
-    }
+    def write(name: String, files: Seq[(String, String)]): Unit =
+      writeBag(dir, name, files)
     write("TDR-OK.tar.gz", Seq(
       "./TDR-OK/bagit.txt" -> "BagIt-Version: 0.97",
       "./TDR-OK/manifest-sha256.txt" -> (sha("FINE") + "  data/doc.docx"),
@@ -109,5 +114,26 @@ class RetryLoopSpec extends SparkSpec {
     // no state folder for the failed attempt (limit check fires before save)
     val p3 = RetryLoop.messagePath(state.toString, "judgment", "TDR-CORRUPT", 0, 3)
     assert(!p3.getFileSystem(conf).exists(p3))
+  }
+
+  test("retry re-reads the failing archives: a bag repaired upstream recovers") {
+    val dir = Files.createTempDirectory("retryrepair")
+    val state = Files.createTempDirectory("retrystate3")
+    // manifest claims the GOOD digest but the bag ships broken bytes —
+    // the upstream re-export (simulated in onAttempt) fixes the payload
+    writeBag(dir, "TDR-FLAKY.tar.gz", Seq(
+      "./TDR-FLAKY/bagit.txt" -> "BagIt-Version: 0.97",
+      "./TDR-FLAKY/manifest-sha256.txt" -> (sha("GOOD") + "  data/doc.docx"),
+      "./TDR-FLAKY/data/doc.docx" -> "BROKEN"))
+    val history = TrePipeline.runWithRetries(
+      spark, dir.toString + "/*.tar.gz", state.toString, maxRetries = 3,
+      onAttempt = a => if (a == 2) writeBag(dir, "TDR-FLAKY.tar.gz", Seq(
+        "./TDR-FLAKY/bagit.txt" -> "BagIt-Version: 0.97",
+        "./TDR-FLAKY/manifest-sha256.txt" -> (sha("GOOD") + "  data/doc.docx"),
+        "./TDR-FLAKY/data/doc.docx" -> "GOOD")))
+    val routes = history.orderBy($"attempt")
+      .select($"attempt", $"route").as[(Int, String)].collect().toSeq
+    // fails at 0, retries at 1 (still broken), recovers at 2 after repair
+    assert(routes == Seq((0, "retry"), (1, "retry"), (2, "ok")))
   }
 }
