@@ -100,12 +100,20 @@ object Similarity {
     val cents = emb.filter(pmod(col(idCol), lit(centroidMod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
+    // the BroadcastNestedLoopJoin-Cross in this plan IS the n×m assignment
+    // step (m ≪ n centroids broadcast) — deliberate, not a missing join key
     val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("d", round(dot(col("v"), col("cv")), 6))
       .withColumn("rnk", row_number().over(w))
-    val cells = ranked.filter(col("rnk") === 1).select(col("id"), col("cid"))
-    val probes = ranked
+    // materialize the pruned assignment ONCE (lazy checkpoint) — cells and
+    // probes both branch off it, and without this the n·m assignment
+    // subtree is evaluated twice
+    val pruned = ranked.filter(col("rnk") <= math.max(nprobe, 1))
+      .select(col("id"), col("cid"), col("rnk"))
+      .localCheckpoint(eager = false)
+    val cells = pruned.filter(col("rnk") === 1).select(col("id"), col("cid"))
+    val probes = pruned
       .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
       .select(col("id").as("qid"), col("cid"))
     val cand = probes
