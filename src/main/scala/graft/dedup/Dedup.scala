@@ -80,6 +80,28 @@ object Dedup {
       size(sh).as("n_sh"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing ≥ `minOverlap`
+    * distinct n-gram shingles with an evaluation corpus. The benchmark's
+    * shingle set is broadcast (eval suites are tiny next to the training
+    * corpus), so the check is a broadcast semi-probe per training shingle
+    * plus one per-doc count — the corpus itself never shuffles on content.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int, minOverlap: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = bench
+      .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val docSh = spread(docs).select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+    // per-doc shingles are distinct by construction ⇒ count = distinct count
+    val hits = docSh.join(broadcast(benchSh), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Derive (bands, rows) from the LSH S-curve for a target Jaccard
     * threshold: a pair at similarity s becomes a candidate with probability
     * 1-(1-s^r)^b (k = b·r hashes), and the curve's steep crossing sits at

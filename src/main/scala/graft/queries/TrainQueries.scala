@@ -410,6 +410,53 @@ object TrainQueries {
         |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 65536 AS INT)
         |GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ── benchmark decontamination: docs sharing ≥2 distinct trigram
+    //    shingles with the eval slice (doc_id % 97 = 0) are flagged;
+    //    the eval shingle set rides a broadcast ──
+    "train_decontaminate" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        Dedup.contamination(train, bench, n = 3, minOverlap = 2)
+          .orderBy(col("id"))
+      },
+      s"""WITH t AS ($shinglesSql),
+         |e AS (SELECT id, unnest(sh) AS g FROM t),
+         |bench AS (SELECT DISTINCT g FROM e WHERE id % 97 = 0),
+         |hits AS (
+         |  SELECT e.id, count(*) AS n_overlap
+         |  FROM e JOIN bench b ON e.g = b.g WHERE e.id % 97 <> 0 GROUP BY 1)
+         |SELECT d.doc_id AS id, coalesce(h.n_overlap, 0) AS n_overlap,
+         |  coalesce(h.n_overlap, 0) >= 2 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+         |WHERE d.doc_id % 97 <> 0 ORDER BY id""".stripMargin),
+
+    // ── quality-filter funnel: per-rule drop accounting (first failing
+    //    rule claims the doc) — the observable a corpus-curation pipeline
+    //    reports after each filter pass ──
+    "quality_filter_funnel" -> QueryDef(
+      (spark, dir) => {
+        val t = col("text")
+        val stage = when(TextAnalysis.tokenCount(t) < 20, "a_short")
+          .when(TextAnalysis.alphaRatio(t) < 0.81, "b_low_alpha")
+          .when(TextAnalysis.languageId(t) === "unknown", "c_no_lang")
+          .otherwise("kept")
+        Tables.documents(spark, dir)
+          .select(stage.as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+          .orderBy(col("stage"))
+      },
+      s"""WITH s AS ($langScoreSql)
+         |SELECT CASE
+         |    WHEN CAST(len($toksSql) AS INT) < 20 THEN 'a_short'
+         |    WHEN len(regexp_extract_all(lower(text), '[a-z]'))
+         |         / greatest(length(text), 1) < 0.81 THEN 'b_low_alpha'
+         |    WHEN greatest(sc_en, sc_es, sc_de, sc_fr, sc_zh) = 0 THEN 'c_no_lang'
+         |    ELSE 'kept' END AS stage, count(*) AS n
+         |FROM s JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY stage""".stripMargin),
+
     // ── PII-style scrubbing: emails → <EMAIL>, URLs → <URL>, ≥6-digit
     //    runs → <NUM>. Synthetic docs carry no PII, so the query plants
     //    deterministic address/URL/id fragments per row and redacts them;
