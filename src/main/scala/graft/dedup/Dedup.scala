@@ -51,8 +51,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // one shingling pass: the self-join sides reuse one exchange, and the
+    // sizes branch reads the materialized rows instead of re-shingling
     val sh = spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
       col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
