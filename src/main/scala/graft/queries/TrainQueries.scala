@@ -359,6 +359,23 @@ object TrainQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── group centroids (mean pooling) in fixed-point micro-units:
+    //    sum+count determine the centroid exactly — integer accumulation
+    //    is order-independent, a double mean would hash-drift ──
+    "emb_centroids" -> QueryDef(
+      (spark, dir) => Similarity.groupCentroids(Tables.embeddings(spark, dir),
+          pmod(col("vec_id"), lit(10)))
+        .orderBy(col("grp"), col("dim")),
+      """WITH x AS (
+        |  SELECT vec_id % 10 AS grp,
+        |    unnest(generate_series(0, 63)) AS dim,
+        |    unnest(list_transform(generate_series(1, 64),
+        |      i -> CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))) AS u
+        |  FROM embeddings)
+        |SELECT grp, CAST(dim AS INT) AS dim, CAST(sum(u) AS BIGINT) AS sum_u,
+        |  count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin),
+
     // ── vocabulary richness per doc (type-token ratio) ──
     "text_vocab" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

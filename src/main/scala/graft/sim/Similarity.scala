@@ -131,6 +131,20 @@ object Similarity {
         col("t.rank").as("rank"))
   }
 
+  /** Group centroids (mean pooling) in fixed-point: per (group, dim) the
+    * micro-unit sum and member count — sum+count determine the centroid
+    * exactly and dodge float summation-order drift (integer addition is
+    * associative; a double mean would hash differently run to run).
+    * One explode + one shuffle on (group, dim).
+    */
+  def groupCentroids(emb: DataFrame, groupCol: Column,
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(groupCol.as("grp"), posexplode(col(vecCol)))
+      .withColumnRenamed("pos", "dim")
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(round(col("col").cast("double") * 1e6, 0).cast("long")).as("sum_u"),
+        count(lit(1)).as("n"))
+
   /** Brute-force top-k neighbours for each query vector (exact baseline).
     * Ties break on neighbour id for determinism.
     */
