@@ -376,6 +376,27 @@ object TrainQueries {
         |  count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin),
 
+    // ── overlapping token-window chunking (30-token windows, stride 20):
+    //    the doc → training-sequence split, chunk payloads hashed ──
+    "text_chunks" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(TextAnalysis.chunks(col("text"), 30, 20)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          md5(col("col")).as("chunk_md5"),
+          size(TextAnalysis.tokens(col("col"))).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      s"""WITH c AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 29, 1), 20),
+         |    s -> array_to_string(($toksSql)[s:s+29], ' ')) AS ch
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(ch))) - 1 AS INT) AS chunk_idx,
+         |  md5(unnest(ch)) AS chunk_md5,
+         |  CAST(unnest(list_transform(ch,
+         |    x -> len(regexp_extract_all(x, '[a-z0-9]+')))) AS INT) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // ── vocabulary richness per doc (type-token ratio) ──
     "text_vocab" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

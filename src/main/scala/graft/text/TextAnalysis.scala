@@ -121,6 +121,19 @@ object TextAnalysis {
     graftbridge.column(graft.functions.SimHashExpr(graftbridge.expression(tokens(c))))
   }
 
+  /** Overlapping token-window chunking (the pre-tokenization split that
+    * turns long documents into training sequences): windows of `window`
+    * tokens starting every `stride` tokens, last start clamped so the
+    * tail is covered; short docs yield one chunk. SQL-mirrorable
+    * (`generate_series(1, greatest(n-window+1, 1), stride)` + slice).
+    */
+  def chunks(c: Column, window: Int, stride: Int): Column = {
+    val toks = tokens(c)
+    val starts = sequence(lit(1),
+      greatest(size(toks) - lit(window - 1), lit(1)), lit(stride))
+    transform(starts, s => concat_ws(" ", slice(toks, s, lit(window))))
+  }
+
   /** Training-data scrubbing: emails → `<EMAIL>`, then URLs → `<URL>`,
     * then runs of ≥6 digits → `<NUM>` (ids, phone-ish numbers). Order
     * matters: the email pattern has no scheme so it must run before the
