@@ -199,12 +199,14 @@ object TrainQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ── quality scoring (length/stopword/alpha features) ──
+    // binary-double rounding (floor(x·1e4+0.5)/1e4) on BOTH sides — see
+    // TextAnalysis.round4; engine round() disagrees on repr-boundary rows
     "text_quality" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
         .select(col("doc_id"),
           TextAnalysis.wordCount(col("text")).as("n_words"),
-          round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
-          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          TextAnalysis.round4(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio"),
+          TextAnalysis.round4(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
       s"""WITH f AS (
@@ -214,8 +216,11 @@ object TrainQueries {
          |    len(list_filter($toksSql, x -> list_contains(['the','and','of','to','a','in','is'], x)))
          |      / greatest(len($toksSql), 1) AS sr
          |  FROM documents)
-         |SELECT doc_id, n_words, round(ar, 4) AS alpha_ratio, round(sr, 4) AS stopword_ratio,
-         |  round(least(n_words / 100.0, 1.0) * 0.4 + least(sr * 3.0, 1.0) * 0.3 + ar * 0.3, 4) AS quality
+         |SELECT doc_id, n_words,
+         |  floor(ar * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+         |  floor(sr * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         |  floor((least(n_words / 100.0, 1.0) * 0.4 + least(sr * 3.0, 1.0) * 0.3
+         |         + ar * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM f ORDER BY doc_id""".stripMargin),
 
     // ── document fingerprint (normalized-token md5) ──

@@ -74,15 +74,24 @@ object TextAnalysis {
   def meanWordLen(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z0-9]"), lit(0))) / greatest(tokenCount(c), lit(1))
 
+  /** 4-decimal rounding that operates on the BINARY double:
+    * floor(x·10⁴ + 0.5)/10⁴ evaluates identically in every engine.
+    * Spark's `round` goes through the double's SHORTEST DECIMAL
+    * REPRESENTATION (BigDecimal.valueOf), so a value printing as
+    * "…5" rounds up in Spark while DuckDB rounds the slightly-smaller
+    * binary value down — a hash mismatch that only surfaces when some
+    * row lands exactly on the boundary (hit at sf0.1).
+    */
+  def round4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** Composite quality score in [0,1]: length saturation + stopword signal
     * + alpha density (weights fixed; SQL-mirrored in the oracle).
     */
   def qualityScore(c: Column): Column =
-    round(
+    round4(
       least(wordCount(c) / lit(100.0), lit(1.0)) * 0.4 +
         least(stopwordRatio(c) * lit(3.0), lit(1.0)) * 0.3 +
-        alphaRatio(c) * 0.3,
-      4)
+        alphaRatio(c) * 0.3)
 
   /** Document fingerprint: md5 over the normalized token stream. */
   def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
@@ -123,9 +132,12 @@ object TextAnalysis {
 
   /** Overlapping token-window chunking (the pre-tokenization split that
     * turns long documents into training sequences): windows of `window`
-    * tokens starting every `stride` tokens, last start clamped so the
-    * tail is covered; short docs yield one chunk. SQL-mirrorable
-    * (`generate_series(1, greatest(n-window+1, 1), stride)` + slice).
+    * tokens starting on the `stride` grid, up to the last full-window
+    * start (n-window+1). A tail shorter than the grid step is only
+    * covered by its overlap with the previous window — standard
+    * fixed-grid behavior; short docs yield one whole-doc chunk.
+    * SQL-mirrorable (`generate_series(1, greatest(n-window+1, 1),
+    * stride)` + slice).
     */
   def chunks(c: Column, window: Int, stride: Int): Column = {
     val toks = tokens(c)

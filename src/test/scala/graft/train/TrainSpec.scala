@@ -32,6 +32,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "unknown"))
   }
 
+  test("chunks: window/stride arithmetic covers the tail, short docs yield one chunk") {
+    val df = Seq(
+      "a b c d e f g",        // 7 tokens, window 3 stride 2 → starts 1,3,5
+      "a b").toDF("text")     // shorter than the window → single chunk
+    val got = df.select(TextAnalysis.chunks($"text", 3, 2)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "c d e", "e f g"))
+    assert(got(1) == Seq("a b"))
+    // stride-misaligned tail: 6 tokens → starts on the grid are 1,3 (the
+    // last full-window start 4 is off-grid, so "f" rides only the overlap)
+    val got6 = Seq("a b c d e f").toDF("text")
+      .select(TextAnalysis.chunks($"text", 3, 2)).as[Seq[String]].head()
+    assert(got6 == Seq("a b c", "c d e"))
+  }
+
   test("native LangIdExpr matches the declarative arg-max rendering on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val native = docs.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
