@@ -65,7 +65,8 @@ object Dedup {
       .join(sizes.select(col("id"), col("n_sh").as("n_i")), col("i") === col("id")).drop("id")
       .join(sizes.select(col("id"), col("n_sh").as("n_j")), col("j") === col("id")).drop("id")
       .withColumn("jaccard",
-        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4))
+        graft.text.TextAnalysis.round4(
+          col("n_common") / (col("n_i") + col("n_j") - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
@@ -172,7 +173,8 @@ object Dedup {
       .groupBy(col("i"), col("j"), col("n_i"), col("n_j"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
-        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4))
+        graft.text.TextAnalysis.round4(
+          col("n_common") / (col("n_i") + col("n_j") - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }

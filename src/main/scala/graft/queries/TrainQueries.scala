@@ -37,9 +37,9 @@ object TrainQueries {
        |c AS (SELECT a.id AS i, b.id AS j, count(*) AS nc
        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
        |      GROUP BY 1, 2)
-       |SELECT c.i, c.j, round(nc / (si.n + sj.n - nc), 4) AS jaccard
+       |SELECT c.i, c.j, floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
-       |WHERE round(nc / (si.n + sj.n - nc), 4) >= $t""".stripMargin
+       |WHERE floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 >= $t""".stripMargin
 
   /** MinHash-LSH oracle for a (bands, rows) parameterization over the
     * fixed k=12 signature (mirrors Dedup.minhashLsh with
@@ -408,12 +408,12 @@ object TrainQueries {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           size(array_distinct(TextAnalysis.tokens(col("text")))).as("n_types"))
-        .withColumn("ttr", round(col("n_types") / greatest(col("n_tokens"), lit(1)), 4))
+        .withColumn("ttr", TextAnalysis.round4(col("n_types") / greatest(col("n_tokens"), lit(1))))
         .orderBy(col("doc_id")),
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,
          |  CAST(len(list_distinct($toksSql)) AS INT) AS n_types,
-         |  round(len(list_distinct($toksSql)) / greatest(len($toksSql), 1), 4) AS ttr
+         |  floor(len(list_distinct($toksSql)) / greatest(len($toksSql), 1) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ── corpus n-gram frequency profile (vocabulary statistics) ──
@@ -530,7 +530,7 @@ object TrainQueries {
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
         .agg(max(col("n")).as("max_g"), sum(col("n")).as("n_g"))
-        .withColumn("top_share", round(col("max_g") / col("n_g"), 4))
+        .withColumn("top_share", TextAnalysis.round4(col("max_g") / col("n_g")))
         .orderBy(col("doc_id")),
       s"""WITH t AS (
          |  SELECT doc_id, unnest(CASE WHEN len($toksSql) >= 2
@@ -540,7 +540,7 @@ object TrainQueries {
          |  FROM documents),
          |cnt AS (SELECT doc_id, g, count(*) AS n FROM t GROUP BY 1, 2)
          |SELECT doc_id, CAST(max(n) AS BIGINT) AS max_g, CAST(sum(n) AS BIGINT) AS n_g,
-         |  round(max(n) / sum(n), 4) AS top_share
+         |  floor(max(n) / sum(n) * 10000.0 + 0.5) / 10000.0 AS top_share
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // ── target-mixture sampling: rates derived from observed stratum
