@@ -263,10 +263,10 @@ object TrainQueries {
         |  FROM buckets a JOIN buckets b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
         |SELECT i, j,
-        |  round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |  floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |FROM cand JOIN embeddings qa ON i = qa.vec_id
         |          JOIN embeddings qb ON j = qb.vec_id
-        |WHERE round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) >= 0.45
+        |WHERE floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
         |ORDER BY i, j""".stripMargin),
 
     // ── brute-force cosine top-k (exact ANN baseline; ranks on rounded
@@ -279,7 +279,7 @@ object TrainQueries {
       },
       """WITH s AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |    round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+        |    floor(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
         |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
@@ -321,7 +321,7 @@ object TrainQueries {
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
         |pairs AS (
         |  SELECT qid, nid,
-        |    round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
         |            JOIN embeddings qb ON nid = qb.vec_id)
         |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
@@ -342,7 +342,7 @@ object TrainQueries {
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
         |assign AS (
         |  SELECT e.vec_id AS id, c.cid,
-        |    round(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS d
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
         |  FROM embeddings e CROSS JOIN cents c),
         |ranked AS (
         |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
@@ -355,7 +355,7 @@ object TrainQueries {
         |  WHERE m.id <> p.qid),
         |pairs AS (
         |  SELECT qid, nid,
-        |    round(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
         |            JOIN embeddings qb ON nid = qb.vec_id)
         |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (

@@ -19,6 +19,12 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
+  /** 6-decimal rounding on the BINARY double (floor(x·10⁶+0.5)/10⁶):
+    * engine round() disagrees on representation-boundary rows — see
+    * TextAnalysis.round4.
+    */
+  def round6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -48,7 +54,7 @@ object Similarity {
       .filter((col("ba") =!= col("bb")) || (col("i") < col("j")))
       // dot is IEEE-commutative elementwise, so orientation doesn't affect
       // bit-parity with the oracle
-      .withColumn("sim", round(dot(col("va"), col("vb")), 6))
+      .withColumn("sim", round6(dot(col("va"), col("vb"))))
       .filter(col("sim") >= threshold)
       .select(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"), col("sim"))
@@ -81,7 +87,7 @@ object Similarity {
     cand
       .join(vecs.select(col("vid").as("i"), col("vv").as("va")), Seq("i"))
       .join(vecs.select(col("vid").as("j"), col("vv").as("vb")), Seq("j"))
-      .withColumn("sim", round(dot(col("va"), col("vb")), 6))
+      .withColumn("sim", round6(dot(col("va"), col("vb"))))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
   }
@@ -104,7 +110,7 @@ object Similarity {
     // step (m ≪ n centroids broadcast) — deliberate, not a missing join key
     val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
-      .withColumn("d", round(dot(col("v"), col("cv")), 6))
+      .withColumn("d", round6(dot(col("v"), col("cv"))))
       .withColumn("rnk", row_number().over(w))
     // materialize the pruned assignment ONCE (lazy checkpoint) — cells and
     // probes both branch off it, and without this the n·m assignment
@@ -123,7 +129,7 @@ object Similarity {
     cand
       .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
       .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
-      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
       .groupBy(col("qid"))
       .agg(graft.functions.topk_by(col("sim"), col("nid"), k).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
@@ -153,7 +159,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -205,7 +211,7 @@ object Similarity {
     val pairs = cand
       .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
       .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
-      .withColumn("sim", round(dot(col("qv"), col("nv")), 6))
+      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
       .filter(col("sim") >= threshold)
     // top-k pushdown: the bounded-heap aggregate partial-aggregates map-
     // side, so ≤k candidates per query per partition reach the shuffle —
