@@ -33,8 +33,12 @@ object CoreQueries {
             centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price_c"),
             centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge_c"),
             count(lit(1)).as("count_order"))
-          .withColumn("avg_qty", round(col("sum_qty_c") / 100.0 / col("count_order"), 2))
-          .withColumn("avg_price", round(col("sum_base_price_c") / 100.0 / col("count_order"), 2))
+          // binary-double rounding: engine round() can disagree on
+          // representation-boundary ratios (see TextAnalysis.round4)
+          .withColumn("avg_qty",
+            floor(col("sum_qty_c") / 100.0 / col("count_order") * 100.0 + 0.5) / 100.0)
+          .withColumn("avg_price",
+            floor(col("sum_base_price_c") / 100.0 / col("count_order") * 100.0 + 0.5) / 100.0)
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       s"""SELECT l_returnflag, l_linestatus,
@@ -43,8 +47,8 @@ object CoreQueries {
          |  ${cents("l_extendedprice*(1-l_discount)")} AS sum_disc_price_c,
          |  ${cents("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge_c,
          |  count(*) AS count_order,
-         |  round(${cents("l_quantity")}/100.0/count(*), 2) AS avg_qty,
-         |  round(${cents("l_extendedprice")}/100.0/count(*), 2) AS avg_price
+         |  floor(${cents("l_quantity")}/100.0/count(*) * 100.0 + 0.5) / 100.0 AS avg_qty,
+         |  floor(${cents("l_extendedprice")}/100.0/count(*) * 100.0 + 0.5) / 100.0 AS avg_price
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus

@@ -85,7 +85,7 @@ object MoreTpchQueries {
             sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
               .cast("long")).as("total_c"))
           .select(col("promo_c"), col("total_c"),
-            round(col("promo_c") * 100.0 / col("total_c"), 4).as("promo_pct"))
+            (floor(col("promo_c") * 100.0 / col("total_c") * 10000.0 + 0.5) / 10000.0).as("promo_pct"))
       },
       """WITH s AS (
         |  SELECT
@@ -96,7 +96,8 @@ object MoreTpchQueries {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01')
-        |SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
+        |SELECT promo_c, total_c,
+        |  floor(promo_c * 100.0 / total_c * 10000.0 + 0.5) / 10000.0 AS promo_pct
         |FROM s""".stripMargin),
 
     // ── q7 shape: bilateral nation volume (OR of symmetric pairs + year) ──
@@ -150,7 +151,7 @@ object MoreTpchQueries {
             sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
               .cast("long")).as("total_c"))
           .select(col("o_year"), col("nation_c"), col("total_c"),
-            round(col("nation_c") * 10000.0 / col("total_c"), 4).as("share_bp"))
+            (floor(col("nation_c") * 10000.0 / col("total_c") * 10000.0 + 0.5) / 10000.0).as("share_bp"))
           .orderBy(col("o_year"))
       },
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -158,10 +159,11 @@ object MoreTpchQueries {
         |    THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS nation_c,
         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c,
-        |  round(CAST(sum(CASE WHEN n_name = 'NATION_1'
+        |  floor(CAST(sum(CASE WHEN n_name = 'NATION_1'
         |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
         |      ELSE 0 END) AS BIGINT) * 10000.0
-        |    / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT), 4) AS share_bp
+        |    / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    * 10000.0 + 0.5) / 10000.0 AS share_bp
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
