@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   private def cents(alias: String): String =
-    s"CAST(sum(CAST(round($alias*100) AS BIGINT)) AS BIGINT)"
+    s"CAST(sum(CAST(floor($alias*100 + 0.5) AS BIGINT)) AS BIGINT)"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -58,7 +58,7 @@ object AnalyticsQueries {
         Tables.lineitem(spark, dir)
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+            sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_c"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -67,7 +67,7 @@ object AnalyticsQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin),
@@ -106,11 +106,11 @@ object AnalyticsQueries {
           .filter(col("p_retailprice") > col("a"))
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n"),
-            max(round(col("p_retailprice") * 100, 0).cast("long")).as("max_price_c"))
+            max(floor(col("p_retailprice") * 100 + 0.5).cast("long")).as("max_price_c"))
           .orderBy(col("p_brand"))
       },
       """SELECT p_brand, count(*) AS n,
-        |  max(CAST(round(p_retailprice*100) AS BIGINT)) AS max_price_c
+        |  max(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS max_price_c
         |FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
@@ -124,7 +124,7 @@ object AnalyticsQueries {
           .agg(avg(col("l_quantity")).as("avg_qty"))
         l.join(perPart, col("l_partkey") === col("pk"))
           .filter(col("l_quantity") < col("avg_qty") * 0.5)
-          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"),
+          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_c"),
             count(lit(1)).as("n"))
       },
       s"""SELECT ${cents("l_extendedprice")} AS rev_c, count(*) AS n

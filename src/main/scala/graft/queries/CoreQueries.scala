@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
 /** TPC-H-shaped analytical queries over the TESTDATA star schema.
   *
   * Money/quantity aggregates accumulate in integer cents
-  * (`round(x*100)::long`) so Spark and the DuckDB oracle agree bit-exactly
+  * (`floor(x*100 + 0.5)::long`) so Spark and the DuckDB oracle agree bit-exactly
   * regardless of floating-point summation order; derived doubles are then
   * computed from the exact integer sums (deterministic division).
   */
 object CoreQueries {
 
-  /** Exact integer-cents sum of a double column. */
-  private def centsSum(c: Column): Column = sum(round(c * 100, 0).cast("long"))
+  /** Exact integer-cents sum of a double column (floor(x·100+0.5): the
+    * binary-double rounding both engines compute identically — engine
+    * round() can disagree on representation-boundary values).
+    */
+  private def centsSum(c: Column): Column = sum(floor(c * 100 + 0.5).cast("long"))
   private def cents(alias: String): String =
-    s"CAST(sum(CAST(round($alias*100) AS BIGINT)) AS BIGINT)"
+    s"CAST(sum(CAST(floor($alias*100 + 0.5) AS BIGINT)) AS BIGINT)"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -157,12 +160,12 @@ object CoreQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("totalprice_c"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("totalprice_c"),
             col("rn"))
           .orderBy(col("o_custkey"), col("rn"))
       },
       """SELECT o_custkey, o_orderkey,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, CAST(rn AS INT) AS rn
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_c, CAST(rn AS INT) AS rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
@@ -216,11 +219,11 @@ object CoreQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(spark, dir)
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w).as("running_c"))
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w).as("running_c"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
         |FROM orders

@@ -19,13 +19,13 @@ object EventQueries {
         Tables.events(spark, dir)
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 100, 0).cast("long")).as("value_c"))
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_c"))
           .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"), col("n"), col("value_c"))
           .orderBy(col("hour"), col("event_type")),
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
     // ── sessionization: 30-min inactivity gap (gaps-and-islands; the
@@ -92,7 +92,7 @@ object EventQueries {
           .select(col("event_id"), col("user_id"), col("ts"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .groupBy(col("user_id"), col("ts"))
-          .agg(max(round(col("value") * 100, 0).cast("long")).as("purchase_c"))
+          .agg(max(floor(col("value") * 100 + 0.5).cast("long")).as("purchase_c"))
         graft.ops.AsofJoin.join(clicks, purchases, "user_id", "ts", Seq("purchase_c"))
           .select(col("event_id"), col("user_id"),
             col("asof_purchase_c").as("last_purchase_c"))
@@ -101,7 +101,7 @@ object EventQueries {
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |purchases AS (
-        |  SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) AS purchase_c
+        |  SELECT user_id, ts, max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS purchase_c
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT c.event_id, c.user_id, p.purchase_c AS last_purchase_c
         |FROM clicks c

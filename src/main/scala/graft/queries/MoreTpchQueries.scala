@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object MoreTpchQueries {
 
   private def cents(alias: String): String =
-    s"CAST(sum(CAST(round($alias*100) AS BIGINT)) AS BIGINT)"
+    s"CAST(sum(CAST(floor($alias*100 + 0.5) AS BIGINT)) AS BIGINT)"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -27,7 +27,7 @@ object MoreTpchQueries {
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("revenue_c"))
           .orderBy(col("revenue_c").desc, col("c_custkey"))
           .limit(20)
@@ -80,9 +80,9 @@ object MoreTpchQueries {
         l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type").startsWith("PROMO"),
-              round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
                 .cast("long")).otherwise(0L)).as("promo_c"),
-            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
               .cast("long")).as("total_c"))
           .select(col("promo_c"), col("total_c"),
             (floor(col("promo_c") * 100.0 / col("total_c") * 10000.0 + 0.5) / 10000.0).as("promo_pct"))
@@ -90,9 +90,9 @@ object MoreTpchQueries {
       """WITH s AS (
         |  SELECT
         |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
         |      ELSE 0 END) AS BIGINT) AS promo_c,
-        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
+        |    CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01')
@@ -118,7 +118,7 @@ object MoreTpchQueries {
           .filter(pair)
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
-          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("revenue_c"))
           .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       },
@@ -146,9 +146,9 @@ object MoreTpchQueries {
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
             sum(when(col("n_name") === "NATION_1",
-              round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
                 .cast("long")).otherwise(0L)).as("nation_c"),
-            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
               .cast("long")).as("total_c"))
           .select(col("o_year"), col("nation_c"), col("total_c"),
             (floor(col("nation_c") * 10000.0 / col("total_c") * 10000.0 + 0.5) / 10000.0).as("share_bp"))
@@ -156,13 +156,13 @@ object MoreTpchQueries {
       },
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN n_name = 'NATION_1'
-        |    THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |    THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS nation_c,
-        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
         |  floor(CAST(sum(CASE WHEN n_name = 'NATION_1'
-        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
         |      ELSE 0 END) AS BIGINT) * 10000.0
-        |    / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    / CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)
         |    * 10000.0 + 0.5) / 10000.0 AS share_bp
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -186,11 +186,11 @@ object MoreTpchQueries {
           .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("segcode"))
           .agg(count(lit(1)).as("numcust"),
-            sum(round(col("c_acctbal") * 100, 0).cast("long")).as("totacctbal_c"))
+            sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("totacctbal_c"))
           .orderBy(col("segcode"))
       },
       """SELECT substr(c_mktsegment, 1, 2) AS segcode, count(*) AS numcust,
-        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_c
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND substr(c_mktsegment, 1, 2) IN ('BU', 'MA', 'AU')
@@ -204,23 +204,23 @@ object MoreTpchQueries {
         val l = Tables.lineitem(spark, dir)
         val o = Tables.orders(spark, dir)
         val big = l.groupBy(col("l_orderkey"))
-          .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_c"))
+          .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_c"))
           .filter(col("qty_c") > 15000)   // > 150 units
         o.join(big, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("totalprice_c"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("totalprice_c"),
             col("qty_c"))
           .orderBy(col("qty_c").desc, col("o_orderkey"))
           .limit(25)
       },
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, qty_c
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_c, qty_c
         |FROM orders JOIN (
         |  SELECT l_orderkey,
-        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |    CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 15000) b
+        |  HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 15000) b
         |  ON o_orderkey = b.l_orderkey
         |ORDER BY qty_c DESC, o_orderkey LIMIT 25""".stripMargin),
 
@@ -257,7 +257,7 @@ object MoreTpchQueries {
             col("l_quantity").between(20, 30))
         l.join(p, col("l_partkey") === col("p_partkey"))
           .filter(cond)
-          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("revenue_c"),
             count(lit(1)).as("n"))
       },

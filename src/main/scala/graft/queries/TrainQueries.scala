@@ -375,7 +375,7 @@ object TrainQueries {
         |  SELECT vec_id % 10 AS grp,
         |    unnest(generate_series(0, 63)) AS dim,
         |    unnest(list_transform(generate_series(1, 64),
-        |      i -> CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))) AS u
+        |      i -> CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))) AS u
         |  FROM embeddings)
         |SELECT grp, CAST(dim AS INT) AS dim, CAST(sum(u) AS BIGINT) AS sum_u,
         |  count(*) AS n

@@ -148,7 +148,7 @@ object Similarity {
     emb.select(groupCol.as("grp"), posexplode(col(vecCol)))
       .withColumnRenamed("pos", "dim")
       .groupBy(col("grp"), col("dim"))
-      .agg(sum(round(col("col").cast("double") * 1e6, 0).cast("long")).as("sum_u"),
+      .agg(sum(floor(col("col").cast("double") * 1e6 + 0.5).cast("long")).as("sum_u"),
         count(lit(1)).as("n"))
 
   /** Brute-force top-k neighbours for each query vector (exact baseline).
