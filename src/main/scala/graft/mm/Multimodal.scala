@@ -30,6 +30,33 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("frames", ArrayType(StringType))))
 
+  /** Build a structurally valid PNG prefix (magic + IHDR length/tag +
+    * 4-byte big-endian width/height) as a binary column — the fixture
+    * side of header-parse testing. Pure hex/unhex builtins, no codec.
+    */
+  def pngHeader(width: org.apache.spark.sql.Column,
+                height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"),    // PNG magic
+      lit("0000000D49484452"),    // IHDR chunk length (13) + "IHDR"
+      lpad(hex(width.cast("long")), 8, "0"),
+      lpad(hex(height.cast("long")), 8, "0")))
+
+  /** Parse width/height from PNG bytes WITHOUT a codec: IHDR's 4-byte
+    * big-endian dims sit at fixed offsets (bytes 17-24), so the metadata
+    * read is `substring` + base-16 `conv` over the hex rendering — the
+    * cheap header-scan a 100 TB media pipeline runs long before any
+    * decode. Returns struct(width, height); null when the magic is absent.
+    */
+  def pngDims(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = hex(content)
+    when(hx.startsWith("89504E470D0A1A0A"),
+      struct(
+        conv(substring(hx, 33, 8), 16, 10).cast("int").as("width"),
+        conv(substring(hx, 41, 8), 16, 10).cast("int").as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+  }
+
   /** Wrap an id+bytes DataFrame into the media schema (columnar, no UDF). */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String, mime: String): DataFrame =
     df.select(

@@ -583,6 +583,29 @@ object TrainQueries {
         |  sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin),
 
+    // ── multimodal: codec-free header metadata — synthesize valid PNG
+    //    prefixes (+payload) per doc and parse the IHDR dims back from
+    //    the raw bytes (substring + base-16 conv; the cheap header scan
+    //    that runs long before any decode). Oracle states the planted
+    //    dims directly. ──
+    "mm_png_dims" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val w = (pmod(col("doc_id"), lit(1000)) + 16).cast("int")
+        val h = (pmod(col("doc_id") * 7, lit(800)) + 16).cast("int")
+        val bytes = concat(Multimodal.pngHeader(w, h), col("text").cast("binary"))
+        docs.select(col("doc_id"), Multimodal.pngDims(bytes).as("dims"),
+            octet_length(bytes).cast("long").as("byte_len"))
+          .select(col("doc_id"), col("dims.width").as("width"),
+            col("dims.height").as("height"), col("byte_len"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(doc_id % 1000 + 16 AS INT) AS width,
+        |  CAST((doc_id * 7) % 800 + 16 AS INT) AS height,
+        |  CAST(24 + octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── multimodal: frame sampling over byte windows (stride 50, ≤8) ──
     "mm_frame_sample" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

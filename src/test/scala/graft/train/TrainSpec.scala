@@ -269,6 +269,19 @@ class MultimodalSpec extends SparkSpec {
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
   }
 
+  test("pngDims parses IHDR dims from raw bytes; non-PNG bytes yield null") {
+    val df = Seq(1L).toDF("id")
+      .select(Multimodal.pngHeader(lit(640), lit(480)).as("png"),
+        lit("not a png").cast("binary").as("junk"))
+    val row = df.select(
+      $"png".substr(1, 8),                       // magic intact
+      Multimodal.pngDims($"png").as("d"),
+      Multimodal.pngDims($"junk").as("j")).head()
+    assert(row.getAs[org.apache.spark.sql.Row]("d").getInt(0) == 640)
+    assert(row.getAs[org.apache.spark.sql.Row]("d").getInt(1) == 480)
+    assert(row.getAs[org.apache.spark.sql.Row]("j") == null)
+  }
+
   test("decode stub: mapPartitions batch path yields deterministic frames") {
     val m = Multimodal.asMedia(
       Seq((1L, "a" * 120), (2L, "b" * 10)).toDF("id", "p"), "id", "p", "text/plain")
