@@ -57,6 +57,50 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<width:int,height:int>"))
   }
 
+  import org.apache.spark.sql.Column
+
+  /** Little-endian hex field: reverse the byte pairs of a big-endian hex
+    * rendering (WAV/RIFF numbers are little-endian on disk).
+    */
+  private def leHex(v: Column, nBytes: Int): Column = {
+    val be = lpad(hex(v.cast("long")), 2 * nBytes, "0")
+    concat((0 until nBytes).map(i => substring(be, 2 * i + 1, 2)).reverse: _*)
+  }
+  private def leRead(hx: Column, startChar: Int, nBytes: Int): Column =
+    conv(concat(
+      (0 until nBytes).reverse.map(i => substring(hx, startChar + 2 * i, 2)): _*),
+      16, 10)
+
+  /** Build a structurally valid WAV/RIFF+fmt header (PCM) as binary —
+    * fixture side of the audio header-parse path.
+    */
+  def wavHeader(channels: Column, sampleRate: Column, bitsPerSample: Column): Column =
+    unhex(concat(
+      lit("52494646"), lit("00000000"),            // "RIFF" + (size unused)
+      lit("57415645"), lit("666D7420"),            // "WAVE" + "fmt "
+      lit("10000000"), lit("0100"),                // fmt size 16, PCM
+      leHex(channels, 2),
+      leHex(sampleRate, 4),
+      leHex(sampleRate * channels * bitsPerSample / 8, 4),  // byte rate
+      leHex(channels * bitsPerSample / 8, 2),               // block align
+      leHex(bitsPerSample, 2)))
+
+  /** Parse (channels, sample_rate, bits_per_sample) from WAV bytes without
+    * an audio library — RIFF fields sit at fixed little-endian offsets, so
+    * the metadata scan is pure hex substring + base-16 conv. Null for
+    * non-RIFF/WAVE bytes.
+    */
+  def wavMeta(content: Column): Column = {
+    val hx = hex(content)
+    when(hx.startsWith("52494646") && substring(hx, 17, 8) === lit("57415645"),
+      struct(
+        leRead(hx, 45, 2).cast("int").as("channels"),
+        leRead(hx, 49, 4).cast("int").as("sample_rate"),
+        leRead(hx, 69, 2).cast("int").as("bits_per_sample")))
+      .otherwise(lit(null).cast(
+        "struct<channels:int,sample_rate:int,bits_per_sample:int>"))
+  }
+
   /** Wrap an id+bytes DataFrame into the media schema (columnar, no UDF). */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String, mime: String): DataFrame =
     df.select(

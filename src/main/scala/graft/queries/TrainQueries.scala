@@ -606,6 +606,27 @@ object TrainQueries {
         |  CAST(24 + octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── multimodal: audio header metadata (WAV/RIFF little-endian
+    //    fields) parsed straight off the bytes, dims planted per doc ──
+    "mm_wav_meta" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+        val rate = ((pmod(col("doc_id"), lit(5)) + 1) * lit(8000)).cast("int")
+        val bytes = concat(Multimodal.wavHeader(ch, rate, lit(16)),
+          col("text").cast("binary"))
+        docs.select(col("doc_id"), Multimodal.wavMeta(bytes).as("m"))
+          .select(col("doc_id"), col("m.channels").as("channels"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.bits_per_sample").as("bits_per_sample"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST((doc_id % 5 + 1) * 8000 AS INT) AS sample_rate,
+        |  16 AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── multimodal: frame sampling over byte windows (stride 50, ≤8) ──
     "mm_frame_sample" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

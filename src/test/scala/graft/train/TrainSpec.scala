@@ -282,6 +282,25 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[org.apache.spark.sql.Row]("j") == null)
   }
 
+  test("wavMeta parses a canonical hand-written 44.1kHz stereo header") {
+    // ground truth, independent of wavHeader: RIFF....WAVEfmt <16,PCM>
+    // channels=2 (0200), rate=44100 (44AC0000), byteRate, align, bits=16
+    val canonical = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000"
+    val df = Seq(canonical).toDF("hx").select(unhex($"hx").as("wav"))
+    val m = df.select(Multimodal.wavMeta($"wav").as("m")).head()
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(m.getInt(0) == 2)
+    assert(m.getInt(1) == 44100)
+    assert(m.getInt(2) == 16)
+    // builder round-trips through the same parser; junk yields null
+    val b = df.select(Multimodal.wavMeta(
+      Multimodal.wavHeader(lit(2), lit(44100), lit(16))).as("m")).head()
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(b.getInt(0) == 2 && b.getInt(1) == 44100 && b.getInt(2) == 16)
+    assert(df.select(Multimodal.wavMeta(lit("junk").cast("binary"))).head().get(0) == null)
+  }
+
   test("decode stub: mapPartitions batch path yields deterministic frames") {
     val m = Multimodal.asMedia(
       Seq((1L, "a" * 120), (2L, "b" * 10)).toDF("id", "p"), "id", "p", "text/plain")
