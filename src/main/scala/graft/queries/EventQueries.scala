@@ -109,6 +109,30 @@ object EventQueries {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin),
 
+    // ── range join WITHOUT an equi-key (every 50th event opens a 2-hour
+    //    interval; count the events inside each): bucketized to an
+    //    equi-join on hour buckets + exact post-filter — the naive plan
+    //    is a BroadcastNestedLoopJoin over the range predicate ──
+    "ev_range_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val hourNs = 3600L * 1000000000L
+        val points = ev.select(col("event_id").as("p_id"), col("ts_ns").as("p_ts"))
+        val intervals = ev.filter(col("event_id") % 50 === 0)
+          .select(col("event_id").as("interval_id"),
+            col("ts_ns").as("i_start"),
+            (col("ts_ns") + 2 * hourNs).as("i_end"))
+        graft.ops.RangeJoin
+          .pointInInterval(points, "p_ts", intervals, "i_start", "i_end", hourNs)
+          .groupBy(col("interval_id")).agg(count(lit(1)).as("n_points"))
+          .orderBy(col("interval_id"))
+      },
+      """SELECT i.event_id AS interval_id, count(*) AS n_points
+        |FROM events i JOIN events p
+        |  ON p.ts >= i.ts AND p.ts < i.ts + INTERVAL 2 HOUR
+        |WHERE i.event_id % 50 = 0
+        |GROUP BY 1 ORDER BY interval_id""".stripMargin),
+
     // ── editorial retry protocol (RetryHandler,
     //    tre_editorial_integration.py:432-542): per-consignment sequential
     //    state machine — incoming must be last-accepted+1, limit 3 hard-
