@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch: hash every value into
+  * [0, 2³²), keep the k smallest DISTINCT hashes per group, estimate
+  * distinct = (k-1) · 2³² / h_k (the classic order-statistics estimator).
+  *
+  * Versus HLL (`approx_count_distinct`): the same mergeable-bounded-state
+  * shape, but built from md5 + the bounded-heap `topk_by` aggregate, so
+  * it is (a) deterministic across runs/partitionings and (b) replayable
+  * in SQL by any engine with md5 — the whole sketch sits under the DuckDB
+  * hash gate, which no engine-native HLL can do. Map-side partial
+  * aggregation keeps ≤k hashes per group per partition on the wire.
+  */
+object Sketch {
+
+  /** 32-bit md5-prefix hash (exact in long AND double — SQL-mirrorable
+    * without bigint-overflow differences).
+    */
+  def hash32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Per-group KMV estimate: returns (group, h_k, est_distinct) for groups
+    * carrying ≥ k distinct values (the sketch regime; below k the exact
+    * count is free anyway).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol).as("grp"),
+        hash32(col(valueCol)).as("h"))
+      .distinct()
+    // k smallest hashes = topk_by on the negated hash; rank k holds h_k
+    hashed
+      .groupBy(col("grp"))
+      .agg(graft.functions.topk_by((-col("h")).cast("double"), col("h"), k).as("top"))
+      .select(col("grp"), explode(col("top")).as("t"))
+      .filter(col("t.rank") === k)
+      .select(col("grp"), col("t.nid").as("h_k"),
+        floor(lit((k - 1) * 4294967296.0) / col("t.nid")).cast("long").as("est_distinct"))
+  }
+}

@@ -133,6 +133,35 @@ object EventQueries {
         |WHERE i.event_id % 50 = 0
         |GROUP BY 1 ORDER BY interval_id""".stripMargin),
 
+    // ── KMV distinct sketch: k smallest md5 hashes per group → distinct
+    //    estimate (k-1)·2³²/h_k, alongside the exact count. k=8 because
+    //    the sf0.001 corpus has only 15 users/group. Deterministic and
+    //    fully hash-gated — an engine-native HLL can't be. ──
+    "ev_kmv_distinct" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val sk = graft.ops.Sketch.kmvDistinct(ev, "event_type", "user_id", 8)
+        val exact = ev.groupBy(col("event_type").as("grp"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        sk.join(exact, Seq("grp")).orderBy(col("grp"))
+      },
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+        |      FROM h),
+        |ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+        |       FROM events GROUP BY 1)
+        |SELECT r.grp, hv AS h_k,
+        |  CAST(floor(7 * 4294967296.0 / hv) AS BIGINT) AS est_distinct,
+        |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+        |FROM r JOIN ex ON r.grp = ex.grp
+        |WHERE rn = 8 ORDER BY r.grp""".stripMargin),
+
     // ── editorial retry protocol (RetryHandler,
     //    tre_editorial_integration.py:432-542): per-consignment sequential
     //    state machine — incoming must be last-accepted+1, limit 3 hard-
