@@ -133,6 +133,21 @@ object EventQueries {
         |WHERE i.event_id % 50 = 0
         |GROUP BY 1 ORDER BY interval_id""".stripMargin),
 
+    // ── skew-tolerant aggregation under the gate: two-phase salted count
+    //    (partial per (key, salt) → final per key) must equal the plain
+    //    per-key count — the decomposition the salting utilities rely on ──
+    "ev_salted_count" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val salted = graft.ops.Skew.saltedCount(ev, "event_type",
+          salts = 8, saltSource = "event_id")
+        salted
+          .select(col("event_type"), col("n").cast("long").as("n"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // ── KMV distinct sketch: k smallest md5 hashes per group → distinct
     //    estimate (k-1)·2³²/h_k, alongside the exact count. k=8 because
     //    the sf0.001 corpus has only 15 users/group. Deterministic and
