@@ -148,6 +148,22 @@ object EventQueries {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
 
+    // ── salted equi-join under the gate: the skewed side salts, the dim
+    //    side replicates across salts — must equal the plain join ──
+    "ev_salted_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("tcode", upper(col("event_type")))
+        val joined = graft.ops.Skew.saltedJoin(
+          ev.select(col("event_id"), col("event_type")), dim,
+          key = "event_type", salts = 4, saltSource = "event_id")
+        joined.groupBy(col("tcode")).agg(count(lit(1)).as("n"))
+          .orderBy(col("tcode"))
+      },
+      """SELECT upper(event_type) AS tcode, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY tcode""".stripMargin),
+
     // ── KMV distinct sketch: k smallest md5 hashes per group → distinct
     //    estimate (k-1)·2³²/h_k, alongside the exact count. k=8 because
     //    the sf0.001 corpus has only 15 users/group. Deterministic and
