@@ -24,12 +24,16 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     // renamed internals: both sides often share lineage (self-range-joins
-    // trip DetectAmbiguousSelfJoin otherwise)
+    // trip DetectAmbiguousSelfJoin otherwise). Empty/inverted intervals
+    // are dropped up front — Spark's sequence(a, b) runs DESCENDING when
+    // b < a, which would fabricate bucket rows the post-filter then has
+    // to discard.
     val p = points.withColumn("_pb", floor(col(ptCol) / bucketWidth))
-    val iv = intervals.withColumn("_ib",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth),
-        floor((col(endCol) - 1) / bucketWidth))))
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_ib",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth),
+          floor((col(endCol) - 1) / bucketWidth))))
     p.join(iv, p("_pb") === iv("_ib") &&
         p(ptCol) >= iv(startCol) && p(ptCol) < iv(endCol))
       .drop("_pb", "_ib")

@@ -41,4 +41,15 @@ class RangeJoinSpec extends SparkSpec {
     // 100 inclusive, 163 inside, 99 below, 164 at the exclusive end
     assert(got == Seq(1L, 2L))
   }
+
+  test("empty and inverted intervals yield no matches (no descending buckets)") {
+    val points = Seq((1L, 50L)).toDF("p_id", "p_ts")
+    val intervals = Seq(
+      (1L, 50L, 50L),    // empty
+      (2L, 90L, 10L))    // inverted
+      .toDF("iv_id", "i_start", "i_end")
+    val got = RangeJoin.pointInInterval(points, "p_ts", intervals,
+      "i_start", "i_end", bucketWidth = 16L)
+    assert(got.count() == 0)
+  }
 }
