@@ -48,9 +48,13 @@ object Sampling {
               weights: Map[String, Double]): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val c = weights.collect {
+    val ratios = weights.collect {
       case (s, w) if w > 0 && counts.getOrElse(s, 0L) > 0L => counts(s) / w
-    }.min
+    }
+    require(ratios.nonEmpty,
+      s"mixture: no weighted stratum present in the data " +
+        s"(weights: ${weights.keys.mkString(",")}; observed: ${counts.keys.mkString(",")})")
+    val c = ratios.min
     val rates = weights.map { case (s, w) =>
       s -> counts.get(s).filter(_ > 0).map(n => math.min(1.0, c * w / n)).getOrElse(0.0)
     }
