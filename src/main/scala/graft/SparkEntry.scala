@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.ArchiveQueries.defs ++
       graft.queries.MoreTpchQueries.defs ++
       graft.queries.TpchSubqueries.defs ++
+      graft.queries.CorpusOpsQueries.defs ++
       graft.queries.EditorialQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -16,10 +16,10 @@ object TrainQueries {
 
   // ── shared oracle fragments ──
   /** tokens CTE: mirrors TextAnalysis.tokens */
-  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[queries] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** shingle CTE: mirrors TextAnalysis.shingles(n=3) + array_distinct */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"""SELECT doc_id AS id, list_distinct(
        |  CASE WHEN len($toksSql) >= 3
        |    THEN list_transform(generate_series(1, len($toksSql)-2),

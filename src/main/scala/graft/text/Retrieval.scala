@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 scoring and
+  * inverted-index term lookup — the ranking half of a training-data
+  * search/dedup stack (the ANN half lives in `graft.sim.Similarity`).
+  *
+  * Scale shape: BM25 is two passes over the corpus — a single global
+  * aggregation producing one stats row (N, Σdl, per-term df) that rides
+  * a broadcast, then a purely columnar scoring pass (no shuffle of the
+  * corpus; the only shuffle is the final top-k). The inverted-index path
+  * filters postings against the broadcast query-term list BEFORE the
+  * aggregation, so only matching postings ever shuffle.
+  *
+  * Every arithmetic step is written with explicit parenthesization and
+  * mirrored verbatim in the DuckDB oracle (queries.CorpusOpsQueries):
+  * IEEE double ops are deterministic given the same operand order, and
+  * the only transcendental (ln in the idf) takes a handful of distinct
+  * small-rational inputs per corpus.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Occurrences of `term` in the token array. */
+  def termFreq(toks: Column, term: String): Column =
+    size(filter(toks, t => t === lit(term)))
+
+  /** One-row corpus statistics: doc count, total token count, and one
+    * document-frequency column `df_<i>` per query term.
+    */
+  def corpusStats(docs: DataFrame, toksCol: String, terms: Seq[String]): DataFrame = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col(toksCol), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col(toksCol)).cast("long")).as("sum_dl") +: dfCols): _*)
+  }
+
+  /** BM25 score of `terms` against every document. `docs` must carry
+    * `idCol` and a token-array column `toksCol` (project
+    * `TextAnalysis.tokens` once upstream so tokenization runs once per
+    * row). Returns (id, score) with the raw double score; callers round
+    * for oracle-stable ranking.
+    */
+  def bm25(docs: DataFrame, idCol: String, toksCol: String,
+           terms: Seq[String]): DataFrame = {
+    val stats = corpusStats(docs, toksCol, terms)
+    val dl = size(col(toksCol)).cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = col(s"df_$i").cast("double")
+      val idf = log(((col("n_docs").cast("double") - df) + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      val tf = termFreq(col(toksCol), t).cast("double")
+      idf * ((tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + (lit(B) * (dl / avgdl)))))
+    }.reduce(_ + _)
+    docs.join(broadcast(stats))
+      .select(col(idCol), score.as("score"))
+  }
+
+  /** Inverted-index lookup: explode postings, keep only query terms
+    * (broadcast join — non-matching postings never shuffle), then rank
+    * documents by (distinct terms matched, total term frequency).
+    * Integer-only scoring: no fp parity concerns.
+    */
+  def searchTopK(docs: DataFrame, idCol: String, toksCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = terms.toDF("term")
+    docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+      .orderBy(col("n_terms").desc, col("tf_sum").desc, col(idCol))
+      .limit(k)
+  }
+}
