@@ -72,6 +72,9 @@ object BloomDecon {
     val bits = buildBits(evalSh, "g", m, k)
     val cand = train.select(col(idCol).as("id"),
       probe(col(shCol), bits, m, k).as("candidate"), col(shCol).as("sh"))
+      // both the exact-verify branch and the final tally read this frame;
+      // materialize so the shingling + 3·|shingles| md5 probe runs once
+      .localCheckpoint(eager = false)
     val hits = cand.filter(col("candidate"))
       .select(col("id"), explode(col("sh")).as("g"))
       .join(broadcast(evalSh), Seq("g"))

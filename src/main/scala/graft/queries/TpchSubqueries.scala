@@ -99,10 +99,15 @@ object TpchSubqueries {
     //    supplier nation and ship year, for one part family ──
     "q9_product_profit" -> QueryDef(
       (spark, dir) => {
-        val l = Tables.lineitem(spark, dir)
-        l.join(ps(spark, dir),
-            col("l_partkey") === col("ps_partkey") &&
-              col("l_suppkey") === col("ps_suppkey"))
+        // the derived supply cost is a window over (partkey, suppkey) —
+        // the groupBy + join-back formulation shuffles lineitem twice and
+        // sort-merge-joins it against itself
+        val wps = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(spark, dir)
+          .withColumn("ps_supplycost_c",
+            min(floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+              .cast("long")).over(wps))
           .join(Tables.part(spark, dir).filter(col("p_name").contains("bolt")),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
