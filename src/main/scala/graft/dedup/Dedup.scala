@@ -166,6 +166,12 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j")).distinct()
+      // size-ratio prune: jaccard ≤ min(|A|,|B|)/max(|A|,|B|) even at full
+      // containment, so pairs that can't reach the threshold skip the
+      // rescore join entirely (1e-4 margin covers the round4 boundary).
+      // No-op on same-length corpora; decisive when doc lengths vary.
+      .filter(least(col("n_i"), col("n_j")).cast("double") /
+        greatest(col("n_i"), col("n_j")) >= threshold - 1e-4)
     // exact-jaccard re-score restricted to candidates. Measured note: the
     // codegen'd explode-join + hash-aggregate count beats a per-pair
     // array_intersect (interpreted set build per evaluation) by ~25% here.

@@ -40,4 +40,39 @@ object Sketch {
       .select(col("grp"), col("t.nid").as("h_k"),
         floor(lit((k - 1) * 4294967296.0) / col("t.nid")).cast("long").as("est_distinct"))
   }
+
+  /** Count-Min Sketch cell position for hash row `j`: md5-derived, so the
+    * whole sketch is deterministic and SQL-replayable (same trick as
+    * `hash32`).
+    */
+  private def cmsPos(key: org.apache.spark.sql.Column, j: Int,
+                     width: Int): org.apache.spark.sql.Column =
+    pmod(hash32(concat(lit(s"$j:"), key.cast("string"))), lit(width))
+
+  /** Build the CMS cell table: `depth`·`width` cells regardless of input
+    * size — one explode (×depth) and one shuffle on (j, p). Cells are
+    * mergeable across corpora by adding counts.
+    */
+  def cmsCells(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val entries = (1 to depth).map(j =>
+      struct(lit(j).as("j"), cmsPos(col(keyCol), j, width).as("p")))
+    df.select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.p").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate counts for `keys` against a cell table: est(key) =
+    * min over rows of the key's cell — overestimates only (collisions
+    * add, never subtract). The cell table is broadcast (d·w rows).
+    */
+  def cmsEstimate(keys: DataFrame, cells: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val entries = (1 to depth).map(j =>
+      struct(lit(j).as("j"), cmsPos(col(keyCol), j, width).as("p")))
+    keys.select(col(keyCol).as("key"), explode(array(entries: _*)).as("e"))
+      .join(broadcast(cells),
+        col("e.j") === col("j") && col("e.p") === col("p"))
+      .groupBy(col("key"))
+      .agg(min(col("cnt")).as("est"))
+  }
 }

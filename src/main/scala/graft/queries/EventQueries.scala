@@ -11,7 +11,54 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** DuckDB rendering of Sketch.hash32 over an arbitrary expression
+    * (md5-prefix 32-bit hash as exact integer arithmetic).
+    */
+  private def hash32Sql(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+       |      i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
+       |           * (16 ** (8 - i)))) AS BIGINT)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ── Count-Min Sketch frequency estimation: d·w bounded cells (md5
+    //    hash family, mergeable by adding counts), point estimates =
+    //    min over rows — overestimate-only, verified against exact
+    //    counts for the top-10 users ──
+    "ev_cms_counts" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val cells = graft.ops.Sketch.cmsCells(ev, "user_id", depth = 3, width = 256)
+        val top = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+          .limit(10)
+          // the estimate branch and the output join both read this frame
+          .localCheckpoint(eager = false)
+        val est = graft.ops.Sketch.cmsEstimate(
+          top.select(col("user_id")), cells, "user_id", depth = 3, width = 256)
+        top.join(est, col("user_id") === col("key"))
+          .select(col("user_id"), col("exact_n"), col("est"),
+            (col("est") - col("exact_n")).as("over"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      s"""WITH js AS (SELECT unnest(generate_series(1, 3)) AS j),
+         |pos AS (
+         |  SELECT user_id, j,
+         |    ${hash32Sql("CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS p
+         |  FROM events CROSS JOIN js),
+         |cells AS (SELECT j, p, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY 1, 2),
+         |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+         |        FROM events GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10),
+         |kpos AS (
+         |  SELECT user_id, j,
+         |    ${hash32Sql("CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS p
+         |  FROM top CROSS JOIN js),
+         |est AS (SELECT k.user_id, min(c.cnt) AS est
+         |        FROM kpos k JOIN cells c USING (j, p) GROUP BY 1)
+         |SELECT t.user_id, exact_n, est, est - exact_n AS over
+         |FROM top t JOIN est USING (user_id)
+         |ORDER BY exact_n DESC, user_id""".stripMargin),
 
     // ── tumbling-window aggregation (streaming groupBy window(ts)) ──
     "ev_hourly_agg" -> QueryDef(

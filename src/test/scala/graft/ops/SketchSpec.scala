@@ -31,4 +31,39 @@ class SketchSpec extends SparkSpec {
       .orderBy($"grp").collect().toSeq
     assert(a == b)
   }
+
+  test("CMS estimates never undercount and are exact without collisions") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cells = Sketch.cmsCells(ev, "user_id", depth = 3, width = 256)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+    val est = Sketch.cmsEstimate(exact.select($"user_id"), cells, "user_id", 3, 256)
+    val rows = est.join(exact, $"key" === $"user_id")
+      .select($"key", $"est", $"exact_n").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, e, x) =>
+      assert(e >= x, s"key $k undercounted: est=$e exact=$x")
+    }
+    // a wide sketch over this key population has collision-free rows for
+    // most keys: the median estimate must equal the exact count
+    val exactHits = rows.count { case (_, e, x) => e == x }
+    assert(exactHits * 2 >= rows.length,
+      s"only $exactHits/${rows.length} exact — sketch too narrow for the spec premise")
+  }
+
+  test("CMS cell table is bounded by depth*width and partitioning-invariant") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val a = Sketch.cmsCells(ev, "user_id", 3, 64).orderBy($"j", $"p").collect().toSeq
+    assert(a.size <= 3 * 64)
+    val b = Sketch.cmsCells(ev.repartition(13), "user_id", 3, 64)
+      .orderBy($"j", $"p").collect().toSeq
+    assert(a == b)
+    // merging two disjoint halves' cells by addition equals the whole
+    val h1 = Sketch.cmsCells(ev.filter($"event_id" % 2 === 0), "user_id", 3, 64)
+    val h2 = Sketch.cmsCells(ev.filter($"event_id" % 2 === 1), "user_id", 3, 64)
+    val merged = h1.select($"j", $"p", $"cnt")
+      .unionByName(h2.select($"j", $"p", $"cnt"))
+      .groupBy($"j", $"p").agg(sum($"cnt").as("cnt"))
+      .orderBy($"j", $"p").collect().toSeq
+    assert(merged == a)
+  }
 }
