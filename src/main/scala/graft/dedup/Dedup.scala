@@ -71,6 +71,73 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Containment scoring over the same shingle join as `jaccardPairs`:
+    * containment = |A∩B| / min(|A|,|B|) catches SUBSET duplication
+    * (a doc embedded inside a larger one) that symmetric Jaccard dilutes —
+    * a 100-shingle doc fully contained in a 10,000-shingle doc has
+    * jaccard ≈ 0.01 but containment 1.0. Same shuffle shape (one shingle
+    * self-equi-join), different final ratio.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = spread(docs).select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      .localCheckpoint(eager = false)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id"), col("n_sh").as("n_i")), col("i") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n_sh").as("n_j")), col("j") === col("id")).drop("id")
+      .withColumn("containment",
+        graft.text.TextAnalysis.round4(
+          col("n_common") / least(col("n_i"), col("n_j"))))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+  }
+
+  /** Per-doc duplicated-span profile over fixed-length character windows
+    * (Lee et al. 2022-style substring dedup, approximated with strided
+    * windows): hash every `winLen`-char window at `stride` offsets, count
+    * per doc how many DISTINCT window hashes also occur in some OTHER doc.
+    * Output: (id, n_win, n_dup, dup_frac).
+    *
+    * Scale: explode is linear in text size / stride; the only shuffles are
+    * on the window hash (dedup + doc-frequency) and the id rollup — no
+    * pairwise anything. The hash frame is materialized once and feeds both
+    * the per-doc totals and the shared-window counts.
+    */
+  def charWindowProfile(docs: DataFrame, winLen: Int, stride: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val windows = when(length(t) >= winLen,
+      transform(
+        sequence(lit(0), floor((length(t) - lit(winLen)) / lit(stride)).cast("int")),
+        i => md5(t.substr(i * stride + 1, lit(winLen)))))
+      .otherwise(array().cast("array<string>"))
+    // distinct (doc, window-hash) pairs: set semantics per doc
+    val w = spread(docs).select(col(idCol).as("id"), explode(windows).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // a window is "shared" when ≥2 distinct docs contain it (pairs are
+    // already distinct, so count(*) counts docs)
+    val shared = w.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val dup = w.join(shared, Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    val tot = w.groupBy(col("id")).agg(count(lit(1)).as("n_win"))
+    docs.select(col(idCol).as("id"))
+      .join(tot, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .withColumn("n_win", coalesce(col("n_win"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_win") === 0, lit(0.0)).otherwise(
+          graft.text.TextAnalysis.round4(col("n_dup") / col("n_win"))))
+  }
+
   /** MinHash signature as an array of k string-min hashes:
     * sig_s = min over shingles of md5(s || ':' || shingle). String-min over
     * md5 hex is an order statistic — deterministic and SQL-mirrorable

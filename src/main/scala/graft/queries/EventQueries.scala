@@ -60,6 +60,38 @@ object EventQueries {
          |FROM top t JOIN est USING (user_id)
          |ORDER BY exact_n DESC, user_id""".stripMargin),
 
+    // ── native session_window aggregation (the streaming-capable session
+    //    operator, exercised in batch): sessions merge while consecutive
+    //    events are ≤ gap apart (boundary-equal events MERGE — pinned
+    //    empirically), window end = last event + gap ──
+    "ev_session_window" -> QueryDef(
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start")),
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+
     // ── tumbling-window aggregation (streaming groupBy window(ts)) ──
     "ev_hourly_agg" -> QueryDef(
       (spark, dir) =>

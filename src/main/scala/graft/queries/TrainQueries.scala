@@ -644,6 +644,146 @@ object TrainQueries {
         |SELECT doc_id,
         |  CAST(unnest(generate_series(1, len(frames))) - 1 AS INT) AS frame_idx,
         |  unnest(frames) AS frame_md5
-        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // ── containment dedup: |A∩B| / min(|A|,|B|) over the same shingle
+    //    join as jaccard — catches a doc fully EMBEDDED in a larger one,
+    //    which symmetric Jaccard dilutes toward 0 ──
+    "dedup_containment" -> QueryDef(
+      (spark, dir) => Dedup.containmentPairs(Tables.documents(spark, dir), 3, 0.60)
+        .orderBy(col("i"), col("j")),
+      s"""WITH tt AS ($shinglesSql),
+         |e AS (SELECT id, unnest(sh) AS shingle FROM tt),
+         |sz AS (SELECT id, count(*) AS n FROM e GROUP BY id),
+         |c AS (SELECT a.id AS i, b.id AS j, count(*) AS nc
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+         |      GROUP BY 1, 2)
+         |SELECT c.i, c.j,
+         |  floor(nc / least(si.n, sj.n) * 10000.0 + 0.5) / 10000.0 AS containment
+         |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
+         |WHERE floor(nc / least(si.n, sj.n) * 10000.0 + 0.5) / 10000.0 >= 0.60
+         |ORDER BY i, j""".stripMargin),
+
+    // ── character-window duplicated-span profile (substring-level dedup
+    //    signal: strided 40-char window hashes, per-doc fraction shared
+    //    with ≥1 other doc) ──
+    "dedup_char_windows" -> QueryDef(
+      (spark, dir) => Dedup.charWindowProfile(Tables.documents(spark, dir), 40, 10)
+        .orderBy(col("id")),
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(list_transform(
+        |    generate_series(0, CAST(floor((len(text) - 40)/10.0) AS INT)),
+        |    i -> md5(substr(text, i*10 + 1, 40)))) AS h
+        |  FROM documents WHERE len(text) >= 40),
+        |shared AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        |tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_win FROM w GROUP BY 1),
+        |dup AS (SELECT w.id, CAST(count(*) AS BIGINT) AS n_dup
+        |        FROM w JOIN shared USING (h) GROUP BY 1)
+        |SELECT d.doc_id AS id, coalesce(t.n_win, 0) AS n_win,
+        |  coalesce(u.n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(t.n_win, 0) = 0 THEN 0.0
+        |       ELSE floor(coalesce(u.n_dup, 0) / t.n_win * 10000.0 + 0.5) / 10000.0
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN tot t ON d.doc_id = t.id
+        |                 LEFT JOIN dup u ON d.doc_id = u.id
+        |ORDER BY id""".stripMargin),
+
+    // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked
+    //    seeds, fixed-point centroids (micro-unit sums + counts), exact-
+    //    integer assignment scores — the whole index build replays in SQL ──
+    "emb_kmeans" -> QueryDef(
+      (spark, dir) =>
+        graft.sim.Clustering.kmeansAssign(Tables.embeddings(spark, dir), k = 8, iters = 2)
+          .select(col("id").as("vec_id"), col("cid").as("cluster"))
+          .orderBy(col("vec_id")),
+      kmeansSql + "\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"),
+
+    // ── SemDeDup (Abbas et al. 2023): k-means partition, then drop any
+    //    vector with a smaller-id in-cluster neighbour at cosine ≥ 0.45 —
+    //    candidate volume is Σ cluster², never n² ──
+    "emb_semdedup" -> QueryDef(
+      (spark, dir) =>
+        graft.sim.Clustering.semDedup(Tables.embeddings(spark, dir),
+          k = 8, iters = 2, threshold = 0.45)
+          .select(col("id").as("vec_id"), col("cluster"), col("dropped"))
+          .orderBy(col("vec_id")),
+      kmeansSql +
+        s""",
+           |m AS (SELECT a2.vec_id, a2.cid, e.embedding
+           |      FROM a2 JOIN embeddings e USING (vec_id)),
+           |drp AS (
+           |  SELECT DISTINCT a.vec_id
+           |  FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+           |  WHERE floor(list_inner_product(a.embedding::DOUBLE[],
+           |          b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45)
+           |SELECT a2.vec_id, a2.cid AS cluster, (d.vec_id IS NOT NULL) AS dropped
+           |FROM a2 LEFT JOIN drp d ON a2.vec_id = d.vec_id
+           |ORDER BY a2.vec_id""".stripMargin),
+
+    // ── int8 scalar quantization + exact top-k under the quantized
+    //    integer dot product (4× memory cut; ranking is pure integer
+    //    arithmetic, zero float drift) ──
+    "ann_int8_topk" -> QueryDef(
+      (spark, dir) =>
+        graft.sim.Quantize.int8TopK(Tables.embeddings(spark, dir),
+          dims = 64, k = 5, queryMod = 50)
+          .orderBy(col("qid"), col("rank")),
+      """WITH stats AS (
+        |  SELECT i.i AS dim,
+        |    min(CAST(embedding[i.i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i.i] AS DOUBLE)) AS mx
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+        |  GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, list(CASE WHEN s.mx = s.mn THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(CAST(floor((CAST(embedding[s.dim] AS DOUBLE) - s.mn)
+        |           / (s.mx - s.mn) * 255.0 + 0.5) AS BIGINT) - 128 AS DOUBLE)
+        |    END ORDER BY s.dim) AS q
+        |  FROM embeddings CROSS JOIN stats s
+        |  GROUP BY vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_inner_product(q.q, c.q) AS dot_q
+        |  FROM codes q JOIN codes c
+        |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |SELECT qid, nid, CAST(dot_q AS BIGINT) AS dot_q, CAST(rank AS INT) AS rank
+        |FROM (SELECT qid, nid, dot_q,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank
+        |      FROM p)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
   )
+
+  /** Shared k-means CTE chain (k=8, 2 Lloyd's iterations) mirroring
+    * Clustering.kmeansAssign: micro-unit vectors, md5-ranked seeds,
+    * exact-integer scores with (score DESC, cid) argmax. Ends at `a2`
+    * (vec_id, cid).
+    */
+  private lazy val kmeansSql: String =
+    """WITH micro AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id FROM embeddings
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |c0 AS (SELECT m.vec_id AS cid, m.vu AS su, CAST(1 AS BIGINT) AS n
+      |       FROM micro m JOIN seeds s ON m.vec_id = s.vec_id),
+      |s1 AS (SELECT m.vec_id, c.cid, list_inner_product(m.vu, c.su) / c.n AS score
+      |       FROM micro m CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS r
+      |  FROM s1) WHERE r = 1),
+      |u1 AS (
+      |  SELECT a.cid, i.i AS dim, sum(m.vu[i.i]) AS s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM a1 a JOIN micro m ON a.vec_id = m.vec_id
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(s ORDER BY dim) AS su, max(cnt) AS n FROM u1 GROUP BY 1),
+      |s2 AS (SELECT m.vec_id, c.cid, list_inner_product(m.vu, c.su) / c.n AS score
+      |       FROM micro m CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS r
+      |  FROM s2) WHERE r = 1)""".stripMargin
 }

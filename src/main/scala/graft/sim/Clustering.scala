@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering for corpus organization and semantic dedup.
+  *
+  * Lloyd's k-means over the embedding column, built to be deterministic and
+  * bit-replayable by a SQL oracle:
+  *
+  *  - seeds: the k vectors with the smallest md5(vec_id) — an arbitrary but
+  *    engine-independent spread (no RNG state);
+  *  - all arithmetic is exact: vectors are fixed-pointed to integer
+  *    micro-units, centroids are kept as (per-dim micro-unit SUM, member
+  *    COUNT) instead of a float mean, and the assignment score
+  *    dot(v_u, sum_u)/n is a ratio of exactly-representable integers
+  *    (components ≤1e6, sums ≤1e13·dims — every partial sum below 2^53), so
+  *    the double division is the ONLY rounding step and IEEE-identical
+  *    across engines;
+  *  - argmax ties break on cluster id.
+  *
+  * Scale: per iteration ONE broadcast of the k centroids to the corpus (the
+  * n·k assignment scores never shuffle) and one (cid, dim) shuffle of the
+  * exploded members for the centroid update — linear in corpus size, same
+  * shape as Spark MLlib's KMeans but with an oracle-checkable result.
+  * Iterations truncate lineage with lazy localCheckpoints (one job total).
+  */
+object Clustering {
+
+  /** Integer micro-units of a float vector, carried as array<double>
+    * (exact: |x| ≤ ~1e6 « 2^53) so the native dot product applies directly.
+    */
+  def microVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1e6 + 0.5).cast("double"))
+
+  /** Fixed-iteration Lloyd's assignment: (id, cluster) after `iters`
+    * rounds, cluster = seed vector's id. Clusters that lose all members
+    * simply disappear (no re-seeding), which the oracle replays.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    // micro-unit vectors materialized once: every iteration's assignment
+    // and update read this frame
+    val base = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    var cent = base
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .select(col("id").as("cid"), col("vu").as("su"), lit(1L).as("n"))
+      .localCheckpoint(eager = false)
+    var assigned: DataFrame = null
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("cid"))
+    for (_ <- 1 to iters) {
+      assigned = base.crossJoin(broadcast(cent))
+        .withColumn("score",
+          graft.functions.dot_product(col("vu"), col("su")) / col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("id"), col("cid"))
+        .localCheckpoint(eager = false)
+      // centroid update: per-dim micro-unit sums + member count (exact),
+      // rebuilt into a broadcastable k-row array frame
+      cent = assigned.join(base, Seq("id"))
+        .select(col("cid"), posexplode(col("vu")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")).as("su"),
+          max(col("cnt")).as("n"))
+        .localCheckpoint(eager = false)
+    }
+    assigned
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    * corpus, then WITHIN each cluster drop any vector that has a
+    * smaller-id neighbour with cosine ≥ `threshold` (min-id greedy keep,
+    * same representative convention as Dedup.dedupeByPairs). The
+    * cluster step is what makes the pairwise scan tractable: candidate
+    * volume is Σ cluster², never n².
+    */
+  def semDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters, idCol, vecCol)
+    val m = assigned
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .localCheckpoint(eager = false)
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("b.id") < col("a.id"))
+      .withColumn("sim", Similarity.round6(
+        Similarity.dot(col("a.v"), col("b.v"))))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("did"))
+      .distinct()
+    assigned
+      .join(dropped, col("id") === col("did"), "left")
+      .select(col("id"), col("cid").as("cluster"),
+        col("did").isNotNull.as("dropped"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.train
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sim.{Clustering, Quantize, Similarity}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("kmeans: total assignment, ≤k clusters, ids are seed ids") {
+    val n = emb.count()
+    val a = Clustering.kmeansAssign(emb, k = 8, iters = 2)
+    assert(a.count() == n)
+    assert(a.select($"id").distinct().count() == n)
+    val clusterIds = a.select($"cid").distinct().as[Long].collect().toSet
+    assert(clusterIds.size <= 8)
+    val seeds = emb
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(clusterIds.subsetOf(seeds))
+  }
+
+  test("kmeans assignment is partitioning-invariant (exact fixed-point scores)") {
+    val a = Clustering.kmeansAssign(emb, 8, 2).orderBy($"id").collect().toSeq
+    val b = Clustering.kmeansAssign(emb.repartition(13), 8, 2)
+      .orderBy($"id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("kmeans iterations improve (never worsen) the within-cluster score") {
+    // mean assignment score under the iter-2 centroids ≥ under iter-1's:
+    // Lloyd's monotonicity, here on the exact fixed-point objective
+    def meanScore(iters: Int): Double = {
+      val a = Clustering.kmeansAssign(emb, 8, iters)
+      val m = a.join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+      val cv = Similarity.groupCentroids(m, col("cid"), "embedding")
+        .withColumn("c", ($"sum_u".cast("double") / 1e6) / $"n")
+        .groupBy($"grp").agg(
+          transform(array_sort(collect_list(struct($"dim", $"c"))),
+            x => x.getField("c")).as("cv"))
+      m.join(cv, $"cid" === $"grp")
+        .select(Similarity.dot($"embedding", $"cv").as("s"))
+        .agg(avg($"s")).as[Double].head()
+    }
+    assert(meanScore(2) >= meanScore(1) - 1e-9)
+  }
+
+  test("semDedup drops exactly the vectors with a smaller-id in-cluster neighbour ≥ t") {
+    val t = 0.45
+    val r = Clustering.semDedup(emb, 8, 2, t).cache()
+    val m = r.join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+    val expected = m.as("a").join(m.as("b"),
+        $"a.cluster" === $"b.cluster" && $"b.id" < $"a.id")
+      .withColumn("sim", Similarity.round6(
+        Similarity.dot($"a.embedding", $"b.embedding")))
+      .filter($"sim" >= t)
+      .select($"a.id").distinct().as[Long].collect().toSet
+    val dropped = r.filter($"dropped").select($"id").as[Long].collect().toSet
+    assert(dropped == expected)
+    // min id of every cluster always survives
+    val minIds = r.groupBy($"cluster").agg(min($"id").as("m"))
+      .select($"m").as[Long].collect().toSet
+    assert(minIds.forall(id => !dropped.contains(id)))
+    r.unpersist()
+  }
+
+  test("int8 codes are bounded and exact under the quantization formula") {
+    val codes = Quantize.int8Codes(emb, 64)
+    val flat = codes.select(explode($"q").as("v")).as[Long].collect()
+    assert(flat.forall(v => v >= -128 && v <= 127))
+    assert(codes.count() == emb.count())
+  }
+
+  test("int8TopK ranks by exact integer dot and roughly tracks float top-k") {
+    val q = Quantize.int8TopK(emb, 64, k = 5, queryMod = 50)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    val exact = Similarity.topK(
+        emb.filter(pmod($"vec_id", lit(50)) === 0), emb, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val hits = q.count { case (qid, nid, _) => exact.contains((qid, nid)) }
+    // quantization noise may reorder the tail but must keep most of top-5
+    assert(hits.toDouble / q.length >= 0.6, s"recall ${hits.toDouble / q.length}")
+  }
+
+  test("charWindowProfile: planted exact duplicate saturates dup_frac") {
+    val docs = Seq(
+      (1L, "a" * 35 + " the quick brown fox jumps over the lazy dog " + "b" * 35),
+      (2L, "a" * 35 + " the quick brown fox jumps over the lazy dog " + "b" * 35),
+      (3L, "entirely different content with no shared windows at all " + "c" * 60)
+    ).toDF("doc_id", "text")
+    val p = Dedup.charWindowProfile(docs, 40, 10)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect()
+    assert(p(0)._4 == 1.0 && p(1)._4 == 1.0) // identical docs: all windows shared
+    assert(p(2)._3 == 0L && p(2)._4 == 0.0)  // unique doc: nothing shared
+    assert(p(2)._2 > 0L)                     // but it does have windows
+  }
+
+  test("charWindowProfile: docs shorter than the window get n_win = 0") {
+    val docs = Seq((1L, "short"), (2L, "x" * 80)).toDF("doc_id", "text")
+    val p = Dedup.charWindowProfile(docs, 40, 10)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect()
+    assert(p(0)._2 == 0L && p(0)._4 == 0.0)
+    // "x"*80: all 5 windows hash identically (same content) → 1 distinct
+    assert(p(1)._2 == 1L)
+  }
+
+  test("containment catches subset docs that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 200).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, 3, 0.9).collect()
+    assert(cont.length == 1) // small's shingles all inside big
+    val jac = Dedup.jaccardPairs(docs, 3, 0.5).collect()
+    assert(jac.isEmpty) // symmetric jaccard dilutes the same pair to ~0.01
+  }
+}
