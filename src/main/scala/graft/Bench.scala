@@ -30,7 +30,10 @@ object Bench {
       catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: default-locale %f would emit comma decimals (de_DE →
+    // invalid JSON) — the metric line must parse anywhere
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     // Full per-query detail: the driver only retains the last 2000 chars of
     // stdout, which an 86-entry JSON line overflows (BENCH_r01/r02 both came

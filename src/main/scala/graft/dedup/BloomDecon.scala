@@ -47,15 +47,16 @@ object BloomDecon {
 
   /** Probe column: true iff ANY shingle in `shArr` has all k bits set in
     * `bits`. Pure columnar expression over the broadcast literal bitset.
+    * The k positions are materialized ONCE into an array and the bit
+    * tests bind each element — naming `position(g,i,m)` twice per hash
+    * (word index + bit shift) would evaluate the md5 twice per probe.
     */
   def probe(shArr: Column, bits: Array[Long], m: Int, k: Int): Column = {
     val bitsLit = typedLit(bits.toSeq)
     exists(shArr, g =>
-      (1 to k).map { i =>
-        val p = position(g, i, m)
+      forall(array((1 to k).map(i => position(g, i, m)): _*), p =>
         (element_at(bitsLit, (p / 64).cast("int") + 1)
-          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))) =!= 0L
-      }.reduce(_ && _))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))) =!= 0L))
   }
 
   /** End-to-end decontamination summary: candidates by Bloom probe,

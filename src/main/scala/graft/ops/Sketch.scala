@@ -63,7 +63,10 @@ object Sketch {
 
   /** Point-estimate counts for `keys` against a cell table: est(key) =
     * min over rows of the key's cell — overestimates only (collisions
-    * add, never subtract). The cell table is broadcast (d·w rows).
+    * add, never subtract). Absent cells (count 0 — the cell table only
+    * materializes non-empty cells) participate as ZERO via the left
+    * join, so a key with any empty cell correctly estimates 0 and every
+    * queried key yields a row. The cell table is broadcast (d·w rows).
     */
   def cmsEstimate(keys: DataFrame, cells: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
@@ -71,8 +74,8 @@ object Sketch {
       struct(lit(j).as("j"), cmsPos(col(keyCol), j, width).as("p")))
     keys.select(col(keyCol).as("key"), explode(array(entries: _*)).as("e"))
       .join(broadcast(cells),
-        col("e.j") === col("j") && col("e.p") === col("p"))
+        col("e.j") === col("j") && col("e.p") === col("p"), "left")
       .groupBy(col("key"))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

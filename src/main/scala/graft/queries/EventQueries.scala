@@ -54,8 +54,8 @@ object EventQueries {
          |  SELECT user_id, j,
          |    ${hash32Sql("CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS p
          |  FROM top CROSS JOIN js),
-         |est AS (SELECT k.user_id, min(c.cnt) AS est
-         |        FROM kpos k JOIN cells c USING (j, p) GROUP BY 1)
+         |est AS (SELECT k.user_id, min(coalesce(c.cnt, 0)) AS est
+         |        FROM kpos k LEFT JOIN cells c USING (j, p) GROUP BY 1)
          |SELECT t.user_id, exact_n, est, est - exact_n AS over
          |FROM top t JOIN est USING (user_id)
          |ORDER BY exact_n DESC, user_id""".stripMargin),

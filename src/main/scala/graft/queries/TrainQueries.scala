@@ -689,8 +689,8 @@ object TrainQueries {
         |ORDER BY id""".stripMargin),
 
     // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked
-    //    seeds, fixed-point centroids (micro-unit sums + counts), exact-
-    //    integer assignment scores — the whole index build replays in SQL ──
+    //    seeds, micro-unit-rounded centroids, exact-integer Euclidean
+    //    scores 2⟨v,c⟩−‖c‖² — the whole index build replays in SQL ──
     "emb_kmeans" -> QueryDef(
       (spark, dir) =>
         graft.sim.Clustering.kmeansAssign(Tables.embeddings(spark, dir), k = 8, iters = 2)
@@ -699,8 +699,9 @@ object TrainQueries {
       kmeansSql + "\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"),
 
     // ── SemDeDup (Abbas et al. 2023): k-means partition, then drop any
-    //    vector with a smaller-id in-cluster neighbour at cosine ≥ 0.45 —
-    //    candidate volume is Σ cluster², never n² ──
+    //    vector with a smaller-id in-cluster neighbour at dot ≥ 0.45
+    //    (= cosine on these unit-norm embeddings) — candidate volume is
+    //    Σ cluster², never n² ──
     "emb_semdedup" -> QueryDef(
       (spark, dir) =>
         graft.sim.Clustering.semDedup(Tables.embeddings(spark, dir),
@@ -756,7 +757,8 @@ object TrainQueries {
 
   /** Shared k-means CTE chain (k=8, 2 Lloyd's iterations) mirroring
     * Clustering.kmeansAssign: micro-unit vectors, md5-ranked seeds,
-    * exact-integer scores with (score DESC, cid) argmax. Ends at `a2`
+    * micro-unit-rounded centroids, exact-integer Euclidean scores
+    * (2⟨v,c⟩ − ‖c‖²) with (score DESC, cid) argmax. Ends at `a2`
     * (vec_id, cid).
     */
   private lazy val kmeansSql: String =
@@ -766,9 +768,11 @@ object TrainQueries {
       |  FROM embeddings),
       |seeds AS (SELECT vec_id FROM embeddings
       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      |c0 AS (SELECT m.vec_id AS cid, m.vu AS su, CAST(1 AS BIGINT) AS n
+      |c0 AS (SELECT m.vec_id AS cid, m.vu AS cu,
+      |         list_inner_product(m.vu, m.vu) AS norm2
       |       FROM micro m JOIN seeds s ON m.vec_id = s.vec_id),
-      |s1 AS (SELECT m.vec_id, c.cid, list_inner_product(m.vu, c.su) / c.n AS score
+      |s1 AS (SELECT m.vec_id, c.cid,
+      |         2.0 * list_inner_product(m.vu, c.cu) - c.norm2 AS score
       |       FROM micro m CROSS JOIN c0 c),
       |a1 AS (SELECT vec_id, cid FROM (
       |  SELECT vec_id, cid,
@@ -779,8 +783,12 @@ object TrainQueries {
       |  FROM a1 a JOIN micro m ON a.vec_id = m.vec_id
       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
       |  GROUP BY 1, 2),
-      |c1 AS (SELECT cid, list(s ORDER BY dim) AS su, max(cnt) AS n FROM u1 GROUP BY 1),
-      |s2 AS (SELECT m.vec_id, c.cid, list_inner_product(m.vu, c.su) / c.n AS score
+      |c1a AS (SELECT cid,
+      |          list(CAST(floor(s / cnt + 0.5) AS DOUBLE) ORDER BY dim) AS cu
+      |        FROM u1 GROUP BY 1),
+      |c1 AS (SELECT cid, cu, list_inner_product(cu, cu) AS norm2 FROM c1a),
+      |s2 AS (SELECT m.vec_id, c.cid,
+      |         2.0 * list_inner_product(m.vu, c.cu) - c.norm2 AS score
       |       FROM micro m CROSS JOIN c1 c),
       |a2 AS (SELECT vec_id, cid FROM (
       |  SELECT vec_id, cid,

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   *  - seeds: the k vectors with the smallest md5(vec_id) — an arbitrary but
   *    engine-independent spread (no RNG state);
   *  - all arithmetic is exact: vectors are fixed-pointed to integer
-  *    micro-units, centroids are kept as (per-dim micro-unit SUM, member
-  *    COUNT) instead of a float mean, and the assignment score
-  *    dot(v_u, sum_u)/n is a ratio of exactly-representable integers
-  *    (components ≤1e6, sums ≤1e13·dims — every partial sum below 2^53), so
-  *    the double division is the ONLY rounding step and IEEE-identical
-  *    across engines;
+  *    micro-units and centroids are ROUNDED back to integer micro-units
+  *    (cu = floor(sum_u/n + 0.5) per dim — the one deterministic rounding
+  *    step, ≤0.5 micro-unit off the true mean). The assignment is the real
+  *    Lloyd's argmin ‖v−c‖², scored as argmax 2·⟨v_u,c_u⟩ − ⟨c_u,c_u⟩:
+  *    every dot is a sum of products of integers ≤1e6 over ≤64 dims
+  *    (< 2^53), so the score is an exactly-representable integer and the
+  *    argmax is IEEE-identical across engines. (Scoring against the raw
+  *    sums — ⟨v_u,s_u⟩/n − ⟨s_u,s_u⟩/2n² — would be the unrounded Lloyd's,
+  *    but ⟨s_u,s_u⟩ overflows 2^53 once clusters pass ~10⁴ members;
+  *    rounding the centroid keeps exactness at any corpus size.)
   *  - argmax ties break on cluster id.
   *
   * Scale: per iteration ONE broadcast of the k centroids to the corpus (the
@@ -45,32 +49,40 @@ object Clustering {
     // and update read this frame
     val base = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
+    // centroid frame: (cid, cu = micro-unit centroid, norm2 = ⟨cu,cu⟩);
+    // seeds are their own centroid (n=1, rounding is identity)
     var cent = base
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(k)
-      .select(col("id").as("cid"), col("vu").as("su"), lit(1L).as("n"))
+      .select(col("id").as("cid"), col("vu").as("cu"),
+        graft.functions.dot_product(col("vu"), col("vu")).as("norm2"))
       .localCheckpoint(eager = false)
     var assigned: DataFrame = null
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("cid"))
     for (_ <- 1 to iters) {
+      // argmin ‖v−c‖² = argmax 2⟨v,c⟩ − ‖c‖² (the −‖c‖² term is what makes
+      // this Euclidean k-means rather than max-inner-product partitioning)
       assigned = base.crossJoin(broadcast(cent))
         .withColumn("score",
-          graft.functions.dot_product(col("vu"), col("su")) / col("n"))
+          lit(2.0) * graft.functions.dot_product(col("vu"), col("cu")) - col("norm2"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("id"), col("cid"))
         .localCheckpoint(eager = false)
       // centroid update: per-dim micro-unit sums + member count (exact),
-      // rebuilt into a broadcastable k-row array frame
+      // mean rounded back to integer micro-units, rebuilt into a
+      // broadcastable k-row array frame
       cent = assigned.join(base, Seq("id"))
         .select(col("cid"), posexplode(col("vu")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
         .groupBy(col("cid"))
         .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-            x => x.getField("s")).as("su"),
-          max(col("cnt")).as("n"))
+          transform(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+            // floor() yields LONG — cast back so cu stays array<double>
+            // (the native dot product's input type, same as microVec)
+            x => floor(x.getField("s") / x.getField("cnt") + lit(0.5)).cast("double")).as("cu"))
+        .withColumn("norm2", graft.functions.dot_product(col("cu"), col("cu")))
         .localCheckpoint(eager = false)
     }
     assigned
@@ -78,10 +90,13 @@ object Clustering {
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     * corpus, then WITHIN each cluster drop any vector that has a
-    * smaller-id neighbour with cosine ≥ `threshold` (min-id greedy keep,
-    * same representative convention as Dedup.dedupeByPairs). The
-    * cluster step is what makes the pairwise scan tractable: candidate
-    * volume is Σ cluster², never n².
+    * smaller-id neighbour with dot product ≥ `threshold` (min-id greedy
+    * keep, same representative convention as Dedup.dedupeByPairs).
+    * NOTE: the criterion is the UNNORMALIZED dot product — it equals the
+    * paper's cosine only for unit-norm embeddings (which TESTDATA's are);
+    * pre-normalize or swap in Similarity.cosine for unnormalized input.
+    * The cluster step is what makes the pairwise scan tractable:
+    * candidate volume is Σ cluster², never n².
     */
   def semDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -50,6 +50,22 @@ class SketchSpec extends SparkSpec {
       s"only $exactHits/${rows.length} exact — sketch too narrow for the spec premise")
   }
 
+  test("CMS point-estimate contract holds for keys absent from the corpus") {
+    // absent keys must still yield a row, and any empty cell (absent from
+    // the materialized cell table) participates in the min as ZERO — an
+    // inner probe join would inflate or silently drop these keys
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val cells = Sketch.cmsCells(corpus, "k", depth = 3, width = 4096)
+    val queried = Seq(1L, 2L, 3L, 4L, 5L, 1000L, 1001L, 1002L, 1003L, 1004L).toDF("k")
+    val est = Sketch.cmsEstimate(queried, cells, "k", 3, 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet == queried.as[Long].collect().toSet) // every key → a row
+    (1L to 5L).foreach(k => assert(est(k) >= 1L, s"present key $k"))
+    // 5 keys touch ≤15 of 3·4096 cells: each md5-placed absent key finds
+    // an empty cell (deterministic hash family — a pin, not a sample)
+    (1000L to 1004L).foreach(k => assert(est(k) == 0L, s"absent key $k est=${est(k)}"))
+  }
+
   test("CMS cell table is bounded by depth*width and partitioning-invariant") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val a = Sketch.cmsCells(ev, "user_id", 3, 64).orderBy($"j", $"p").collect().toSeq

@@ -30,10 +30,12 @@ class ClusteringSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("kmeans iterations improve (never worsen) the within-cluster score") {
-    // mean assignment score under the iter-2 centroids ≥ under iter-1's:
-    // Lloyd's monotonicity, here on the exact fixed-point objective
-    def meanScore(iters: Int): Double = {
+  test("kmeans iterations improve (never worsen) the within-cluster SSE") {
+    // Lloyd's monotonicity on the EUCLIDEAN objective the assignment now
+    // optimizes (argmax 2⟨v,c⟩−‖c‖² = argmin ‖v−c‖²): mean ‖v−c‖² under
+    // the iter-2 assignment/centroids ≤ under iter-1's. Tolerance covers
+    // the ≤0.5-micro-unit-per-dim centroid rounding.
+    def meanSqDist(iters: Int): Double = {
       val a = Clustering.kmeansAssign(emb, 8, iters)
       val m = a.join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
       val cv = Similarity.groupCentroids(m, col("cid"), "embedding")
@@ -42,10 +44,12 @@ class ClusteringSpec extends SparkSpec {
           transform(array_sort(collect_list(struct($"dim", $"c"))),
             x => x.getField("c")).as("cv"))
       m.join(cv, $"cid" === $"grp")
-        .select(Similarity.dot($"embedding", $"cv").as("s"))
-        .agg(avg($"s")).as[Double].head()
+        .select((Similarity.dot($"embedding", $"embedding")
+          - lit(2.0) * Similarity.dot($"embedding", $"cv")
+          + Similarity.dot($"cv", $"cv")).as("d2"))
+        .agg(avg($"d2")).as[Double].head()
     }
-    assert(meanScore(2) >= meanScore(1) - 1e-9)
+    assert(meanSqDist(2) <= meanSqDist(1) + 1e-6)
   }
 
   test("semDedup drops exactly the vectors with a smaller-id in-cluster neighbour ≥ t") {
