@@ -16,8 +16,23 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warmup so the first timed query doesn't absorb JVM/codegen init
+    // session warmup so the first timed query doesn't absorb JVM/codegen
+    // init: exercise the operator machinery the suite leans on (shuffle
+    // agg, window, broadcast join, HOF lambdas, parquet scan) on tiny
+    // data — this JITs the Janino/codegen pipeline and exec classes, not
+    // the per-plan generated code (which is plan-specific by design)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(1000).select(col("id"), pmod(col("id"), lit(7)).as("g"))
+      tiny.groupBy(col("g")).agg(sum(col("id"))).collect()
+      tiny.withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("id")))).filter(col("r") === 1).collect()
+      tiny.join(broadcast(tiny.limit(7).select(col("g"), lit(1).as("one"))), Seq("g")).collect()
+      tiny.select(explode(transform(sequence(lit(1), lit(8)), i => i * col("id")))).collect()
+      tiny.select(exists(sequence(lit(1), lit(8)), i => i > 3)).collect()
+    }
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => }
     // deterministic name order: timings comparable across rounds, and a

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -362,5 +363,100 @@ object Dedup {
       .withColumn("hamming", hamming(col("sig_i"), col("sig_j")))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Incremental ingest dedup: flag each NEW doc (id > split, the ingest
+    * batch) that duplicates the standing corpus (id ≤ split) or an
+    * earlier doc of the same batch, via the same MinHash-LSH band join as
+    * `minhashLsh`. Existing×existing pairs never form — the standing
+    * corpus is assumed already deduplicated — so candidate volume tracks
+    * the BATCH size, not the corpus: at 100 TB the standing corpus
+    * contributes only its banded signature table (precomputable, stored,
+    * re-read per batch) and each ingest batch band-joins against it
+    * instead of re-deduplicating the world.
+    *
+    * `split` = (max id · 6) div 10, derived IN-PLAN (one broadcast 1-row
+    * aggregate, no driver action) so the query stays a single job.
+    * Returns one row per new doc: (id, is_dup, dup_of) with dup_of the
+    * SMALLEST matching id at jaccard ≥ threshold (null when clean).
+    */
+  def incrementalLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val base = spread(docs).select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
+      .localCheckpoint(eager = false)
+    val split = base.agg(expr("CAST((max(id) * 6) DIV 10 AS BIGINT)").as("split"))
+    val sigs = base.select(col("id"),
+      graft.functions.minhash_sig(col("shset"), k).as("sig"),
+      size(col("shset")).as("n_sh"))
+    val banded = sigs.select(col("id"), col("n_sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .crossJoin(broadcast(split))
+      .localCheckpoint(eager = false)
+    // candidate = any×new: the right side keeps only batch docs, so the
+    // (band, key) join can never pair two standing-corpus docs
+    val cand = banded.as("a").join(banded.filter(col("id") > col("split")).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j")).distinct()
+      .filter(least(col("n_i"), col("n_j")).cast("double") /
+        greatest(col("n_i"), col("n_j")) >= threshold - 1e-4)
+    val sh = base.select(col("id"), explode(col("shset")).as("shingle"))
+    val dupOf = cand
+      .join(sh.as("ea"), col("i") === col("ea.id"))
+      .join(sh.as("eb"), col("j") === col("eb.id") &&
+        col("ea.shingle") === col("eb.shingle"))
+      .groupBy(col("i"), col("j"), col("n_i"), col("n_j"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(graft.text.TextAnalysis.round4(
+        col("n_common") / (col("n_i") + col("n_j") - col("n_common"))) >= threshold)
+      .groupBy(col("j")).agg(min(col("i")).as("dup_of"))
+    base.select(col("id")).crossJoin(broadcast(split))
+      .filter(col("id") > col("split")).select(col("id"))
+      .join(dupOf, col("id") === col("j"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** First-occurrence block-level dedup (Lee et al. 2022 substring dedup,
+    * on NON-OVERLAPPING `blockLen`-char blocks): every block whose content
+    * already occurred earlier in the corpus — in a lower doc id, or
+    * earlier in the SAME doc — is dropped; the first occurrence survives.
+    * Returns per doc: (id, n_blocks, n_kept, kept_md5) where kept_md5
+    * hashes the surviving blocks in document order (the "cleaned" text).
+    *
+    * Scale: one shuffle on the block hash (the first-occurrence window)
+    * and one on doc id (the rollup) — block instances are linear in
+    * corpus bytes / blockLen, never pairwise.
+    */
+  def blockDedup(docs: DataFrame, blockLen: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nBlocks = ceil(length(t) / lit(blockLen.toDouble)).cast("int")
+    // empty-text guard: sequence(0, -1) would generate a DESCENDING range
+    val blocksArr = when(length(t) > 0,
+      transform(sequence(lit(0), nBlocks - 1),
+        i => t.substr(i * blockLen + 1, lit(blockLen))))
+      .otherwise(array().cast("array<string>"))
+    val blocks = spread(docs).select(col(idCol).as("id"), posexplode(blocksArr))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block")
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col("id"), col("block_idx"))
+    val perDoc = blocks
+      .withColumn("first", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("", array_sort(collect_list(
+          when(col("first"), struct(col("block_idx"), col("block")))))
+          .getField("block"))).as("kept_md5"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 }

@@ -117,6 +117,67 @@ object TrainQueries {
         .orderBy(col("i"), col("j")),
       minhashLshSql(bands = 6, rows = 2, t = "0.5")),
 
+    // ── incremental ingest dedup: only NEW docs (id > 60%-of-max split)
+    //    form LSH candidates against the standing corpus + earlier batch
+    //    docs — candidate volume tracks the batch, not the corpus ──
+    "dedup_incremental" -> QueryDef(
+      (spark, dir) => Dedup.incrementalLsh(Tables.documents(spark, dir),
+          n = 3, k = 12, bands = 12, threshold = 0.10)
+        .orderBy(col("id")),
+      s"""WITH tt AS ($shinglesSql),
+         |sp AS (SELECT CAST(max(id) * 6 // 10 AS BIGINT) AS split FROM tt),
+         |sigs AS (
+         |  SELECT id, list_transform(generate_series(0, 11),
+         |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
+         |  FROM tt),
+         |bands AS (
+         |  SELECT id,
+         |    unnest(generate_series(0, 11)) AS band,
+         |    unnest(list_transform(generate_series(0, 11),
+         |      b -> md5(array_to_string(sig[b+1:b+1], '|')))) AS key
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS i, b.id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |  WHERE b.id > (SELECT split FROM sp)),
+         |scored AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |m AS (SELECT cand.j, min(cand.i) AS dup_of
+         |      FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
+         |      GROUP BY cand.j)
+         |SELECT t.id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of
+         |FROM tt t LEFT JOIN m ON t.id = m.j
+         |WHERE t.id > (SELECT split FROM sp)
+         |ORDER BY t.id""".stripMargin),
+
+    // ── first-occurrence block dedup (Lee et al. 2022 substring dedup on
+    //    non-overlapping 40-char blocks): later occurrences drop, kept_md5
+    //    hashes the surviving blocks in document order ──
+    "dedup_blocks" -> QueryDef(
+      (spark, dir) => Dedup.blockDedup(Tables.documents(spark, dir), 40)
+        .orderBy(col("id")),
+      """WITH b AS (
+        |  SELECT doc_id AS id,
+        |    unnest(generate_series(0, CAST(ceil(len(text)/40.0) AS INT) - 1)) AS block_idx,
+        |    unnest(list_transform(generate_series(0, CAST(ceil(len(text)/40.0) AS INT) - 1),
+        |      i -> substr(text, i*40 + 1, 40))) AS block
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (SELECT id, block_idx, block,
+        |        row_number() OVER (PARTITION BY md5(block)
+        |                           ORDER BY id, block_idx) = 1 AS first
+        |      FROM b),
+        |agg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(count(*) FILTER (WHERE first) AS BIGINT) AS n_kept,
+        |    md5(coalesce(string_agg(CASE WHEN first THEN block END, ''
+        |                            ORDER BY block_idx), '')) AS kept_md5
+        |  FROM f GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(a.n_blocks, 0) AS n_blocks,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.kept_md5, md5('')) AS kept_md5
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+        |ORDER BY id""".stripMargin),
+
     // ── end-to-end corpus dedup: pairs → connected components →
     //    representative survives (oracle: recursive-CTE transitive closure) ──
     "dedup_end_to_end" -> QueryDef(

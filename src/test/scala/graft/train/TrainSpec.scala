@@ -122,6 +122,51 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("incrementalLsh flags only batch docs, against corpus and earlier batch") {
+    // ids 0..9 → split = 9*6 div 10 = 5; batch = {6..9}. Doc 7 duplicates
+    // standing-corpus doc 2; doc 9 duplicates batch doc 8 (which is clean).
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dup2 = "iota kappa lambda mu nu xi omicron pi rho"
+    val uniq = (i: Long) => s"unique$i tokens$i for$i doc$i number$i body$i text$i"
+    val docs = ((0L to 9L).map {
+      case 2L => (2L, dup)
+      case 7L => (7L, dup)
+      case 8L => (8L, dup2)
+      case 9L => (9L, dup2)
+      case i  => (i, uniq(i))
+    }).toDF("doc_id", "text")
+    val got = Dedup.incrementalLsh(docs, 3, 12, 12, 0.5)
+      .orderBy($"id").as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(got.map(_._1) == Seq(6L, 7L, 8L, 9L)) // batch docs only
+    assert(got == Seq(
+      (6L, false, None), (7L, true, Some(2L)),
+      (8L, false, None), (9L, true, Some(8L))))
+  }
+
+  test("blockDedup: first occurrence survives, later block copies drop") {
+    val a = "a" * 30 + " ten more." // 40-char-aligned block units
+    val b = "b" * 33 + " seven."
+    val c = "c" * 31 + " nine mo."
+    val d = "d" * 32 + " eight.."
+    assert(Seq(a, b, c, d).forall(_.length == 40))
+    val docs = Seq(
+      (1L, a + b),      // both blocks first-seen → kept 2/2
+      (2L, b + c),      // b seen in doc 1 → kept 1/2
+      (3L, a + b),      // nothing new → kept 0/2
+      (4L, d + d)       // within-doc repeat: first copy kept → 1/2
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(docs, 40).orderBy($"id")
+      .select($"id", $"n_blocks", $"n_kept").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 2L, 1L)))
+    // kept_md5 reflects ONLY surviving blocks, in document order
+    val md5s = Dedup.blockDedup(docs, 40).orderBy($"id")
+      .select($"kept_md5").as[String].collect()
+    val ref = Seq(a + b, c, "", d).map(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(md5s.toSeq == ref)
+  }
+
   test("lshParams picks the S-curve crossing just below the target threshold") {
     // crossing ≈ (1/b)^(1/r) for k = b·r = 12:
     //   b=12,r=1 → 0.083   b=6,r=2 → 0.408   b=4,r=3 → 0.630
