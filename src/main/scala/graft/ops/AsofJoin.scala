@@ -20,6 +20,40 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Whole-operator variant (SURVEY §2.10 preference (c)): plans
+    * `graft.plans.AsofJoinExec` — one hash exchange per side on its own
+    * key, a single forward merge pass per co-partition, no union padding
+    * or window state. Same semantics and output columns as `join`.
+    *
+    * The right side is re-aliased through a fresh Project so self-join
+    * lineage (left and right derived from the same scan) can't collide
+    * on expression ids.
+    */
+  def native(left: DataFrame, right: DataFrame, key: String, ts: String,
+             payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge
+    val spark = left.sparkSession
+    graftbridge.addStrategy(spark, graft.plans.AsofJoinStrategy)
+    val lPlan = graftbridge.analyzed(left)
+    val rPlan0 = graftbridge.analyzed(right)
+    val rCols = (Seq(key, ts) ++ payloadCols).distinct
+    val rPlan = Project(rCols.map { n =>
+      val a = rPlan0.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"right side has no column '$n'"))
+      Alias(a, n)()
+    }, rPlan0)
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left side has no column '$n'"))
+    def rAttr(n: String) = rPlan.output.find(_.name == n).get.toAttribute
+    val node = graft.plans.AsofJoinNode(
+      lPlan, rPlan,
+      lAttr(key), rAttr(key), lAttr(ts), rAttr(ts),
+      payloadCols.map(rAttr), payloadCols.map("asof_" + _))
+    graftbridge.ofRows(spark, node)
+  }
+
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            payloadCols: Seq[String]): DataFrame = {
     val l = left.withColumn("_side", lit(1))

@@ -188,6 +188,34 @@ object EventQueries {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin),
 
+    // ── the SAME as-of semantics through the native whole-operator plan
+    //    (graft.plans.AsofJoinExec: LogicalPlan + Strategy + SparkPlan,
+    //    one exchange per side + single merge pass) — identical oracle ──
+    "ev_asof_join_native" -> QueryDef(
+      (spark, dir) => {
+        val clicks = Tables.events(spark, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = Tables.events(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(floor(col("value") * 100 + 0.5).cast("long")).as("purchase_c"))
+        graft.ops.AsofJoin.native(clicks, purchases, "user_id", "ts", Seq("purchase_c"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_purchase_c").as("last_purchase_c"))
+          .orderBy(col("event_id"))
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS purchase_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.purchase_c AS last_purchase_c
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin),
+
     // ── range join WITHOUT an equi-key (every 50th event opens a 2-hour
     //    interval; count the events inside each): bucketized to an
     //    equi-join on hour buckets + exact post-filter — the naive plan
