@@ -463,6 +463,63 @@ object TrainQueries {
          |    x -> len(regexp_extract_all(x, '[a-z0-9]+')))) AS INT) AS n_tokens
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // ── training-sequence packing (concat-and-chunk, docs span bin
+    //    boundaries): per-shard running token total places every doc in
+    //    the stream, overlapped bins explode from a sequence() — fully
+    //    declarative, integer-exact (DIV), one shuffle on the shard key ──
+    "train_pack_sequences" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        graft.text.SequencePack
+          .packSpans(docs, col("doc_id"), col("n_tok"), shards = 8, capacity = 256)
+          .orderBy(col("shard"), col("bin"), col("id"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, doc_id % 8 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS cum
+         |  FROM d),
+         |seg AS (SELECT id, shard, cum, cum - n_tok AS strt,
+         |    unnest(generate_series((cum - n_tok) // 256, (cum - 1) // 256)) AS bin
+         |  FROM c)
+         |SELECT id, shard, bin,
+         |  greatest(bin*256, strt) - bin*256 AS off_in_bin,
+         |  greatest(bin*256, strt) - strt AS off_in_doc,
+         |  least((bin+1)*256, cum) - greatest(bin*256, strt) AS seg_len
+         |FROM seg ORDER BY shard, bin, id""".stripMargin),
+
+    // ── packed-bin roll-up: every bin except each shard's last must be
+    //    exactly capacity tokens full ──
+    "train_pack_bins" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        val segs = graft.text.SequencePack
+          .packSpans(docs, col("doc_id"), col("n_tok"), shards = 8, capacity = 256)
+        graft.text.SequencePack.binStats(segs, capacity = 256)
+          .orderBy(col("shard"), col("bin"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, doc_id % 8 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS cum
+         |  FROM d),
+         |seg AS (SELECT id, shard, cum, cum - n_tok AS strt,
+         |    unnest(generate_series((cum - n_tok) // 256, (cum - 1) // 256)) AS bin
+         |  FROM c)
+         |SELECT shard, bin, count(*) AS n_segments,
+         |  CAST(sum(least((bin+1)*256, cum) - greatest(bin*256, strt)) AS BIGINT)
+         |    AS n_tokens,
+         |  count(DISTINCT id) AS n_docs,
+         |  CAST(CASE WHEN CAST(sum(least((bin+1)*256, cum) - greatest(bin*256, strt))
+         |    AS BIGINT) = 256 THEN 1 ELSE 0 END AS INT) AS is_full
+         |FROM seg GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+
     // ── vocabulary richness per doc (type-token ratio) ──
     "text_vocab" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
