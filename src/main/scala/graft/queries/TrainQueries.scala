@@ -534,6 +534,33 @@ object TrainQueries {
          |  floor(len(list_distinct($toksSql)) / greatest(len($toksSql), 1) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── corpus-LM quality scoring (CCNet/Gopher perplexity-filter shape):
+    //    add-1 bigram model trained on the corpus itself, docs scored by
+    //    average per-bigram surprisal in WHOLE BITS (exact integer
+    //    bit-lengths — a float log2 would drift between libm builds) ──
+    "text_lm_surprisal" -> QueryDef(
+      (spark, dir) => graft.text.LmScore
+        .surprisal(Tables.documents(spark, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+         |  FROM tk WHERE len(t) >= 2),
+         |bgr AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM b),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(t) AS w FROM tk)),
+         |sc AS (SELECT doc_id,
+         |    CAST(length(printf('%b', c1 + v)) - length(printf('%b', c12 + 1))
+         |      AS BIGINT) AS bits
+         |  FROM bgr JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |  (CAST(sum(bits) AS BIGINT) * 100) // count(*) AS avg_bits_x100
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ── corpus n-gram frequency profile (vocabulary statistics) ──
     "text_top_ngrams" -> QueryDef(
       (spark, dir) => {
