@@ -60,4 +60,28 @@ object Sampling {
     }
     stratified(df, keyCol, stratumCol, rates, defaultRate = 0.0)
   }
+
+  /** Deterministic global corpus shuffle: a salt-keyed md5 permutation
+    * assigns every row a shuffle key, a hash shard, and a dense position
+    * within its shard — the "shuffle the corpus before writing training
+    * shards" step, reproducible across retries (same salt = same
+    * permutation; new salt = fresh epoch order).
+    *
+    * Scale shape: one shuffle on the shard key + a per-shard sort — the
+    * exact physical work writing sharded output needs anyway. No global
+    * row-number (a single-partition bottleneck); position is per-shard.
+    */
+  def shuffleShards(df: DataFrame, id: Column, salt: String,
+                    nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKeys = df
+      .withColumn("skey", md5(concat(lit(salt + ":"), id.cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    withKeys.withColumn("pos",
+      row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), id))
+        .cast("long") - 1)
+  }
 }

@@ -580,6 +580,36 @@ object TrainQueries {
          |SELECT ngram, count(*) AS n FROM t
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin),
 
+    // ── deterministic corpus shuffle into training shards: salt-keyed
+    //    md5 permutation → hash shard + dense per-shard position; the
+    //    per-shard order digest pins the whole permutation ──
+    "train_shuffle_shards" -> QueryDef(
+      (spark, dir) => {
+        val sh = graft.ops.Sampling.shuffleShards(
+          Tables.documents(spark, dir), col("doc_id"), salt = "ep0", nShards = 8)
+        sh.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("md5(concat_ws(',', transform(" +
+              "array_sort(collect_list(struct(skey, doc_id)))," +
+              " x -> CAST(x.doc_id AS STRING)))) AS digest"),
+            max(col("pos")).as("max_pos"))
+          .orderBy(col("shard"))
+      },
+      """WITH s AS (
+        |  SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |t AS (SELECT doc_id, skey,
+        |    (CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) * 4096
+        |     + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(skey, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(skey, 4, 1)) - 1)) % 8 AS shard
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
+        |    AS digest,
+        |  count(*) - 1 AS max_pos
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin),
+
     // ── deterministic stratified sampling (hash-gated, reproducible) ──
     "sample_stratified" -> QueryDef(
       (spark, dir) => {

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shuffleShards is a reproducible permutation with dense positions") {
+    val docs = spark.range(1000).select($"id".as("doc_id"))
+    val a = Sampling.shuffleShards(docs, $"doc_id", "ep0", nShards = 8)
+    // nothing dropped or duplicated
+    assert(a.count() == 1000)
+    assert(a.select($"doc_id").distinct().count() == 1000)
+    // positions dense 0..n-1 within every shard
+    val bad = a.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"))
+      .filter($"lo" =!= 0L || $"hi" =!= $"n" - 1)
+    assert(bad.count() == 0)
+    // same salt = identical assignment; rerun matches row-for-row
+    val b = Sampling.shuffleShards(docs, $"doc_id", "ep0", nShards = 8)
+      .select($"doc_id", $"shard".as("shard2"), $"pos".as("pos2"))
+    val drift = a.join(b, "doc_id")
+      .filter($"shard" =!= $"shard2" || $"pos" =!= $"pos2").count()
+    assert(drift == 0)
+    // a new salt reorders (a fresh epoch): some doc moves
+    val c = Sampling.shuffleShards(docs, $"doc_id", "ep1", nShards = 8)
+      .select($"doc_id", $"shard".as("shard3"), $"pos".as("pos3"))
+    val moved = a.join(c, "doc_id")
+      .filter($"shard" =!= $"shard3" || $"pos" =!= $"pos3").count()
+    assert(moved > 0)
+    // md5 sharding is roughly balanced (no shard over 2x the mean)
+    val maxN = a.groupBy($"shard").count().agg(max($"count")).as[Long].head()
+    assert(maxN < 2 * 1000 / 8)
+  }
+}
