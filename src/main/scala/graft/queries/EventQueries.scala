@@ -240,6 +240,36 @@ object EventQueries {
         |WHERE i.event_id % 50 = 0
         |GROUP BY 1 ORDER BY interval_id""".stripMargin),
 
+    // ── Z-order (Morton) layout audit: interleave user_id × hour-of-day
+    //    bits, bucket the curve, and show every bucket's 2-D bounding box
+    //    is tight in BOTH dimensions — the min/max file-stat pruning
+    //    property lakehouse OPTIMIZE ZORDER buys. Pure bit arithmetic ──
+    "ev_zorder_layout" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        ev.select(col("user_id"), hour(col("ts")).as("hr"))
+          .withColumn("z", graft.ops.ZOrder.zvalue(col("user_id"), col("hr"), 8))
+          .withColumn("zbucket", expr("z DIV 256"))
+          .groupBy(col("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+            min(col("hr")).as("min_hr"), max(col("hr")).as("max_hr"))
+          .orderBy(col("zbucket"))
+      },
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CAST(hour(ts) AS INT) AS hr,
+        |    CAST(list_sum(list_transform(generate_series(0, 7),
+        |      i -> ((user_id >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+        |         + ((CAST(hour(ts) AS BIGINT) >> i) & 1)
+        |           * (CAST(1 AS BIGINT) << (2*i+1))))
+        |      AS BIGINT) AS z
+        |  FROM events)
+        |SELECT z // 256 AS zbucket, count(*) AS n,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  min(hr) AS min_hr, max(hr) AS max_hr
+        |FROM t GROUP BY 1 ORDER BY zbucket""".stripMargin),
+
     // ── skew-tolerant aggregation under the gate: two-phase salted count
     //    (partial per (key, salt) → final per key) must equal the plain
     //    per-key count — the decomposition the salting utilities rely on ──
