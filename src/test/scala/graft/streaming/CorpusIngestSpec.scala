@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textA = "alpha beta gamma delta epsilon zeta"
+  private val textD = "one two three four five six seven"
+
+  test("dedup-at-ingest: within-batch and standing dups drop, store keeps survivors") {
+    val in = Files.createTempDirectory("docs_in")
+    val store = Files.createTempDirectory("sig_store").toString
+    val out = Files.createTempDirectory("dedup_out").toString
+
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(in.toString)
+    val q = CorpusIngest.writer(stream, store, out).start()
+
+    // batch 1: doc 2 duplicates doc 1 inside the batch
+    Files.write(in.resolve("b1.jsonl"), java.util.Arrays.asList(
+      s"""{"doc_id":1,"text":"$textA"}""",
+      s"""{"doc_id":2,"text":"$textA"}"""))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates STANDING doc 1; doc 4 is novel
+    Files.write(in.resolve("b2.jsonl"), java.util.Arrays.asList(
+      s"""{"doc_id":3,"text":"$textA"}""",
+      s"""{"doc_id":4,"text":"$textD"}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val decisions = spark.read.parquet(s"$out/b0", s"$out/b1")
+      .select($"id", $"is_dup", $"dup_of").as[(Long, Boolean, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(decisions(1L) == ((false, None)))
+    assert(decisions(2L) == ((true, Some(1L))))   // within-batch dup
+    assert(decisions(3L) == ((true, Some(1L))))   // dup of standing corpus
+    assert(decisions(4L) == ((false, None)))
+
+    // only survivors joined the store
+    val stored = CorpusIngest.readStore(spark, store)
+      .select($"id").as[Long].collect().toSet
+    assert(stored == Set(1L, 4L))
+
+    // a RETRIED batch overwrites its own subdir - store stays consistent
+    val batch2 = Seq((3L, textA), (4L, textD)).toDF("doc_id", "text")
+    CorpusIngest.dedupBatch(batch2, store, batchId = 1L, bands = 4,
+      threshold = 0.8)
+    val afterRetry = CorpusIngest.readStore(spark, store)
+      .select($"id").as[Long].collect().toSet
+    assert(afterRetry == Set(1L, 4L))
+  }
+}
