@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "k-seed MinHash signature of a shingle array"),
       (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("minhash_int_sig"),
+      info("minhash_int_sig",
+        "integer MinHash signature (one md5 per shingle + Carter-Wegman mixes)"),
+      (args: Seq[Expression]) => MinHashIntSigExpr(args(0), intArg(args(1), "k"))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "64-bit SimHash bitstring of a token array"),
       (args: Seq[Expression]) => SimHashExpr(args.head)))

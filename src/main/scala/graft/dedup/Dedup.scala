@@ -217,13 +217,15 @@ object Dedup {
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
       .localCheckpoint(eager = false)
     val sigs = base.select(col("id"),
-      graft.functions.minhash_sig(col("shset"), k).as("sig"),
+      graft.functions.minhash_int_sig(col("shset"), k).as("sig"),
       size(col("shset")).as("n_sh"))
     // shingle-set sizes ride along with the signatures — no separate
     // explode + groupBy shuffle just to count them
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r)))))))
+        b => md5(concat_ws("|",
+          transform(slice(col("sig"), b * r + lit(1), lit(r)),
+            x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       // the self-join below gets no exchange reuse across its aliased
       // sides — without this checkpoint the k·|shingles| minhash md5 pass
@@ -389,11 +391,13 @@ object Dedup {
       .localCheckpoint(eager = false)
     val split = base.agg(expr("CAST((max(id) * 6) DIV 10 AS BIGINT)").as("split"))
     val sigs = base.select(col("id"),
-      graft.functions.minhash_sig(col("shset"), k).as("sig"),
+      graft.functions.minhash_int_sig(col("shset"), k).as("sig"),
       size(col("shset")).as("n_sh"))
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r)))))))
+        b => md5(concat_ws("|",
+          transform(slice(col("sig"), b * r + lit(1), lit(r)),
+            x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       .crossJoin(broadcast(split))
       .localCheckpoint(eager = false)

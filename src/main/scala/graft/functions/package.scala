@@ -26,6 +26,12 @@ package object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     graftbridge.column(MinHashSigExpr(graftbridge.expression(shingles), k))
 
+  /** Integer MinHash signature: one md5 per shingle + k Carter-Wegman
+    * mixes (12× less hash CPU than the k-md5 family at k=12).
+    */
+  def minhash_int_sig(shingles: Column, k: Int): Column =
+    graftbridge.column(MinHashIntSigExpr(graftbridge.expression(shingles), k))
+
   /** Per-table LSH bucket signatures (precomputed hyperplane sign matrix). */
   def lsh_sig(vec: Column, tables: Int, planes: Int, dims: Int): Column =
     graftbridge.column(LshSigExpr(graftbridge.expression(vec), tables, planes, dims))

@@ -41,16 +41,32 @@ object TrainQueries {
        |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
        |WHERE floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 >= $t""".stripMargin
 
+  /** Integer MinHash signature CTE over the shingle CTE `tt` — mirrors
+    * functions.MinHashIntSigExpr: ONE md5 per shingle → 31-bit h (first
+    * 8 hex, sign bit cleared), then k=12 Carter-Wegman mixes
+    * (a_s·h + b_s) mod (2^31−1). All products < 2^61 → exact BIGINT in
+    * both engines.
+    */
+  private[queries] val intSigsSql =
+    """sigs AS (
+      |  SELECT id, list_transform(generate_series(0, 11),
+      |    s -> list_min(list_transform(hs,
+      |      h -> (((2654435761 * (s + 1)) % 1000000007) * h
+      |            + ((40503 * (s + 7)) % 1000000007)) % 2147483647))) AS sig
+      |  FROM (SELECT id,
+      |      list_transform(list_transform(sh, g -> md5(g)), m ->
+      |        CAST(list_sum(list_transform(generate_series(1, 8),
+      |          i -> (strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+      |               * (16 ** (8 - i)))) AS BIGINT) & 2147483647) AS hs
+      |    FROM tt))""".stripMargin
+
   /** MinHash-LSH oracle for a (bands, rows) parameterization over the
     * fixed k=12 signature (mirrors Dedup.minhashLsh with
     * bands·rows = 12).
     */
   private def minhashLshSql(bands: Int, rows: Int, t: String): String =
     s"""WITH tt AS ($shinglesSql),
-       |sigs AS (
-       |  SELECT id, list_transform(generate_series(0, 11),
-       |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
-       |  FROM tt),
+       |$intSigsSql,
        |bands AS (
        |  SELECT id,
        |    unnest(generate_series(0, ${bands - 1})) AS band,
@@ -126,10 +142,7 @@ object TrainQueries {
         .orderBy(col("id")),
       s"""WITH tt AS ($shinglesSql),
          |sp AS (SELECT CAST(max(id) * 6 // 10 AS BIGINT) AS split FROM tt),
-         |sigs AS (
-         |  SELECT id, list_transform(generate_series(0, 11),
-         |    s -> list_min(list_transform(sh, g -> md5(s::VARCHAR || ':' || g)))) AS sig
-         |  FROM tt),
+         |$intSigsSql,
          |bands AS (
          |  SELECT id,
          |    unnest(generate_series(0, 11)) AS band,

@@ -32,7 +32,7 @@ object CorpusIngest {
 
   private val storeSchema = StructType(Seq(
     StructField("id", LongType),
-    StructField("sig", ArrayType(StringType)),
+    StructField("sig", ArrayType(LongType)),
     StructField("n_sh", IntegerType)))
 
   /** (id, sig, n_sh) MinHash signatures of a document frame; empty-shingle
@@ -44,7 +44,7 @@ object CorpusIngest {
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
       .filter(size(col("shset")) > 0)
       .select(col("id"),
-        graft.functions.minhash_sig(col("shset"), K).as("sig"),
+        graft.functions.minhash_int_sig(col("shset"), K).as("sig"),
         size(col("shset")).as("n_sh"))
 
   /** Band keys from a signature (LSH bucketing; bands must divide K). */
@@ -53,7 +53,9 @@ object CorpusIngest {
     val r = K / bands
     sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * r + lit(1), lit(r))))))
+        b => md5(concat_ws("|",
+          transform(slice(col("sig"), b * r + lit(1), lit(r)),
+            x => x.cast("string"))))))
         .as("key"))
   }
 
