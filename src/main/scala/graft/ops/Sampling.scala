@@ -84,4 +84,47 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("skey"), id))
         .cast("long") - 1)
   }
+
+  /** Weighted sample-without-replacement via PRIORITY SAMPLING (Duffield,
+    * Lund & Thorup 2007): each row gets priority q = w/u with u uniform
+    * in (0,1], the k highest-priority rows are the sample, and the
+    * (k+1)-th priority τ gives the unbiased subset-sum estimator
+    * ŵ = max(w, τ) per sampled row.
+    *
+    * Chosen over the A-ES exponential race (key = u^(1/w)) deliberately:
+    * u comes from the md5 permutation (u = (h+1)/2³², h 32-bit) and the
+    * priority is ONE IEEE division of exactly-representable values —
+    * bit-identical in every engine — where pow/ln keys drift in the last
+    * ulp across libm implementations and would flake the hash gate.
+    *
+    * Scale shape: the k+1 survivors come out of the bounded-heap topk_by
+    * aggregate (map-side partial, ≤k+1 rows per partition on the wire) —
+    * no global sort, no window.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val pr = col(weightCol).cast("double") * lit(4294967296.0) /
+      (u32 + lit(1L)).cast("double")
+    val top = df
+      .select(col(keyCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"), pr.as("pr"))
+      .groupBy()
+      .agg(graft.functions.topk_by(col("pr"), col("id"), k + 1).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.nid").as("id"),
+        col("t.sim").as("pr"))
+      .localCheckpoint(eager = false)
+    val tau = top.filter(col("rank") === k + 1)
+      .select(col("pr").as("tau"))
+    top.filter(col("rank") <= k)
+      .join(df.select(col(keyCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w")), Seq("id"))
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("id"), col("w"),
+        graft.text.TextAnalysis.round4(col("pr")).as("pr_x"),
+        graft.text.TextAnalysis.round4(greatest(col("w").cast("double"), col("tau")))
+          .as("w_hat"))
+  }
 }

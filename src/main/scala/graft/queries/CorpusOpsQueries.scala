@@ -161,6 +161,171 @@ object CorpusOpsQueries {
         |SELECT p, bkt, bkt*10000 AS lo_c, (bkt+1)*10000 - 1 AS hi_c, n_b, cum, n
         |FROM w CROSS JOIN (VALUES (50), (90), (99)) p(p)
         |WHERE cum*100 >= p*n AND (cum - n_b)*100 < p*n
-        |ORDER BY p""".stripMargin)
+        |ORDER BY p""".stripMargin),
+
+    // ── line-level (CCNet-shape) dedup: corpus-wide keep-first over
+    //    8-token "lines"; shuffles only at the line-hash grain ──
+    "dedup_lines" -> QueryDef(
+      (spark, dir) => graft.dedup.LineDedup
+        .lineDedupProfile(Tables.documents(spark, dir))
+        .orderBy(col("id")),
+      """WITH d AS (SELECT doc_id AS id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |l AS (SELECT id, i AS idx, array_to_string(t[i*8+1 : i*8+8], ' ') AS line
+        |      FROM (SELECT id, t,
+        |              unnest(generate_series(0, CAST(floor((len(t)-1)/8.0) AS INT))) AS i
+        |            FROM d WHERE len(t) >= 1)),
+        |k AS (SELECT id, idx, line,
+        |        row_number() OVER (PARTITION BY md5(line) ORDER BY id, idx) AS rn
+        |      FROM l),
+        |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+        |           ' ' ORDER BY idx), '')) AS retained_fp
+        |       FROM k GROUP BY 1)
+        |SELECT d0.doc_id AS id, coalesce(pd.n_lines, 0) AS n_lines,
+        |  coalesce(pd.n_kept, 0) AS n_kept,
+        |  CASE WHEN coalesce(pd.n_lines, 0) = 0 THEN 0.0
+        |       ELSE floor(pd.n_kept / pd.n_lines * 10000.0 + 0.5) / 10000.0
+        |  END AS kept_frac,
+        |  coalesce(pd.retained_fp, md5('')) AS retained_fp
+        |FROM documents d0 LEFT JOIN pd ON d0.doc_id = pd.id
+        |ORDER BY id""".stripMargin),
+
+    // ── PMI collocations: exact rational score in scaled integers, two
+    //    count aggregations + TakeOrdered top-k ──
+    "text_collocations" -> QueryDef(
+      (spark, dir) => graft.text.Collocations
+        .topPmi(Tables.documents(spark, dir), "text", minCount = 5, k = 50),
+      """WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |           FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        |             FROM d WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+        |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bg)
+        |SELECT w1, w2, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |  (n_bigrams * c_ab * 1000000) // (a.c_w * b.c_w) AS pmi_score_x1m
+        |FROM c12 JOIN uni a ON c12.w1 = a.w JOIN uni b ON c12.w2 = b.w
+        |CROSS JOIN n
+        |ORDER BY pmi_score_x1m DESC, w1, w2 LIMIT 50""".stripMargin),
+
+    // ── priority sampling (Duffield-Lund-Thorup): weighted k-sample +
+    //    τ-threshold subset-sum estimator, one IEEE division per row ──
+    "sample_priority" -> QueryDef(
+      (spark, dir) => graft.ops.Sampling
+        .prioritySample(Tables.documents(spark, dir), "doc_id", "n_chars", k = 20)
+        .orderBy(col("rank")),
+      """WITH h AS (SELECT doc_id AS id, n_chars AS w,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |p AS (SELECT id, w,
+        |        CAST(w AS DOUBLE) * 4294967296.0 / CAST(hv + 1 AS DOUBLE) AS pr
+        |      FROM h),
+        |r AS (SELECT id, w, pr,
+        |        row_number() OVER (ORDER BY pr DESC, id) AS rank FROM p),
+        |tau AS (SELECT pr AS tau FROM r WHERE rank = 21)
+        |SELECT CAST(rank AS INT) AS rank, id, CAST(w AS BIGINT) AS w,
+        |  floor(pr * 10000.0 + 0.5) / 10000.0 AS pr_x,
+        |  floor(greatest(CAST(w AS DOUBLE), tau) * 10000.0 + 0.5) / 10000.0 AS w_hat
+        |FROM r CROSS JOIN tau WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    // ── product-quantization ANN: 16 subspaces × 16 codewords, seeded
+    //    then one Lloyd round (measured recall@5 0.42 at sf0.001 vs the
+    //    0.34 IVF pin on the same isotropic worst-case vectors); exact-
+    //    integer encode + ADC, bounded-heap per-query top-k ──
+    "ann_pq_topk" -> QueryDef(
+      (spark, dir) => graft.sim.Pq
+        .pqTopK(Tables.embeddings(spark, dir), dims = 64, m = 16, k = 16,
+          topK = 5, queryMod = 50, lloydIters = 1)
+        .orderBy(col("qid"), col("rank")),
+      """WITH micro AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |cb0 AS (SELECT ss.s, m.vec_id AS cid, m.vu[ss.s*4+1 : ss.s*4+4] AS cw
+        |        FROM micro m JOIN seeds sd ON m.vec_id = sd.vec_id CROSS JOIN ss),
+        |cb0n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb0),
+        |sub AS (SELECT vec_id, ss.s, vu[ss.s*4+1 : ss.s*4+4] AS sub
+        |        FROM micro CROSS JOIN ss),
+        |a0 AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb0n c ON sub.s = c.s) WHERE rnk = 1),
+        |upd AS (SELECT a0.s, a0.cid, d.i AS pos,
+        |          CAST(floor(sum(sub.sub[d.i]) / count(*) + 0.5) AS DOUBLE) AS cwd
+        |        FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s
+        |        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) d
+        |        GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT s, cid, list(cwd ORDER BY pos) AS cw FROM upd GROUP BY 1, 2),
+        |cb1n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb1),
+        |enc AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb1n c ON sub.s = c.s) WHERE rnk = 1),
+        |lut AS (SELECT q.vec_id AS qid, c.s, c.cid,
+        |          list_inner_product(q.sub, q.sub)
+        |            - 2.0 * list_inner_product(q.sub, c.cw) + c.norm2 AS d
+        |        FROM sub q JOIN cb1n c ON q.s = c.s WHERE q.vec_id % 50 = 0),
+        |p AS (SELECT l.qid, e.vec_id AS nid, sum(l.d) AS adc
+        |      FROM enc e JOIN lut l ON e.s = l.s AND e.cid = l.cid
+        |        AND e.vec_id <> l.qid
+        |      GROUP BY 1, 2)
+        |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INT) AS rank
+        |FROM (SELECT qid, nid, adc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |      FROM p)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── PageRank: exact integer nano-unit power iteration, oracle
+    //    unrolls the same iterations as chained CTEs ──
+    "graph_pagerank" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey").cast("string")).as("sn"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("cn"))
+        graft.ops.Graph
+          .pagerank(graft.ops.Graph.undirectedEdges(li, "sn", "cn"), iters = 5)
+          .orderBy(col("r").desc, col("node"))
+          .limit(30)
+      },
+      pagerankSql(5))
   )
+
+  /** Chained-CTE PageRank replay: r_i derived from r_{i-1} with the same
+    * integer nano-unit arithmetic as Graph.pagerank.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"r$i AS (SELECT e.dst AS node, CAST(150000000 + " +
+        s"sum((r.r * 17) // (20 * d.deg)) AS BIGINT) AS r " +
+        s"FROM e JOIN r${i - 1} r ON e.src = r.node " +
+        s"JOIN deg d ON e.src = d.src GROUP BY 1)"
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS a,
+       |    'c' || CAST(o.o_custkey AS VARCHAR) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+       |$steps
+       |SELECT node, deg.deg AS deg, r FROM r$iters JOIN deg ON node = deg.src
+       |ORDER BY r DESC, node LIMIT 30""".stripMargin
+  }
 }

@@ -305,6 +305,45 @@ object EventQueries {
     //    estimate (k-1)·2³²/h_k, alongside the exact count. k=8 because
     //    the sf0.001 corpus has only 15 users/group. Deterministic and
     //    fully hash-gated — an engine-native HLL can't be. ──
+    // ── HyperLogLog distinct sketch: 256 md5-derived registers, EXACT
+    //    integer harmonic denominator (Σ 2^(33−M) — order-independent),
+    //    estimate = one IEEE division; ln small-range correction kept
+    //    outside the hash gate (libm drift), inputs carried in `zeros` ──
+    "ev_hll_distinct" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val est = graft.ops.Hll.estimate(ev, "event_type", "event_id")
+        val ex = ev.groupBy(col("event_type").as("grp"))
+          .agg(countDistinct(col("event_id")).as("exact_distinct"))
+        est.join(ex, Seq("grp")).orderBy(col("grp"))
+      }, {
+        def h32(off: Int) =
+          "CAST(list_sum(list_transform(generate_series(1, 8), " +
+            "i -> (strpos('0123456789abcdef', " +
+            s"substr(md5(CAST(event_id AS VARCHAR)), $off + i, 1)) - 1) " +
+            "* (16 ** (8 - i)))) AS BIGINT)"
+        s"""WITH h AS (SELECT event_type AS grp,
+           |    ${h32(0)} AS h1, ${h32(8)} AS h2 FROM events),
+           |reg AS (SELECT grp, h1 % 256 AS idx,
+           |    max(CASE WHEN h2 = 0 THEN 33
+           |             ELSE 33 - length(bin(h2)) END) AS mreg
+           |  FROM h GROUP BY 1, 2),
+           |ag AS (SELECT grp, CAST(count(*) AS INT) AS v_used,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(33 - mreg AS INT)) AS BIGINT)
+           |      AS sum_present
+           |  FROM reg GROUP BY 1),
+           |ex AS (SELECT event_type AS grp,
+           |    CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+           |  FROM events GROUP BY 1)
+           |SELECT ag.grp, v_used, (256 - v_used) AS zeros,
+           |  sum_present + (CAST(256 AS BIGINT) - v_used) * 8589934592 AS sum_scaled,
+           |  CAST(floor(${graft.ops.Hll.EstNumerator} /
+           |    (sum_present + (CAST(256 AS BIGINT) - v_used) * 8589934592) + 0.5)
+           |    AS BIGINT) AS est,
+           |  exact_distinct
+           |FROM ag JOIN ex ON ag.grp = ex.grp ORDER BY ag.grp""".stripMargin
+      }),
+
     "ev_kmv_distinct" -> QueryDef(
       (spark, dir) => {
         val ev = Tables.events(spark, dir)

@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) for approximate nearest
+  * neighbour at memory scale: split the d-dim space into `m` subspaces,
+  * learn a small codebook per subspace, store every vector as m one-byte
+  * codes, and answer queries with asymmetric distance computation (ADC) —
+  * a table lookup per subspace instead of a d-dim dot product.
+  *
+  * Determinism/oracle design (house rules):
+  *  - vectors are fixed-pointed to integer micro-units
+  *    ([[Clustering.microVec]]);
+  *  - codebooks are SEEDED, not Lloyd-trained: the k codewords of every
+  *    subspace are the subvectors of the k corpus vectors with smallest
+  *    md5(vec_id) — engine-independent, replayable, and one Lloyd pass
+  *    away from trained codebooks if quality ever warrants it;
+  *  - every distance is exact integer arithmetic in doubles (sums of
+  *    products of ≤2e6-magnitude integers over ≤16 dims « 2^53), so
+  *    encodings, LUTs and ADC scores hash-match any engine bit-for-bit.
+  *
+  * Scale shape: the codebook is m·k rows and BROADCASTS; encoding is a
+  * broadcast join + one map-combined aggregate at the (vector, subspace)
+  * grain (no window sort); queries build an (nq · m·k)-row LUT (tiny);
+  * the ADC join fans out to m rows per (query, neighbour) — the same
+  * candidate volume as any ANN rescore, but each row costs a lookup, not
+  * a d-dim dot product, and the per-query heap is the bounded topk_by.
+  */
+object Pq {
+
+  /** Codebook: (s, cid, cw, norm2) for subspace s ∈ [0, m), codeword id =
+    * seed vector's id, cw = that seed's s-th subvector (micro-units).
+    */
+  def codebook(micro: DataFrame, m: Int, subDim: Int, k: Int): DataFrame =
+    micro
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .select(col("id").as("cid"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS cw))"))
+        .as("e"))
+      .select(col("e.s").as("s"), col("cid"), col("e.cw").as("cw"))
+      .withColumn("norm2", graft.functions.dot_product(col("cw"), col("cw")))
+
+  /** (id, s, sub) subvector rows for every vector. */
+  private def subvectors(micro: DataFrame, m: Int, subDim: Int): DataFrame =
+    micro.select(col("id"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS sub))"))
+      .as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sub").as("sub"))
+
+  /** Argmin-distance code assignment against a broadcast codebook:
+    * (id, s, cid). Min-struct aggregate (map-combined) instead of a
+    * row_number window — the broadcast join leaves rows scan-partitioned,
+    * so the (id, s)-grain rollup is the only shuffle and it carries one
+    * struct per subvector.
+    */
+  private def assign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("s"))
+      .withColumn("score",
+        lit(2.0) * graft.functions.dot_product(col("sub"), col("cw")) - col("norm2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("a"))
+      .select(col("id"), col("s"), col("a.cid").as("cid"))
+
+  /** One Lloyd round per subspace: codewords move to the micro-rounded
+    * mean of their assigned subvectors (cu = ⌊Σ/n + ½⌋ per dim — same
+    * exact-integer rounding as Clustering). Codewords that lose all
+    * members drop out, as in kmeansAssign.
+    */
+  private def refine(sub: DataFrame, cb: DataFrame): DataFrame =
+    assign(sub, cb)
+      .join(sub, Seq("id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("sub")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(sum(col("col")).as("su"), count(lit(1)).as("cnt"))
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("su"), col("cnt")))),
+        x => floor(x.getField("su") / x.getField("cnt") + lit(0.5)).cast("double"))
+        .as("cw"))
+      .withColumn("norm2", graft.functions.dot_product(col("cw"), col("cw")))
+
+  /** PQ-ADC top-k for every `queryMod`-th vector: (qid, nid, adc, rank),
+    * adc = Σ_s ‖q_s − codeword(code_s(n))‖² — exact integers, ties on
+    * neighbour id. `lloydIters` Lloyd rounds refine the seeded codebooks
+    * (each round = one broadcast assignment + one (s,cid,dim) rollup).
+    */
+  def pqTopK(emb: DataFrame, dims: Int, m: Int, k: Int, topK: Int, queryMod: Int,
+             lloydIters: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    var cb = codebook(micro, m, subDim, k).localCheckpoint(eager = false)
+    val sub = subvectors(micro, m, subDim).localCheckpoint(eager = false)
+    for (_ <- 1 to lloydIters)
+      cb = refine(sub, cb).localCheckpoint(eager = false)
+
+    val enc = assign(sub, cb).select(col("id").as("nid"), col("s"), col("cid"))
+
+    // per-query distance LUT: nq · m·k rows
+    val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
+      .join(broadcast(cb), Seq("s"))
+      .select(col("id").as("qid"), col("s"), col("cid"),
+        (graft.functions.dot_product(col("sub"), col("sub"))
+          - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+          + col("norm2")).as("d"))
+
+    // ADC: m lookup rows per (query, neighbour); exact-integer sum
+    enc.join(lut, Seq("s", "cid"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_by(-col("adc"), col("nid"), topK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (-col("t.sim")).cast("long").as("adc"), col("t.rank").as("rank"))
+  }
+}

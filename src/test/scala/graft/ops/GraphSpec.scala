@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def starEdges = {
+    // hub 0 connected to 1..9, plus a 10-11 pendant pair
+    val rel = ((1 to 9).map(i => (0L, i.toLong)) :+ (10L, 11L)).toDF("a", "b")
+    Graph.undirectedEdges(rel, "a", "b")
+  }
+
+  test("hub node dominates a star graph; pendant pair ranks equal") {
+    val pr = Graph.pagerank(starEdges, iters = 5)
+      .orderBy($"r".desc, $"node").as[(Long, Long, Long)].collect()
+    assert(pr.head._1 == 0L, s"hub should rank first, got ${pr.head}")
+    val pendants = pr.filter(r => r._1 == 10L || r._1 == 11L).map(_._3)
+    assert(pendants.distinct.length == 1, "symmetric pendant pair must tie")
+    // spokes are symmetric: all nine share one rank value below the hub
+    val spokes = pr.filter(r => r._1 >= 1L && r._1 <= 9L).map(_._3)
+    assert(spokes.distinct.length == 1 && spokes.head < pr.head._3)
+  }
+
+  test("total mass is conserved up to floor loss (≤ 20·Σdeg nano-units/iter)") {
+    val e = starEdges
+    val n = e.select($"src").distinct().count()
+    val sumDeg = e.count() // Σ deg = edge-direction count
+    val total = Graph.pagerank(e, iters = 5).agg(sum($"r")).as[Long].head()
+    val exact = n * 1000000000L
+    assert(total <= exact, "integer floors can only lose mass")
+    assert(exact - total <= 5L * 20L * sumDeg * 2, // loose: iters × per-edge loss
+      s"mass leak too large: $exact -> $total")
+  }
+
+  test("ranks are partitioning-invariant (pure integer arithmetic)") {
+    val a = Graph.pagerank(starEdges, 5).orderBy($"node").collect().toSeq
+    val b = Graph.pagerank(starEdges.repartition(7), 5).orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+}

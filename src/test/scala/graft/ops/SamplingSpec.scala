@@ -33,4 +33,29 @@ class SamplingSpec extends SparkSpec {
     val maxN = a.groupBy($"shard").count().agg(max($"count")).as[Long].head()
     assert(maxN < 2 * 1000 / 8)
   }
+
+  test("priority sample: k rows, ŵ = max(w, τ) ≥ w, heavy rows overrepresented") {
+    // weights: ids 0..9 weigh 1000, ids 10..99 weigh 10
+    val df = spark.range(100)
+      .select($"id", when($"id" < 10, 1000L).otherwise(10L).as("w"))
+    val out = Sampling.prioritySample(df, "id", "w", k = 20)
+      .orderBy($"rank")
+      .select($"rank", $"id", $"w", $"w_hat").as[(Int, Long, Long, Double)].collect()
+    assert(out.length == 20 && out.map(_._1).toSeq == (1 to 20))
+    out.foreach { case (_, id, w, wHat) =>
+      assert(wHat >= w, s"estimator below actual weight for $id")
+    }
+    // the 10% heavy stratum carries 100x weight: expect a clear majority
+    val heavy = out.count(_._3 == 1000L)
+    assert(heavy >= 8, s"heavy rows underrepresented: $heavy/20")
+  }
+
+  test("priority sample is partitioning-invariant and reproducible") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sampling.prioritySample(docs, "doc_id", "n_chars", 20)
+      .orderBy($"rank").collect().toSeq
+    val b = Sampling.prioritySample(docs.repartition(13), "doc_id", "n_chars", 20)
+      .orderBy($"rank").collect().toSeq
+    assert(a == b && a.size == 20)
+  }
 }
