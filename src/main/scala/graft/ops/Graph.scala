@@ -36,22 +36,26 @@ object Graph {
 
   /** (node, deg, r) after `iters` power iterations, r in nano-units. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint(eager = false)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree is folded into the edge frame ONCE — each iteration is then
+    // a single equi-join (ranks ⋈ out-edges) + one map-combined sum,
+    // not a second join against the degree table every round
+    val e = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .localCheckpoint(eager = false)
-    var ranks = deg.select(col("src").as("node"), lit(1000000000L).as("r"))
+    val nodes = e.select(col("src").as("node"), col("deg")).distinct()
+      .localCheckpoint(eager = false)
+    var ranks = nodes.select(col("node"), lit(1000000000L).as("r"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       ranks = e
         .join(ranks, e("src") === ranks("node"))
-        .join(deg, Seq("src"))
         .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000000L) + sum(col("c"))).as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint(eager = false)
     }
-    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+    ranks.join(nodes, Seq("node"))
       .select(col("node"), col("deg"), col("r"))
   }
 }

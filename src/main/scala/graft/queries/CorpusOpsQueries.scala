@@ -290,6 +290,15 @@ object CorpusOpsQueries {
         |      FROM p)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── BPE merge training: 10 greedy merge rounds on the word-frequency
+    //    table; literal-replace merge semantics identical across engines,
+    //    oracle unrolls rounds as chained CTEs ──
+    "train_bpe_merges" -> QueryDef(
+      (spark, dir) => graft.text.Bpe
+        .trainMerges(Tables.documents(spark, dir), "text", rounds = 10)
+        .orderBy(col("round")),
+      bpeSql(10)),
+
     // ── PageRank: exact integer nano-unit power iteration, oracle
     //    unrolls the same iterations as chained CTEs ──
     "graph_pagerank" -> QueryDef(
@@ -306,6 +315,32 @@ object CorpusOpsQueries {
       },
       pagerankSql(5))
   )
+
+  /** Chained-CTE BPE replay: round i's pair counts, argmax and merged
+    * vocabulary derived from round i−1 exactly as Bpe.trainMerges.
+    */
+  private def bpeSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT s, n, unnest(generate_series(1, len(s)-1)) AS j
+         |        FROM (SELECT string_split(trim(repr), '  ') AS s, n FROM v${i - 1})
+         |        WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT CAST($i AS INT) AS round, a, b, cnt FROM p$i
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$i AS (SELECT replace(repr, ' ' || b.a || '  ' || b.b || ' ',
+         |          ' ' || b.a || b.b || ' ') AS repr, n
+         |        FROM v${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents) GROUP BY 1),
+       |v0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '
+       |         AS repr, n FROM wc),
+       |$steps
+       |SELECT round, a, b, cnt FROM ($union) ORDER BY round""".stripMargin
+  }
 
   /** Chained-CTE PageRank replay: r_i derived from r_{i-1} with the same
     * integer nano-unit arithmetic as Graph.pagerank.
