@@ -290,6 +290,47 @@ object CorpusOpsQueries {
         |      FROM p)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── per-group histogram quantiles: same integer-exact bucket trick
+    //    as stats_quantile_hist, windows partitioned BY GROUP (the
+    //    cumulative sums run over ≤ a few hundred bucket rows per group,
+    //    never a single global partition) ──
+    "stats_group_quantiles" -> QueryDef(
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val bkts = Tables.events(spark, dir)
+          .select(col("event_type").as("grp"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .select(col("grp"), expr("cents DIV 1000").as("bkt"))
+          .groupBy(col("grp"), col("bkt"))
+          .agg(count(lit(1)).as("n_b"))
+        val wc = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ps = Seq(50, 90, 99).toDF("p")
+        bkts
+          .withColumn("cum", sum(col("n_b")).over(wc))
+          .withColumn("n", sum(col("n_b")).over(Window.partitionBy(col("grp"))))
+          .join(broadcast(ps))
+          .filter(col("cum") * 100 >= col("p") * col("n") &&
+            (col("cum") - col("n_b")) * 100 < col("p") * col("n"))
+          .select(col("grp"), col("p"), col("bkt"),
+            (col("bkt") * 1000).as("lo_c"), ((col("bkt") + 1) * 1000 - 1).as("hi_c"),
+            col("n_b"), col("cum"), col("n"))
+          .orderBy(col("grp"), col("p"))
+      },
+      """WITH c AS (SELECT event_type AS grp,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT grp, cents // 1000 AS bkt, CAST(count(*) AS BIGINT) AS n_b
+        |      FROM c GROUP BY 1, 2),
+        |w AS (SELECT grp, bkt, n_b,
+        |  CAST(sum(n_b) OVER (PARTITION BY grp ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(n_b) OVER (PARTITION BY grp) AS BIGINT) AS n FROM b)
+        |SELECT grp, p, bkt, bkt*1000 AS lo_c, (bkt+1)*1000 - 1 AS hi_c, n_b, cum, n
+        |FROM w CROSS JOIN (VALUES (50), (90), (99)) p(p)
+        |WHERE cum*100 >= p*n AND (cum - n_b)*100 < p*n
+        |ORDER BY grp, p""".stripMargin),
+
     // ── BPE merge training: 10 greedy merge rounds on the word-frequency
     //    table; literal-replace merge semantics identical across engines,
     //    oracle unrolls rounds as chained CTEs ──
@@ -298,6 +339,15 @@ object CorpusOpsQueries {
         .trainMerges(Tables.documents(spark, dir), "text", rounds = 10)
         .orderBy(col("round")),
       bpeSql(10)),
+
+    // ── all-but-the-top dominant direction: power iteration as two
+    //    matvec aggregations per round, exact floor-division arithmetic
+    //    (operands ≤2^53 so IEEE doubles replay bit-for-bit) ──
+    "emb_top_direction" -> QueryDef(
+      (spark, dir) => graft.sim.PowerIter
+        .topDirection(Tables.embeddings(spark, dir), iters = 4)
+        .orderBy(col("pos")),
+      powerIterSql(4)),
 
     // ── PageRank: exact integer nano-unit power iteration, oracle
     //    unrolls the same iterations as chained CTEs ──
@@ -315,6 +365,34 @@ object CorpusOpsQueries {
       },
       pagerankSql(5))
   )
+
+  /** Chained-CTE power-iteration replay: two matvecs + renormalization
+    * per round, floor-divisions on ≤2^53-exact doubles as PowerIter.
+    */
+  private def powerIterSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT id, CAST(floor(CAST(sum(xc * v) AS BIGINT)
+         |          / 17179869184.0) AS BIGINT) AS rs
+         |        FROM c JOIN v${i - 1} USING (pos) GROUP BY 1),
+         |w$i AS (SELECT pos, CAST(floor(CAST(sum(xc * rs) AS BIGINT)
+         |          / 1048576.0) AS BIGINT) AS ws
+         |        FROM c JOIN r$i USING (id) GROUP BY 1),
+         |mx$i AS (SELECT greatest(max(abs(ws)), 1) AS mx FROM w$i),
+         |v$i AS (SELECT pos, CAST(floor(CAST(ws * 1048576 AS DOUBLE)
+         |          / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+         |        FROM w$i CROSS JOIN mx$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id AS id, CAST(i.i - 1 AS INT) AS pos,
+       |    CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i),
+       |mu AS (SELECT pos,
+       |    CAST(floor(CAST(sum(x) AS BIGINT) / count(*) + 0.5) AS BIGINT) AS mu
+       |  FROM ex GROUP BY 1),
+       |c AS (SELECT id, ex.pos, x - mu AS xc FROM ex JOIN mu USING (pos)),
+       |v0 AS (SELECT pos, CAST(1048576 AS BIGINT) AS v FROM mu),
+       |$steps
+       |SELECT mu.pos, mu, v FROM mu JOIN v$iters USING (pos) ORDER BY mu.pos""".stripMargin
+  }
 
   /** Chained-CTE BPE replay: round i's pair counts, argmax and merged
     * vocabulary derived from round i−1 exactly as Bpe.trainMerges.
