@@ -305,6 +305,69 @@ object EventQueries {
     //    estimate (k-1)·2³²/h_k, alongside the exact count. k=8 because
     //    the sf0.001 corpus has only 15 users/group. Deterministic and
     //    fully hash-gated — an engine-native HLL can't be. ──
+    // ── cohort retention: integer epoch-week buckets (calendar-free —
+    //    identical integer DIV in every engine), two aggregations ──
+    "ev_cohort_retention" -> QueryDef(
+      (spark, dir) => {
+        val weekNs = 604800000000000L
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), expr(s"ts_ns DIV $weekNs").as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, Seq("user_id"))
+          .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_wk"), col("week_offset"))
+      },
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+        |        e.user_id
+        |      FROM e JOIN c USING (user_id))
+        |SELECT cohort_wk, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── ordered funnel (view → click → purchase): per-user conditional
+    //    first-times on exact integer nanos; three map-combined
+    //    aggregations at the user grain, no window over the corpus ──
+    "ev_funnel_steps" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+          .localCheckpoint(eager = false)
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, Seq("user_id"))
+          .filter(col("ts_ns") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, Seq("user_id"))
+          .filter(col("ts_ns") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+        val counts = Seq(
+          ("1_view", t1), ("2_click", t2), ("3_purchase", t3))
+        counts.map { case (step, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"), col("n_users"))
+        }.reduce(_ unionAll _).orderBy(col("step"))
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |t1 AS (SELECT user_id, min(ts_ns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts_ns) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_ns > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts_ns) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_ns > t2 GROUP BY 1)
+        |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+        |ORDER BY step""".stripMargin),
+
     // ── HyperLogLog distinct sketch: 256 md5-derived registers, EXACT
     //    integer harmonic denominator (Σ 2^(33−M) — order-independent),
     //    estimate = one IEEE division; ln small-range correction kept
