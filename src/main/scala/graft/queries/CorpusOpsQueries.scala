@@ -349,6 +349,56 @@ object CorpusOpsQueries {
         .orderBy(col("pos")),
       powerIterSql(4)),
 
+    // ── BPE encode: apply the 10 trained merges to the vocabulary —
+    //    the same columnar replace chain as training, so tokenizer
+    //    APPLICATION (not just training) sits under the hash gate;
+    //    per-word piece counts are the token-inflation measure ──
+    "train_bpe_encode" -> QueryDef(
+      (spark, dir) => {
+        val (_, vocab) = graft.text.Bpe
+          .trainWithVocab(Tables.documents(spark, dir), "text", rounds = 10)
+        vocab.select(col("w"), col("n"),
+            size(split(trim(col("repr")), "  ")).cast("int").as("n_pieces"),
+            array_join(split(trim(col("repr")), "  "), " ").as("pieces"))
+          .orderBy(col("n").desc, col("w")).limit(30)
+      },
+      bpeEncodeSql(10)),
+
+    // ── triangle counting: degree-ordered orientation caps wedge volume
+    //    at m^(3/2) (skew-proof — no hub enumerates its full neighborhood);
+    //    wedge + close are node-key equi-joins over one checkpointed frame ──
+    "graph_triangles" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+        val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+        val pairs = l1.join(l2, col("ok") === col("ok2") && col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        graft.ops.Graph.triangles(pairs)
+          .orderBy(col("tri").desc, col("node")).limit(30)
+      },
+      """WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |         THEN a ELSE b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |         THEN b ELSE a END AS dst,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |         THEN db.deg ELSE da.deg END AS ddst
+        |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |wdg AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS wn
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |   AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))),
+        |t AS (SELECT u, v, wn FROM wdg JOIN o ON wdg.v = o.src AND wdg.wn = o.dst),
+        |x AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+        |      UNION ALL SELECT wn FROM t)
+        |SELECT node, CAST(count(*) AS BIGINT) AS tri FROM x GROUP BY 1
+        |ORDER BY tri DESC, node LIMIT 30""".stripMargin),
+
     // ── PageRank: exact integer nano-unit power iteration, oracle
     //    unrolls the same iterations as chained CTEs ──
     "graph_pagerank" -> QueryDef(
@@ -395,9 +445,11 @@ object CorpusOpsQueries {
   }
 
   /** Chained-CTE BPE replay: round i's pair counts, argmax and merged
-    * vocabulary derived from round i−1 exactly as Bpe.trainMerges.
+    * vocabulary derived from round i−1 exactly as Bpe.trainWithVocab.
+    * `finalSelect` runs against the last vocabulary CTE v<rounds>
+    * (columns w, repr, n) and the per-round argmaxes b1..b<rounds>.
     */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeChain(rounds: Int, finalSelect: String): String = {
     val steps = (1 to rounds).map { i =>
       s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
          |  FROM (SELECT s, n, unnest(generate_series(1, len(s)-1)) AS j
@@ -406,19 +458,30 @@ object CorpusOpsQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT CAST($i AS INT) AS round, a, b, cnt FROM p$i
          |        ORDER BY cnt DESC, a, b LIMIT 1),
-         |v$i AS (SELECT replace(repr, ' ' || b.a || '  ' || b.b || ' ',
+         |v$i AS (SELECT w, replace(repr, ' ' || b.a || '  ' || b.b || ' ',
          |          ' ' || b.a || b.b || ' ') AS repr, n
          |        FROM v${i - 1} CROSS JOIN b$i b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
     s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |        FROM documents) GROUP BY 1),
-       |v0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '
-       |         AS repr, n FROM wc),
+       |v0 AS (SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+       |         || ' ' AS repr, n FROM wc),
        |$steps
-       |SELECT round, a, b, cnt FROM ($union) ORDER BY round""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private def bpeSql(rounds: Int): String = {
+    val union = (1 to rounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    bpeChain(rounds, s"SELECT round, a, b, cnt FROM ($union) ORDER BY round")
+  }
+
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeChain(rounds,
+      s"""SELECT w, n,
+         |  CAST(len(string_split(trim(repr), '  ')) AS INT) AS n_pieces,
+         |  array_to_string(string_split(trim(repr), '  '), ' ') AS pieces
+         |FROM v$rounds ORDER BY n DESC, w LIMIT 30""".stripMargin)
 
   /** Chained-CTE PageRank replay: r_i derived from r_{i-1} with the same
     * integer nano-unit arithmetic as Graph.pagerank.

@@ -33,11 +33,22 @@ object Bpe {
   /** (word, n) corpus frequency table → the learned merges:
     * (round, a, b, cnt), `rounds` rows.
     */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainWithVocab(docs, textCol, rounds)._1
+
+  /** Train `rounds` merges AND return the segmented vocabulary —
+    * (merges (round, a, b, cnt), vocab (w, n, repr)) where `repr` is the
+    * word's post-merge delimited symbol string. Applying a trained
+    * tokenizer is the same columnar replace chain as training, so the
+    * encode side inherits training's determinism and replays under the
+    * oracle gate (chained CTEs carrying `w` through each round).
+    */
+  def trainWithVocab(docs: DataFrame, textCol: String,
+                     rounds: Int): (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(charRepr(col("w")).as("repr"), col("n"))
+      .select(col("w"), charRepr(col("w")).as("repr"), col("n"))
       .localCheckpoint(eager = false)
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
@@ -55,12 +66,12 @@ object Bpe {
         .localCheckpoint(eager = false)
       merges = if (merges == null) best else merges.unionAll(best)
       vocab = vocab.crossJoin(broadcast(best))
-        .select(expr(
+        .select(col("w"), expr(
           "replace(repr, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
           .as("repr"), col("n"))
         .localCheckpoint(eager = false)
     }
-    merges
+    (merges, vocab)
   }
 
   /** Segment words with a learned merge list: replay the merges in

@@ -34,6 +34,23 @@ class GraphSpec extends SparkSpec {
       s"mass leak too large: $exact -> $total")
   }
 
+  test("triangles: K4 has 4 triangles, 3 per node; appended path adds none") {
+    // K4 on 1..4 plus a pendant path 4-5-6 (no new triangles)
+    val k4 = for { i <- 1 to 4; j <- (i + 1) to 4 } yield (i.toLong, j.toLong)
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val tri = Graph.triangles(pairs).as[(Long, Long)].collect().toMap
+    assert((1 to 4).forall(i => tri(i.toLong) == 3L), s"K4 nodes: $tri")
+    assert(!tri.contains(5L) && !tri.contains(6L), "path nodes join no triangle")
+  }
+
+  test("triangles: orientation makes the count partitioning-invariant") {
+    val pairs = (for { i <- 1 to 8; j <- (i + 1) to 8; if (i + j) % 3 != 0 }
+      yield (i.toLong, j.toLong)).toDF("a", "b")
+    val a = Graph.triangles(pairs).orderBy($"node").collect().toSeq
+    val b = Graph.triangles(pairs.repartition(5)).orderBy($"node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ranks are partitioning-invariant (pure integer arithmetic)") {
     val a = Graph.pagerank(starEdges, 5).orderBy($"node").collect().toSeq
     val b = Graph.pagerank(starEdges.repartition(7), 5).orderBy($"node").collect().toSeq

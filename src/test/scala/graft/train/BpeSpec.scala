@@ -41,6 +41,25 @@ class BpeSpec extends SparkSpec {
     assert(after < before, s"10 merges must compress: $after !< $before")
   }
 
+  test("trainWithVocab: repr round-trips the word and agrees with segment") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (mergesDf, vocab) = Bpe.trainWithVocab(docs, "text", rounds = 5)
+    // pieces concatenate back to the word — merges never lose characters
+    val broken = vocab
+      .filter(regexp_replace(trim($"repr"), " ", "") =!= $"w").count()
+    assert(broken == 0L, s"$broken words don't round-trip")
+    // piece counts equal the driver-side segment() replay of the merges
+    val merges = mergesDf.orderBy($"round")
+      .select($"a", $"b").as[(String, String)].collect().toSeq
+    val viaSegment = Bpe.segment(vocab.select($"w"), "w", merges)
+      .select($"w", $"n_symbols".cast("int").as("k"))
+    val viaVocab = vocab.select($"w",
+      size(split(trim($"repr"), "  ")).as("k2"))
+    val diff = viaSegment.join(viaVocab, "w")
+      .filter($"k" =!= $"k2").count()
+    assert(diff == 0L)
+  }
+
   test("training is partitioning-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.trainMerges(docs, "text", 5).orderBy($"round").collect().toSeq
