@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) with 256
@@ -67,4 +68,39 @@ object Hll {
       .withColumn("est",
         floor(lit(EstNumerator) / col("sum_scaled") + lit(0.5)).cast("long"))
       .drop("sum_present")
+
+  /** Sliding-window distinct estimate: per tick t, the HLL estimate over
+    * ticks (t−width, t] — register tables merge by MAX, so a trailing
+    * window of sketches is one window-function pass over a DENSE
+    * (tick × register) grid (absent registers must still slide, hence the
+    * grid; it is ticks·256 rows — kilobytes — regardless of input size).
+    * The window frame is RANGE-based on the integer tick, so gaps in the
+    * tick sequence exclude expired registers exactly.
+    *
+    * This is the streaming-dashboard shape ("distinct users, trailing 3
+    * h") computed in batch: one shuffle to (tick, register), one
+    * 256-partition window pass, one per-tick rollup.
+    */
+  def slidingEstimate(df: DataFrame, tickCol: String, valueCol: String,
+                      width: Int): DataFrame = {
+    val reg = registers(df, tickCol, valueCol)
+      .select(col("grp").as("h"), col("idx"), col("mreg"))
+    val dense = reg.select(col("h")).distinct()
+      .select(col("h"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(255 AS BIGINT))")).as("idx"))
+      .join(reg, Seq("h", "idx"), "left")
+    val w = Window.partitionBy(col("idx")).orderBy(col("h"))
+      .rangeBetween(1L - width, 0L)
+    dense.select(col("h"), max(col("mreg")).over(w).as("m"))
+      .groupBy(col("h"))
+      .agg(count(col("m")).cast("int").as("v_used"),
+        sum(when(col("m").isNotNull,
+          expr("shiftleft(cast(1 as bigint), cast(33 - m as int))"))).as("sum_present"))
+      .select(col("h"), col("v_used"),
+        (lit(Registers) - col("v_used")).as("zeros"),
+        (coalesce(col("sum_present"), lit(0L)) +
+          (lit(Registers.toLong) - col("v_used")) * lit(8589934592L)).as("sum_scaled"))
+      .withColumn("est",
+        floor(lit(EstNumerator) / col("sum_scaled") + lit(0.5)).cast("long"))
+  }
 }

@@ -71,6 +71,32 @@ object CorpusOpsQueries {
            |ORDER BY score_4 DESC, doc_id LIMIT 20""".stripMargin
       }),
 
+    // ── per-doc TF-IDF keywords: integer idf surrogate ⌊N·10⁶/df⌋ − 10⁶
+    //    (∝ (N−df)/df — zero for ubiquitous terms, log-free); top-3 window
+    //    is partitioned BY DOCUMENT (one doc's vocabulary per partition —
+    //    no global sort, no skew) ──
+    "text_keywords" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        Retrieval.tfidfKeywords(docs, "doc_id", "toks", k = 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |    tf * (((n_docs * 1000000) // df) - 1000000) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS INT) AS rn FROM sc)
+         |SELECT doc_id, rn, term, tf, df, score FROM r WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin),
+
     // ── inverted-index lookup: postings filtered against the broadcast
     //    query-term list before any shuffle; integer-only scoring ──
     "text_search_topk" -> QueryDef(

@@ -407,6 +407,59 @@ object EventQueries {
            |FROM ag JOIN ex ON ag.grp = ex.grp ORDER BY ag.grp""".stripMargin
       }),
 
+    // ── sliding-window distinct: trailing-3-tick HLL merge — registers
+    //    merge by MAX, so the slide is ONE window pass over the dense
+    //    (tick × 256) grid (ticks·256 rows at any input size); exact
+    //    trailing distinct joined alongside as the verification column ──
+    "ev_hll_sliding" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(expr("ts_ns DIV 3600000000000").as("eh"), col("user_id"))
+        val sk = graft.ops.Hll.slidingEstimate(ev, "eh", "user_id", width = 3)
+        val ticks = ev.select(col("eh").as("th")).distinct()
+        val ex = ticks.join(ev, col("eh").between(col("th") - 2, col("th")))
+          .groupBy(col("th"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        sk.join(ex, sk("h") === ex("th")).drop("th").orderBy(col("h"))
+      }, {
+        def h32(off: Int) =
+          "CAST(list_sum(list_transform(generate_series(1, 8), " +
+            "i -> (strpos('0123456789abcdef', " +
+            s"substr(md5(CAST(user_id AS VARCHAR)), $off + i, 1)) - 1) " +
+            "* (16 ** (8 - i)))) AS BIGINT)"
+        s"""WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS eh, user_id
+           |           FROM events),
+           |hh AS (SELECT eh, ${h32(0)} AS h1, ${h32(8)} AS h2 FROM e),
+           |reg AS (SELECT eh AS h, h1 % 256 AS idx,
+           |    max(CASE WHEN h2 = 0 THEN 33
+           |             ELSE 33 - length(bin(h2)) END) AS mreg
+           |  FROM hh GROUP BY 1, 2),
+           |ticks AS (SELECT DISTINCT eh AS h FROM e),
+           |grid AS (SELECT h, idx FROM ticks
+           |  CROSS JOIN (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+           |    CAST(255 AS BIGINT))) AS idx)),
+           |d AS (SELECT g.h, g.idx, r.mreg FROM grid g
+           |  LEFT JOIN reg r ON g.h = r.h AND g.idx = r.idx),
+           |m AS (SELECT h, max(mreg) OVER (PARTITION BY idx ORDER BY h
+           |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM d),
+           |ag AS (SELECT h, CAST(count(m) AS INT) AS v_used,
+           |    CAST(sum(CASE WHEN m IS NOT NULL
+           |      THEN CAST(1 AS BIGINT) << CAST(33 - m AS INT) END) AS BIGINT)
+           |      AS sum_present
+           |  FROM m GROUP BY 1),
+           |ex AS (SELECT t.h, CAST(count(DISTINCT e.user_id) AS BIGINT)
+           |      AS exact_distinct
+           |  FROM ticks t JOIN e ON e.eh BETWEEN t.h - 2 AND t.h GROUP BY 1)
+           |SELECT ag.h, v_used, (256 - v_used) AS zeros,
+           |  coalesce(sum_present, 0) + (CAST(256 AS BIGINT) - v_used)
+           |    * 8589934592 AS sum_scaled,
+           |  CAST(floor(${graft.ops.Hll.EstNumerator} /
+           |    (coalesce(sum_present, 0) + (CAST(256 AS BIGINT) - v_used)
+           |      * 8589934592) + 0.5) AS BIGINT) AS est,
+           |  exact_distinct
+           |FROM ag JOIN ex ON ag.h = ex.h ORDER BY ag.h""".stripMargin
+      }),
+
     "ev_kmv_distinct" -> QueryDef(
       (spark, dir) => {
         val ev = Tables.events(spark, dir)

@@ -63,6 +63,34 @@ object Retrieval {
       .select(col(idCol), score.as("score"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each
+    * document by tf · idf, with idf as the EXACT integer surrogate
+    * ⌊N·10⁶ / df⌋ − 10⁶ ∝ (N − df)/df — like log(N/df) it is strictly
+    * decreasing in df and ZERO for ubiquitous terms (df = N), but
+    * log-free (cross-engine ln drifts in the last ulp; see LmScore).
+    * Ties break (score desc, term asc).
+    *
+    * Scale shape: tf is one map-combined count at the (doc, term) grain;
+    * df one at the term grain; N is a 1-row broadcast. The final top-k
+    * is a window ranked WITHIN each document — partitioned by doc_id, so
+    * no global sort and no skew (each partition is one document's
+    * vocabulary).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, toksCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * expr("((n_docs * 1000000) DIV df) - 1000000")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+  }
+
   /** Inverted-index lookup: explode postings, keep only query terms
     * (broadcast join — non-matching postings never shuffle), then rank
     * documents by (distinct terms matched, total term frequency).

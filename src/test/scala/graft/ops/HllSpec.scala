@@ -45,4 +45,21 @@ class HllSpec extends SparkSpec {
       .orderBy($"grp", $"idx").collect().toSeq
     assert(merged == whole)
   }
+
+  test("sliding estimate equals the batch estimate over each trailing window") {
+    // ticks 10,11,13 with overlapping value sets; width 3 → tick 13's
+    // window is {11,13} (12 absent, 10 expired by RANGE semantics)
+    val rows = Seq.tabulate(200)(i => (10L, s"a$i")) ++
+      Seq.tabulate(150)(i => (11L, s"b$i")) ++
+      Seq.tabulate(120)(i => (13L, s"a$i"))
+    val df = rows.toDF("t", "v")
+    val slid = Hll.slidingEstimate(df, "t", "v", width = 3)
+      .select($"h", $"est").as[(Long, Long)].collect().toMap
+    def batchEst(ticks: Set[Long]): Long =
+      Hll.estimate(df.filter($"t".isin(ticks.toSeq: _*)).withColumn("g", lit(1)),
+        "g", "v").select($"est").as[Long].head()
+    assert(slid(10L) == batchEst(Set(10L)))
+    assert(slid(11L) == batchEst(Set(10L, 11L)))
+    assert(slid(13L) == batchEst(Set(11L, 13L)), "tick 10 must expire at 13")
+  }
 }

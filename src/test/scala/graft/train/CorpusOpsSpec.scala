@@ -55,6 +55,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("tfidfKeywords: doc-unique term outranks the corpus-wide filler") {
+    import spark.implicits._
+    // "zebra" appears only in doc 1; "the" in every doc with higher tf
+    val mini = Seq(
+      (1L, Seq("the", "the", "the", "zebra", "the")),
+      (2L, Seq("the", "cat", "the")),
+      (3L, Seq("the", "dog", "dog"))).toDF("doc_id", "toks")
+    val top = Retrieval.tfidfKeywords(mini, "doc_id", "toks", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra", s"got $top")
+    assert(top(2L) == "cat" && top(3L) == "dog")
+    // score is the documented integer: tf * ((N*1e6 DIV df) - 1e6)
+    val z = Retrieval.tfidfKeywords(mini, "doc_id", "toks", 1)
+      .filter($"doc_id" === 1L).select($"score").as[Long].head()
+    assert(z == 1L * (3L * 1000000L / 1L - 1000000L))
+  }
+
   test("bloom probe has no false negatives and summary counts reconcile") {
     val sh = array_distinct(TextAnalysis.shingles(col("text"), 3))
     val d = Tables.documents(spark, dir).select(col("doc_id"), sh.as("sh"))
