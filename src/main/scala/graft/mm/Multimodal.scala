@@ -59,6 +59,66 @@ object Multimodal {
 
   import org.apache.spark.sql.Column
 
+  /** Deterministic fake image decode: an 8×8 grayscale pixel array
+    * (values 0-255) derived from a class key — docs sharing `cls` decode
+    * to the same base image, and ONE pixel (position `noisePos`) is
+    * perturbed by +128 per item, so same-class items are NEAR-duplicates
+    * (a few aHash bits apart) rather than exact ones. Stands in for a
+    * real codec (not in this container) behind the same columnar
+    * contract: binary/key in, fixed-size numeric feature array out.
+    */
+  def fakePixels(cls: Column, noisePos: Column): Column =
+    transform(sequence(lit(0), lit(63)), p =>
+      pmod(
+        conv(substring(md5(concat(cls.cast("string"), lit(":"),
+          p.cast("string"))), 1, 2), 16, 10).cast("int") +
+          when(p === noisePos.cast("int"), lit(128)).otherwise(lit(0)),
+        lit(256)))
+
+  /** Average-hash (aHash) band table from an (id, 64-pixel array) frame:
+    * bit p of the hash is [pixel_p > floor-mean], packed into four 16-bit
+    * band values — the perceptual-hash near-dup key for images. Bands are
+    * the LSH blocks: hamming distance ≤ 3 over 64 bits guarantees ≥ 1 of
+    * the 4 bands is identical (pigeonhole), so the candidate join below is
+    * COMPLETE for that threshold. Integer floor-mean keeps the hash
+    * engine-exact. One shuffle to the id grain; 4 rows out per item.
+    */
+  def aHashBands(df: DataFrame, idCol: String, pixelsCol: String): DataFrame = {
+    val px = df.select(col(idCol).as("mid"),
+        posexplode(col(pixelsCol)).as(Seq("p", "v")))
+    val mean = px.groupBy(col("mid")).agg(expr("sum(v) DIV 64").as("m"))
+    px.join(mean, Seq("mid"))
+      .select(col("mid"), expr("p DIV 16").as("band"),
+        expr("shiftleft(CAST(IF(v > m, 1, 0) AS INT), p % 16)").as("w"))
+      .groupBy(col("mid"), col("band"))
+      .agg(sum(col("w")).cast("int").as("bv"))
+  }
+
+  /** Near-duplicate pairs by banded aHash: equal-band candidate join
+    * (each bucket holds items sharing one 16-bit band — the duplicated
+    * mass, never all pairs), then exact hamming over the four bands
+    * filtered to ≤ maxHamming. Returns (i, j, hamming), i < j.
+    */
+  def aHashNearDups(bands: DataFrame, maxHamming: Int): DataFrame = {
+    val b = bands.localCheckpoint(eager = false)
+    val x = b.select(col("mid").as("i"), col("band").as("bx"), col("bv").as("vx"))
+    val y = b.select(col("mid").as("j"), col("band").as("by"), col("bv").as("vy"))
+    val cand = x.join(y, col("bx") === col("by") && col("vx") === col("vy") &&
+        col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val packed = (0 to 3).map(k => max(when(col("band") === k, col("bv"))).as(s"b$k"))
+    val h = b.groupBy(col("mid")).agg(packed.head, packed.tail: _*)
+    val hi = h.select(col("mid").as("ii"), col("b0").as("x0"), col("b1").as("x1"),
+      col("b2").as("x2"), col("b3").as("x3"))
+    val hj = h.select(col("mid").as("jj"), col("b0").as("y0"), col("b1").as("y1"),
+      col("b2").as("y2"), col("b3").as("y3"))
+    cand.join(hi, col("i") === col("ii")).join(hj, col("j") === col("jj"))
+      .select(col("i"), col("j"),
+        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + " +
+          "bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Little-endian hex field: reverse the byte pairs of a big-endian hex
     * rendering (WAV/RIFF numbers are little-endian on disk).
     */

@@ -36,6 +36,52 @@ object AnalyticsQueries {
         |              WHERE l_orderkey = o_orderkey AND l_linenumber >= 3)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // ── full co-moment matrix in ONE map-combined pass: exact integer
+    //    sufficient statistics (n, Σx, Σy, Σxy) for every measure pair —
+    //    the distributable core of covariance/correlation at 100 TB (the
+    //    closing divisions are driver-side scalars). Measures coarsened
+    //    to integer units (dollars / percent points) so every sum stays
+    //    exact in 64 bits on any partitioning ──
+    "stats_cov_pairs" -> QueryDef(
+      (spark, dir) => {
+        val cols = Seq("disc", "price", "qty", "tax")
+        val li = Tables.lineitem(spark, dir).select(
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("tax"))
+        val pairs = for { i <- cols.indices; j <- i until cols.length }
+          yield (cols(i), cols(j))
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(col(c)).as(s"s_$c")) ++
+          pairs.map { case (x, y) => sum(col(x) * col(y)).as(s"s_${x}_$y") }
+        val structs = pairs.map { case (x, y) =>
+          s"struct('$x' AS xcol, '$y' AS ycol, n, s_$x AS sx, s_$y AS sy, s_${x}_$y AS sxy)"
+        }.mkString(", ")
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(explode(expr(s"array($structs)")).as("p"))
+          .select(col("p.*"))
+          .orderBy(col("xcol"), col("ycol"))
+      }, {
+        val cols = Seq("disc", "price", "qty", "tax")
+        val pairs = for { i <- cols.indices; j <- i until cols.length }
+          yield (cols(i), cols(j))
+        val moments = (cols.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c") ++
+          pairs.map { case (x, y) =>
+            s"CAST(sum($x * $y) AS BIGINT) AS s_${x}_$y" }).mkString(", ")
+        val rows = pairs.map { case (x, y) =>
+          s"SELECT '$x' AS xcol, '$y' AS ycol, n, s_$x AS sx, s_$y AS sy, " +
+            s"s_${x}_$y AS sxy FROM st" }.mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT
+           |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+           |    CAST(floor(l_extendedprice) AS BIGINT) AS price,
+           |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+           |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+           |  FROM lineitem),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, $moments FROM v)
+           |$rows ORDER BY xcol, ycol""".stripMargin
+      }),
+
     // ── anti join: customers with no orders (NOT EXISTS) ──
     "q_customers_without_orders" -> QueryDef(
       (spark, dir) => {

@@ -834,6 +834,48 @@ object TrainQueries {
         |  unnest(frames) AS frame_md5
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin),
 
+    // ── multimodal near-dup: fake decode → 8×8 aHash → banded candidate
+    //    join (pigeonhole-complete for hamming ≤ 3) → exact hamming
+    //    verify; the oracle brute-forces ALL pairs, proving the banded
+    //    pruning loses nothing ──
+    "mm_ahash_neardup" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val px = docs.select(col("doc_id"),
+          Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
+            pmod(col("doc_id"), lit(64))).as("px"))
+        val bands = Multimodal.aHashBands(px, "doc_id", "px")
+        Multimodal.aHashNearDups(bands, maxHamming = 3)
+          .orderBy(col("i"), col("j")).limit(200)
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 2, 1)) - 1))"
+        s"""WITH px AS (SELECT doc_id, p,
+           |    ($hv + CASE WHEN p = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS v
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)),
+           |mn AS (SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS m
+           |  FROM px GROUP BY 1),
+           |b AS (SELECT px.doc_id, p // 16 AS band,
+           |    CAST(sum(CAST(CASE WHEN v > m THEN 1 ELSE 0 END AS INT)
+           |      << CAST(p % 16 AS INT)) AS INT) AS bv
+           |  FROM px JOIN mn ON px.doc_id = mn.doc_id GROUP BY 1, 2),
+           |h AS (SELECT doc_id,
+           |    max(CASE WHEN band = 0 THEN bv END) AS b0,
+           |    max(CASE WHEN band = 1 THEN bv END) AS b1,
+           |    max(CASE WHEN band = 2 THEN bv END) AS b2,
+           |    max(CASE WHEN band = 3 THEN bv END) AS b3
+           |  FROM b GROUP BY 1)
+           |SELECT i, j, CAST(hamming AS INT) AS hamming FROM (
+           |  SELECT x.doc_id AS i, y.doc_id AS j,
+           |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+           |    bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+           |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+           |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
+      }),
+
     // ── containment dedup: |A∩B| / min(|A|,|B|) over the same shingle
     //    join as jaccard — catches a doc fully EMBEDDED in a larger one,
     //    which symmetric Jaccard dilutes toward 0 ──

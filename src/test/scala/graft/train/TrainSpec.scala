@@ -367,4 +367,33 @@ class MultimodalSpec extends SparkSpec {
     val planned = df.select(Multimodal.frameSamplePlan($"text", 50, 8)).as[Seq[String]].head()
     assert(planned.length == 3)
   }
+
+  test("aHash: same-class items are near (≤3 bits), cross-class far; bands complete") {
+    import spark.implicits._
+    // 3 classes × 4 items; each item perturbs one distinct pixel
+    val items = (0L until 12L).map(id => (id, id % 3, id % 64)).toDF("id", "cls", "np")
+    val px = items.select($"id",
+      Multimodal.fakePixels($"cls", $"np").as("px"))
+    val bands = Multimodal.aHashBands(px, "id", "px")
+    assert(bands.groupBy($"mid").count().filter($"count" =!= 4).count() == 0)
+    val near = Multimodal.aHashNearDups(bands, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    // every found pair shares a class; cross-class hashes are far apart
+    assert(near.nonEmpty)
+    near.foreach { case (i, j, h) =>
+      assert(i % 3 == j % 3, s"cross-class pair ($i,$j) at hamming $h")
+      assert(h <= 3)
+    }
+    // pigeonhole completeness: brute-force hamming ≤ 3 pairs all appear
+    val hs = bands.groupBy($"mid").agg(
+        collect_list(struct($"band", $"bv")).as("b"))
+      .as[(Long, Seq[(Long, Int)])].collect()
+      .map { case (id, b) => id -> b.sortBy(_._1).map(_._2) }.toMap
+    val brute = for {
+      i <- hs.keys.toSeq.sorted; j <- hs.keys.toSeq.sorted if i < j
+      d = (0 to 3).map(k => Integer.bitCount(hs(i)(k) ^ hs(j)(k))).sum
+      if d <= 3
+    } yield (i, j)
+    assert(near.map(p => (p._1, p._2)).toSet == brute.toSet)
+  }
 }
