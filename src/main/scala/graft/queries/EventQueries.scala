@@ -220,6 +220,35 @@ object EventQueries {
     //    interval; count the events inside each): bucketized to an
     //    equi-join on hour buckets + exact post-filter — the naive plan
     //    is a BroadcastNestedLoopJoin over the range predicate ──
+    // ── batch attribution (the streaming.Attribution.touchJoin semantics
+    //    under the hash gate): views within the hour before each purchase,
+    //    per user. Scale plan: equi-join ON THE USER KEY (shuffle by user,
+    //    co-partitioned with every other user-grain stage) + exact time
+    //    post-filter; gaps stay integer epoch-ns ──
+    "ev_attribution" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val hourUs = 3600L * 1000000L
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"),
+            expr("ts_ns DIV 1000").as("pts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), expr("ts_ns DIV 1000").as("vts"))
+        p.join(v, col("pu") === col("vu") && col("vts") <= col("pts") &&
+            col("vts") >= col("pts") - lit(hourUs))
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_touches"),
+            min(col("pts") - col("vts")).as("last_gap_us"))
+          .orderBy(col("pid"))
+      },
+      """SELECT p.event_id AS pid, count(*) AS n_touches,
+        |  CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS last_gap_us
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |GROUP BY 1 ORDER BY pid""".stripMargin),
+
     "ev_range_join" -> QueryDef(
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
