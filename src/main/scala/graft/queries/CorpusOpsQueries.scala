@@ -71,6 +71,57 @@ object CorpusOpsQueries {
            |ORDER BY score_4 DESC, doc_id LIMIT 20""".stripMargin
       }),
 
+    // ── reciprocal-rank fusion: BM25 top-50 + boolean-match top-50 merged
+    //    by Σ ⌊10⁶/(60+rank)⌋ — integer contributions, rank windows run
+    //    over the LIMITed 50-row lists (TakeOrdered upstream, no global
+    //    window over the corpus) ──
+    "text_rrf_fusion" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val a = Retrieval.bm25(docs, "doc_id", "toks", bm25Terms)
+          .select(col("doc_id"),
+            floor(col("score") * 10000 + 0.5).cast("long").as("s4"))
+          .orderBy(col("s4").desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("s4").desc, col("doc_id"))).cast("int"))
+        val b = Retrieval.searchTopK(docs, "doc_id", "toks", searchTerms, 50)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("n_terms").desc, col("tf_sum").desc,
+              col("doc_id"))).cast("int"))
+        Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60, topK = 20)
+      }, {
+        val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+        }.mkString(", ")
+        val scoreSql = bm25Terms.zipWithIndex
+          .map { case (t, i) => bm25TermSql(t, s"df_$i") }.mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(toks)) AS BIGINT) AS sum_dl, $dfSql FROM d),
+           |a AS (SELECT doc_id,
+           |  CAST(floor(($scoreSql) * 10000 + 0.5) AS BIGINT) AS s4
+           |  FROM d, st ORDER BY s4 DESC, doc_id LIMIT 50),
+           |ar AS (SELECT doc_id, CAST(row_number() OVER
+           |  (ORDER BY s4 DESC, doc_id) AS INT) AS rnk FROM a),
+           |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           |mt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok WHERE term IN (${searchTerms.map("'" + _ + "'").mkString(", ")})
+           |  GROUP BY 1, 2),
+           |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(tf) AS BIGINT) AS tf_sum FROM mt GROUP BY doc_id
+           |  ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 50),
+           |br AS (SELECT doc_id, CAST(row_number() OVER
+           |  (ORDER BY n_terms DESC, tf_sum DESC, doc_id) AS INT) AS rnk FROM b),
+           |u AS (SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) AS c FROM ar
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) FROM br)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+           |  CAST(count(*) AS INT) AS n_lists
+           |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
     // ── per-doc TF-IDF keywords: integer idf surrogate ⌊N·10⁶/df⌋ − 10⁶
     //    (∝ (N−df)/df — zero for ubiquitous terms, log-free); top-3 window
     //    is partitioned BY DOCUMENT (one doc's vocabulary per partition —
@@ -374,6 +425,34 @@ object CorpusOpsQueries {
         .topDirection(Tables.embeddings(spark, dir), iters = 4)
         .orderBy(col("pos")),
       powerIterSql(4)),
+
+    // ── per-doc n-gram novelty: fraction of a doc's shingles first seen
+    //    in THIS doc (first-occurrence = min(doc_id) per shingle — one
+    //    map-combined min at the shingle grain, same shape as line dedup;
+    //    no pairwise work). The data-curation signal for boilerplate /
+    //    templated content: low novelty = mostly already-seen n-grams ──
+    "text_ngram_novelty" -> QueryDef(
+      (spark, dir) => {
+        val sh = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
+        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+          .select(col("g").as("g2"), col("fd"))
+        sh.join(first, col("g") === col("g2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_pct", expr("(n_novel * 100) DIV n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS ($shinglesSql),
+         |d AS (SELECT DISTINCT id, unnest(sh) AS g FROM t),
+         |f AS (SELECT g, min(id) AS fd FROM d GROUP BY 1)
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fd = id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((CAST(sum(CASE WHEN fd = id THEN 1 ELSE 0 END) AS BIGINT) * 100)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_pct
+         |FROM d JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // ── BPE encode: apply the 10 trained merges to the vocabulary —
     //    the same columnar replace chain as training, so tokenizer

@@ -436,6 +436,40 @@ object EventQueries {
            |FROM ag JOIN ex ON ag.grp = ex.grp ORDER BY ag.grp""".stripMargin
       }),
 
+    // ── robust hourly anomaly detection: median + MAD on the hour-grain
+    //    count frame (≤ 720 rows at ANY input size — the corpus-scale work
+    //    is the one map-combined count). Median = lower median via
+    //    sort_array on the collected tick frame: integer-exact, no
+    //    quantile interpolation, engine-identical. Flag cnt > med+3·MAD ──
+    "ev_hourly_anomaly" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.events(spark, dir)
+          .groupBy(expr("ts_ns DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = c.agg(expr(
+          "element_at(sort_array(collect_list(cnt)), CAST((count(1) + 1) DIV 2 AS INT))")
+          .as("med"))
+        val d = c.crossJoin(broadcast(med))
+          .select(col("h"), col("cnt"), col("med"),
+            abs(col("cnt") - col("med")).as("ad"))
+        val mad = d.agg(expr(
+          "element_at(sort_array(collect_list(ad)), CAST((count(1) + 1) DIV 2 AS INT))")
+          .as("mad"))
+        d.crossJoin(broadcast(mad))
+          .filter(col("cnt") > col("med") + lit(3) * col("mad"))
+          .select(col("h"), col("cnt"), col("med"), col("mad"))
+          .orderBy(col("h"))
+      },
+      """WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |m AS (SELECT list_sort(list(cnt))[CAST((count(*) + 1) // 2 AS INT)]
+        |    AS med FROM c),
+        |d AS (SELECT h, cnt, med, abs(cnt - med) AS ad FROM c CROSS JOIN m),
+        |m2 AS (SELECT list_sort(list(ad))[CAST((count(*) + 1) // 2 AS INT)]
+        |    AS mad FROM d)
+        |SELECT h, cnt, med, mad FROM d CROSS JOIN m2
+        |WHERE cnt > med + 3 * mad ORDER BY h""".stripMargin),
+
     // ── sliding-window distinct: trailing-3-tick HLL merge — registers
     //    merge by MAX, so the slide is ONE window pass over the dense
     //    (tick × 256) grid (ticks·256 rows at any input size); exact

@@ -91,6 +91,24 @@ object Retrieval {
       .filter(col("rn") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
+    * score(d) = Σ_lists ⌊10⁶ / (k + rank_list(d))⌋ — the standard way to
+    * merge heterogeneous rankers (lexical BM25 + boolean match + vector
+    * ANN) without calibrating their scores. Integer contributions, so
+    * fusion is engine-exact. Each input carries (idCol, rankCol); lists
+    * are LIMITed upstream, so the union is k·lists rows — driver-scale —
+    * regardless of corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int, topK: Int): DataFrame =
+    rankings
+      .map(_.select(col(idCol),
+        expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + $rankCol)").as("c")))
+      .reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("rrf"), count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+
   /** Inverted-index lookup: explode postings, keep only query terms
     * (broadcast join — non-matching postings never shuffle), then rank
     * documents by (distinct terms matched, total term frequency).

@@ -72,6 +72,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(z == 1L * (3L * 1000000L / 1L - 1000000L))
   }
 
+  test("rrfFuse: presence in both lists beats a single higher rank") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60, topK = 10)
+      .as[(Long, Long, Int)].collect()
+    // doc 20 (ranks 2+1) must beat doc 10 (rank 1 in one list only)
+    assert(fused.head._1 == 20L && fused.head._3 == 2)
+    val m = fused.map(r => r._1 -> r._2).toMap
+    assert(m(20L) == 1000000L / 62 + 1000000L / 61)
+    assert(m(10L) == 1000000L / 61 && m(40L) == 1000000L / 62)
+  }
+
   test("bloom probe has no false negatives and summary counts reconcile") {
     val sh = array_distinct(TextAnalysis.shingles(col("text"), 3))
     val d = Tables.documents(spark, dir).select(col("doc_id"), sh.as("sh"))
