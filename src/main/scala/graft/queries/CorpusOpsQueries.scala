@@ -71,6 +71,121 @@ object CorpusOpsQueries {
            |ORDER BY score_4 DESC, doc_id LIMIT 20""".stripMargin
       }),
 
+    // ── bloom pre-join filter: the build side's keys fold into a 65536-bit
+    //    md5 bloom broadcast to the probe side, so non-matching lineitem
+    //    rows are dropped COLUMNAR-SIDE before the join shuffle — the
+    //    runtime-filter pattern that turns a 100 TB shuffle into the
+    //    matching 2%. Bloom is transparent to results (no false negatives;
+    //    the join removes false positives); n_candidates exposes its
+    //    selectivity under the hash gate ──
+    "q_bloom_prejoin" -> QueryDef(
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-03-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val keys = o.select(col("o_orderkey").cast("string").as("g")).distinct()
+        val bits = BloomDecon.buildBits(keys, "g", m = 65536, k = 3)
+        val cand = Tables.lineitem(spark, dir)
+          .filter(BloomDecon.probe(array(col("l_orderkey").cast("string")),
+            bits, 65536, 3))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        cand.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100 + 0.5).cast("long")).as("revenue_c"))
+          .crossJoin(broadcast(nCand))
+          .orderBy(col("o_orderpriority"))
+      }, {
+        val m = 65536
+        val kexp = "CAST(l_orderkey AS VARCHAR)"
+        val inPos = (i: Int) => s"${posSql(kexp, i, m)} IN (SELECT p FROM pos)"
+        s"""WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |    AND o_orderdate < TIMESTAMP '1997-03-01'),
+           |keys AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS g FROM o),
+           |pos AS (SELECT DISTINCT p FROM (
+           |  SELECT ${posSql("g", 1, m)} AS p FROM keys
+           |  UNION ALL SELECT ${posSql("g", 2, m)} FROM keys
+           |  UNION ALL SELECT ${posSql("g", 3, m)} FROM keys)),
+           |cand AS (SELECT * FROM lineitem
+           |  WHERE ${inPos(1)} AND ${inPos(2)} AND ${inPos(3)}),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+           |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+           |    AS BIGINT)) AS BIGINT) AS revenue_c, n_candidates
+           |FROM cand JOIN o ON l_orderkey = o_orderkey CROSS JOIN nc
+           |GROUP BY 1, n_candidates ORDER BY o_orderpriority""".stripMargin
+      }),
+
+    // ── token-budget data selection: keep the highest-quality docs whose
+    //    tokens fit a 25% corpus budget. NO global sort over docs: quality
+    //    (type-token ratio, integer milli) is bucketed — the cumulative
+    //    pass runs over ≤1001 bucket rows, whole buckets admit wholesale,
+    //    and only the ONE boundary bucket needs a per-doc cumsum (window
+    //    partitioned by that bucket's score). The at-scale shape of
+    //    "sort corpus by quality, take until budget" ──
+    "train_token_budget" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tok"),
+            size(array_distinct(col("toks"))).as("n_dis"))
+          .filter(col("n_tok") > 0)
+          .withColumn("score", expr("(n_dis * 1000) DIV n_tok"))
+        val total = d.agg(sum(col("n_tok")).as("tot"))
+        val bc = d.groupBy(col("score")).agg(sum(col("n_tok")).as("tok_s"))
+          .withColumn("cum", sum(col("tok_s"))
+            .over(Window.orderBy(col("score").desc)))
+          .crossJoin(broadcast(total))
+          .select(col("score").as("score2"), col("tok_s"), col("cum"),
+            (col("cum") - col("tok_s")).as("cum_before"),
+            expr("(tot * 25) DIV 100").as("budget"))
+        val dd = d.join(broadcast(bc), col("score") === col("score2"))
+        val fullB = dd.filter(col("cum") <= col("budget"))
+          .select(col("doc_id"), col("n_tok"), col("score"))
+        val partB = dd
+          .filter(col("cum_before") < col("budget") && col("cum") > col("budget"))
+          .withColumn("upto", col("cum_before") + sum(col("n_tok"))
+            .over(Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+          .filter(col("upto") <= col("budget"))
+          .select(col("doc_id"), col("n_tok"), col("score"))
+        fullB.unionAll(partB)
+          .groupBy(col("score"))
+          .agg(count(lit(1)).as("n_docs_sel"), sum(col("n_tok")).as("n_tok_sel"))
+          .select(col("score").cast("long").as("score"),
+            col("n_docs_sel"), col("n_tok_sel"))
+          .orderBy(col("score").desc)
+      },
+      s"""WITH d0 AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_dis
+         |  FROM documents),
+         |d AS (SELECT doc_id, n_tok, (n_dis * 1000) // n_tok AS score
+         |  FROM d0 WHERE n_tok > 0),
+         |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM d),
+         |b AS (SELECT score, CAST(sum(n_tok) AS BIGINT) AS tok_s
+         |  FROM d GROUP BY 1),
+         |bc AS (SELECT score, tok_s,
+         |    CAST(sum(tok_s) OVER (ORDER BY score DESC) AS BIGINT) AS cum,
+         |    (tot * 25) // 100 AS budget
+         |  FROM b CROSS JOIN t),
+         |dd AS (SELECT d.doc_id, d.n_tok, d.score, bc.cum,
+         |    bc.cum - bc.tok_s AS cum_before, bc.budget
+         |  FROM d JOIN bc USING (score)),
+         |fullb AS (SELECT doc_id, n_tok, score FROM dd WHERE cum <= budget),
+         |part AS (SELECT doc_id, n_tok, score FROM (
+         |    SELECT doc_id, n_tok, score, budget, cum_before +
+         |      CAST(sum(n_tok) OVER (PARTITION BY score ORDER BY doc_id)
+         |        AS BIGINT) AS upto
+         |    FROM dd WHERE cum_before < budget AND cum > budget)
+         |  WHERE upto <= budget),
+         |sel AS (SELECT * FROM fullb UNION ALL SELECT * FROM part)
+         |SELECT score, CAST(count(*) AS BIGINT) AS n_docs_sel,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok_sel
+         |FROM sel GROUP BY 1 ORDER BY score DESC""".stripMargin),
+
     // ── reciprocal-rank fusion: BM25 top-50 + boolean-match top-50 merged
     //    by Σ ⌊10⁶/(60+rank)⌋ — integer contributions, rank windows run
     //    over the LIMITed 50-row lists (TakeOrdered upstream, no global
