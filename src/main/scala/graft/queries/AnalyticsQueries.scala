@@ -82,6 +82,65 @@ object AnalyticsQueries {
            |$rows ORDER BY xcol, ycol""".stripMargin
       }),
 
+    // ── data profiling: per-column (rows, nulls, distinct, min, max) for
+    //    a table in ONE pass — the ingest-audit primitive. All five stats
+    //    are map-combinable aggregates; the per-column unpivot happens on
+    //    the single result row. At 100 TB swap count(distinct) for the
+    //    Hll sketch (same shuffle shape, 256-row ceiling per column) ──
+    "q_profile_table" -> QueryDef(
+      (spark, dir) => {
+        val cols = Seq("l_quantity", "l_discount", "l_linestatus", "l_returnflag")
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c).cast("string")).as(s"min_$c"),
+            max(col(c).cast("string")).as(s"max_$c"))
+        }
+        val structs = cols.map { c =>
+          s"struct('$c' AS col_name, n_rows, nulls_$c AS n_nulls, " +
+            s"nd_$c AS n_distinct, min_$c AS min_s, max_$c AS max_s)"
+        }.mkString(", ")
+        Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+          .select(explode(expr(s"array($structs)")).as("p"))
+          .select(col("p.*"))
+          .orderBy(col("col_name"))
+      }, {
+        val cols = Seq("l_quantity", "l_discount", "l_linestatus", "l_returnflag")
+        val rows = cols.map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  min(CAST($c AS VARCHAR)) AS min_s,
+             |  max(CAST($c AS VARCHAR)) AS max_s
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"$rows\nORDER BY col_name"
+      }),
+
+    // ── SCD2 interval construction: each per-user event's value is valid
+    //    [ts, next-event ts) — ONE lead() window partitioned by user (no
+    //    global sort; a user's history sorts within its partition), open
+    //    intervals keep valid_to NULL ──
+    "ev_scd2_intervals" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.events(spark, dir)
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts_ns DIV 1000").as("valid_from"))
+          .withColumn("valid_to",
+            lead(col("valid_from"), 1).over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("valid_from"), col("event_id"))))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to
+        |FROM events WHERE user_id % 50 = 0
+        |ORDER BY user_id, valid_from, event_id""".stripMargin),
+
     // ── anti join: customers with no orders (NOT EXISTS) ──
     "q_customers_without_orders" -> QueryDef(
       (spark, dir) => {
