@@ -133,6 +133,72 @@ object TrainQueries {
         .orderBy(col("i"), col("j")),
       minhashLshSql(bands = 6, rows = 2, t = "0.5")),
 
+    // ── minhash accuracy audit: per candidate pair, the SIGNATURE-side
+    //    Jaccard estimate (matching positions / k — the only number a
+    //    sketch-only pipeline ever sees) next to the exact shingle
+    //    Jaccard. Exact overlap runs columnar (array_intersect on the
+    //    checkpointed shingle sets) — candidates only, never all pairs ──
+    "dedup_minhash_est" -> QueryDef(
+      (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id").as("id"),
+            array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))
+          .localCheckpoint(eager = false)
+        val sigs = base.select(col("id"),
+          graft.functions.minhash_int_sig(col("shset"), 12).as("sig"))
+          .localCheckpoint(eager = false)
+        val banded = sigs.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(11)),
+            b => md5(col("sig").getItem(b).cast("string")))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+        val si = sigs.select(col("id").as("i2"), col("sig").as("sig_i"))
+        val sj = sigs.select(col("id").as("j2"), col("sig").as("sig_j"))
+        val ti = base.select(col("id").as("i3"), col("shset").as("sh_i"))
+        val tj = base.select(col("id").as("j3"), col("shset").as("sh_j"))
+        cand.join(si, col("i") === col("i2")).join(sj, col("j") === col("j2"))
+          .join(ti, col("i") === col("i3")).join(tj, col("j") === col("j3"))
+          .select(col("i"), col("j"),
+            expr("aggregate(zip_with(sig_i, sig_j, (x, y) -> IF(x = y, 1, 0)), " +
+              "0, (acc, v) -> acc + v)").as("n_match"),
+            size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("nc"),
+            size(col("sh_i")).cast("long").as("ni"),
+            size(col("sh_j")).cast("long").as("nj"))
+          .select(col("i"), col("j"), col("n_match"),
+            expr("(CAST(n_match AS BIGINT) * 10000) DIV 12").as("est4"),
+            floor(col("nc").cast("double")
+              / (col("ni") + col("nj") - col("nc")).cast("double")
+              * 10000.0 + 0.5).cast("long").as("j4"))
+          .orderBy(col("i"), col("j"))
+      },
+      s"""WITH tt AS ($shinglesSql),
+         |$intSigsSql,
+         |bands AS (
+         |  SELECT id, unnest(generate_series(0, 11)) AS band,
+         |    unnest(list_transform(generate_series(0, 11),
+         |      b -> md5(CAST(sig[b+1] AS VARCHAR)))) AS key
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS i, b.id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |p AS (SELECT c.i, c.j,
+         |    CAST(list_sum(list_transform(generate_series(1, 12),
+         |      x -> CASE WHEN si.sig[x] = sj.sig[x] THEN 1 ELSE 0 END))
+         |      AS INT) AS n_match,
+         |    CAST(len(list_intersect(ti.sh, tj.sh)) AS BIGINT) AS nc,
+         |    CAST(len(ti.sh) AS BIGINT) AS ni, CAST(len(tj.sh) AS BIGINT) AS nj
+         |  FROM cand c JOIN sigs si ON c.i = si.id JOIN sigs sj ON c.j = sj.id
+         |    JOIN tt ti ON c.i = ti.id JOIN tt tj ON c.j = tj.id)
+         |SELECT i, j, n_match,
+         |  (CAST(n_match AS BIGINT) * 10000) // 12 AS est4,
+         |  CAST(floor(CAST(nc AS DOUBLE) / CAST(ni + nj - nc AS DOUBLE)
+         |    * 10000.0 + 0.5) AS BIGINT) AS j4
+         |FROM p ORDER BY i, j""".stripMargin),
+
     // ── incremental ingest dedup: only NEW docs (id > 60%-of-max split)
     //    form LSH candidates against the standing corpus + earlier batch
     //    docs — candidate volume tracks the batch, not the corpus ──

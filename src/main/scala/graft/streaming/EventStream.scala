@@ -76,6 +76,22 @@ object EventStream {
     }
   }
 
+  /** Watermarked tumbling-window counts in APPEND mode — the canonical
+    * Structured Streaming aggregation: each (window, key) row is emitted
+    * EXACTLY ONCE, when the event-time watermark passes the window end,
+    * and its state is dropped at the same moment — so state is
+    * O(open windows × keys) however long the stream runs. Rows later
+    * than `lateness` are discarded by the watermark (count-completeness
+    * is traded for bounded state, the streaming contract).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n"))
+
   /** Retry routing on the event's `number-of-retries` parameter. */
   def withRetryRoute(df: DataFrame, maxRetries: Int = 3): DataFrame = {
     val retries = coalesce(
