@@ -98,8 +98,12 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1000000000L).as("r"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH with the rank frame as build side: ranks live at the
+      // node grain (≤ edges always, since deg ≥ 1), and the downstream is
+      // a hash aggregate — SMJ's per-round sort of the edge stream buys
+      // nothing. Measured 4.5 s → 3.9 s warm over 5 rounds at sf0.1.
       ranks = e
-        .join(ranks, e("src") === ranks("node"))
+        .join(ranks.hint("SHUFFLE_HASH"), e("src") === ranks("node"))
         .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000000L) + sum(col("c"))).as("r"))
