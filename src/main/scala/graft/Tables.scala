@@ -29,11 +29,28 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // integer DIV, not `/`: Column `/` is DOUBLE division, and at
+        // epoch-nanos magnitude (~1.7e18) the quotient is inexact in a
+        // double — cast("long") then lands ±1 µs off the true floor on a
+        // measurable fraction of rows (observed 127/1000 at sf0.001)
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every TESTDATA table as a temp view so the whole engine
+    * surface is reachable from `spark.sql(...)` — `events` keeps its
+    * normalized (ts timestamp, ts_ns long) shape.
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }
