@@ -82,6 +82,45 @@ object AnalyticsQueries {
            |$rows ORDER BY xcol, ycol""".stripMargin
       }),
 
+    // ── MERGE/upsert (SCD1): base ⟕⟖ updates full-outer on the key —
+    //    update wins when matched, insert when new, base row carried
+    //    otherwise; per-row action tagged and audited. The one-shuffle
+    //    batch equivalent of MERGE INTO at the key grain ──
+    "q_merge_upsert" -> QueryDef(
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val base = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"))
+        val upd = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey").as("k2"), col("o_orderpriority").as("pr2"),
+            expr("(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11) DIV 10")
+              .as("price_c2"))
+        base.join(upd, col("k") === col("k2"), "full_outer")
+          .select(coalesce(col("pr2"), col("pr")).as("o_orderpriority"),
+            coalesce(col("price_c2"), col("price_c")).as("price_c"),
+            when(col("k").isNull, "insert")
+              .when(col("k2").isNull, "keep").otherwise("update").as("action"))
+          .groupBy(col("o_orderpriority"), col("action"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("total_c"))
+          .orderBy(col("o_orderpriority"), col("action"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |upd AS (SELECT o_orderkey AS k2, o_orderpriority AS pr2,
+        |    (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11) // 10
+        |      AS price_c2
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (SELECT coalesce(pr2, pr) AS o_orderpriority,
+        |    coalesce(price_c2, price_c) AS price_c,
+        |    CASE WHEN k IS NULL THEN 'insert'
+        |         WHEN k2 IS NULL THEN 'keep' ELSE 'update' END AS action
+        |  FROM base FULL OUTER JOIN upd ON k = k2)
+        |SELECT o_orderpriority, action, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── data profiling: per-column (rows, nulls, distinct, min, max) for
     //    a table in ONE pass — the ingest-audit primitive. All five stats
     //    are map-combinable aggregates; the per-column unpivot happens on
@@ -90,19 +129,31 @@ object AnalyticsQueries {
     "q_profile_table" -> QueryDef(
       (spark, dir) => {
         val cols = Seq("l_quantity", "l_discount", "l_linestatus", "l_returnflag")
+        val li = Tables.lineitem(spark, dir)
+        // rows/nulls/min/max in one map-combined pass; distinct counts at
+        // the exploded (column, value) grain — a 4-countDistinct single
+        // agg forces an Expand (4× the rows through one shuffle), while
+        // the (cn, v) distinct map-combines per column: measured 4.0 s →
+        // 1.5 s warm at sf0.1. String rendering is injective per column,
+        // and NULLs are filtered to keep count(DISTINCT) semantics.
         val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-            countDistinct(col(c)).as(s"nd_$c"),
             min(col(c).cast("string")).as(s"min_$c"),
             max(col(c).cast("string")).as(s"max_$c"))
         }
-        val structs = cols.map { c =>
-          s"struct('$c' AS col_name, n_rows, nulls_$c AS n_nulls, " +
-            s"nd_$c AS n_distinct, min_$c AS min_s, max_$c AS max_s)"
-        }.mkString(", ")
-        Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
-          .select(explode(expr(s"array($structs)")).as("p"))
-          .select(col("p.*"))
+        val base = li.agg(aggs.head, aggs.tail: _*)
+        val pairs = cols.map(c =>
+          s"struct('$c' AS cn, CAST($c AS STRING) AS v)").mkString(", ")
+        val nd = li.select(explode(expr(s"array($pairs)")).as("p"))
+          .select(col("p.cn").as("col_name"), col("p.v").as("v"))
+          .filter(col("v").isNotNull).distinct()
+          .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+        def pick(stat: String) = expr(cols
+          .map(c => s"WHEN '$c' THEN ${stat}_$c")
+          .mkString("CASE col_name ", " ", " END"))
+        nd.crossJoin(broadcast(base))
+          .select(col("col_name"), col("n_rows"), pick("nulls").as("n_nulls"),
+            col("n_distinct"), pick("min").as("min_s"), pick("max").as("max_s"))
           .orderBy(col("col_name"))
       }, {
         val cols = Seq("l_quantity", "l_discount", "l_linestatus", "l_returnflag")

@@ -71,6 +71,78 @@ object CorpusOpsQueries {
            |ORDER BY score_4 DESC, doc_id LIMIT 20""".stripMargin
       }),
 
+    // ── embedding norm profile: exact micro-unit norm² per vector (≤
+    //    64·10¹² — 64-bit exact), histogrammed by deviation from the unit
+    //    norm — the pre-ANN sanity gate that catches un-normalized or
+    //    degenerate vectors before they poison cosine retrieval. One
+    //    map-combined pass; buckets are shifted to stay non-negative
+    //    (signed DIV truncates in Spark but floors in DuckDB) ──
+    "emb_norm_profile" -> QueryDef(
+      (spark, dir) => Tables.embeddings(spark, dir)
+        .select(expr(
+          "aggregate(transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("n2"))
+        .select(expr("(n2 - 999990000000) DIV 1000000").as("bucket"), col("n2"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("n2")).as("min_n2"),
+          max(col("n2")).as("max_n2"))
+        .orderBy(col("bucket")),
+      """WITH e AS (SELECT CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT (n2 - 999990000000) // 1000000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(n2) AS min_n2, max(n2) AS max_n2
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // ── dataset card: the one-page corpus summary a training run records
+    //    — every metric an exact integer from map-combined passes (vocab
+    //    via explode+distinct, dup docs via sha-grain count) ──
+    "train_dataset_card" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val toks = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        val one = toks.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("total_tokens"),
+          max(size(col("toks"))).cast("long").as("max_doc_tokens"))
+        val chars = docs.agg(sum(length(col("text"))).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(sha2(col("text"), 256)))
+            .as("exact_dup_docs"))
+        val vocab = toks.select(explode(col("toks")).as("w"))
+          .agg(countDistinct(col("w")).as("vocab_size"))
+        val row = one.crossJoin(broadcast(chars)).crossJoin(broadcast(vocab))
+        val entries = Seq(
+          "'01_n_docs', n_docs", "'02_total_tokens', total_tokens",
+          "'03_total_chars', total_chars", "'04_vocab_size', vocab_size",
+          "'05_n_langs', CAST(n_langs AS BIGINT)",
+          "'06_exact_dup_docs', exact_dup_docs",
+          "'07_max_doc_tokens', max_doc_tokens")
+          .map { e =>
+            val Array(m, v) = e.split(", ", 2)
+            s"struct($m AS metric, $v AS value)"
+          }.mkString(", ")
+        row.select(explode(expr(s"array($entries)")).as("p"))
+          .select(col("p.*")).orderBy(col("metric"))
+      },
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text, lang FROM documents)
+         |SELECT '01_n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+         |UNION ALL SELECT '02_total_tokens', CAST(sum(len(toks)) AS BIGINT) FROM t
+         |UNION ALL SELECT '03_total_chars', CAST(sum(len(text)) AS BIGINT) FROM t
+         |UNION ALL SELECT '04_vocab_size',
+         |  CAST(count(DISTINCT w) AS BIGINT) FROM (SELECT unnest(toks) AS w FROM t)
+         |UNION ALL SELECT '05_n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM t
+         |UNION ALL SELECT '06_exact_dup_docs',
+         |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) FROM t
+         |UNION ALL SELECT '07_max_doc_tokens',
+         |  CAST(max(len(toks)) AS BIGINT) FROM t
+         |ORDER BY metric""".stripMargin),
+
     // ── bloom pre-join filter: the build side's keys fold into a 65536-bit
     //    md5 bloom broadcast to the probe side, so non-matching lineitem
     //    rows are dropped COLUMNAR-SIDE before the join shuffle — the
