@@ -231,7 +231,11 @@ object Dedup {
       // sides — without this checkpoint the k·|shingles| minhash md5 pass
       // runs twice
       .localCheckpoint(eager = false)
-    val cand = banded.as("a").join(banded.as("b"),
+    // SHUFFLE_HASH: the downstream is a distinct hash-agg, so SMJ's sort
+    // of the md5 band keys buys nothing — measured 1.25 s → 0.76 s warm
+    // on the sf0.1 candidate join
+    val cand = banded.hint("SHUFFLE_HASH").as("a")
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
@@ -357,7 +361,8 @@ object Dedup {
       .localCheckpoint(eager = false)
     val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
-    banded.as("a").join(banded.as("b"),
+    banded.hint("SHUFFLE_HASH").as("a")
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
@@ -403,7 +408,8 @@ object Dedup {
       .localCheckpoint(eager = false)
     // candidate = any×new: the right side keeps only batch docs, so the
     // (band, key) join can never pair two standing-corpus docs
-    val cand = banded.as("a").join(banded.filter(col("id") > col("split")).as("b"),
+    val cand = banded.hint("SHUFFLE_HASH").as("a")
+      .join(banded.filter(col("id") > col("split")).hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),

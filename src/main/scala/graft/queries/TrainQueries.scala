@@ -151,7 +151,8 @@ object TrainQueries {
           posexplode(transform(sequence(lit(0), lit(11)),
             b => md5(col("sig").getItem(b).cast("string")))))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-        val cand = banded.as("a").join(banded.as("b"),
+        val cand = banded.hint("SHUFFLE_HASH").as("a")
+          .join(banded.hint("SHUFFLE_HASH").as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
