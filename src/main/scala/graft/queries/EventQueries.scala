@@ -436,6 +436,53 @@ object EventQueries {
            |FROM ag JOIN ex ON ag.grp = ex.grp ORDER BY ag.grp""".stripMargin
       }),
 
+    // ── gap fill / resample: generate the dense hour spine [min, max]
+    //    with sequence(), left-join the observed counts, zero-fill — the
+    //    time-series normalization every downstream window op assumes.
+    //    Spine size is (max−min) ticks regardless of input volume ──
+    "ev_gap_fill" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.events(spark, dir)
+          .groupBy(expr("ts_ns DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("h"))
+        spine.join(c, Seq("h"), "left")
+          .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+            col("cnt").isNull.as("filled"))
+          .orderBy(col("h"))
+      },
+      """WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(
+        |    (SELECT min(h) FROM c), (SELECT max(h) FROM c))) AS h)
+        |SELECT sp.h, coalesce(c.cnt, 0) AS cnt, c.cnt IS NULL AS filled
+        |FROM sp LEFT JOIN c ON sp.h = c.h ORDER BY sp.h""".stripMargin),
+
+    // ── batch EWMA trend (twin of streaming.Trending's decayed counts):
+    //    ewma_t = Σ_{0 ≤ t−i ≤ 40} cnt_i >> (t−i) — power-of-two decay as
+    //    integer shifts, windowed so each tick reads ≤ 41 neighbors (a
+    //    bounded tick-grain range join, never the raw events twice) ──
+    "ev_ewma_trend" -> QueryDef(
+      (spark, dir) => {
+        val c = Tables.events(spark, dir)
+          .groupBy(expr("ts_ns DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val t = c.select(col("h").as("t"))
+        t.join(c, col("h").between(col("t") - 40, col("t")))
+          .select(col("t"),
+            expr("shiftright(cnt * 1024, CAST(t - h AS INT))").as("w"))
+          .groupBy(col("t")).agg(sum(col("w")).as("ewma_k"))
+          .orderBy(col("t"))
+      },
+      """WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1)
+        |SELECT t.h AS t, CAST(sum((c.cnt * 1024) >> CAST(t.h - c.h AS INT))
+        |    AS BIGINT) AS ewma_k
+        |FROM c t JOIN c ON c.h BETWEEN t.h - 40 AND t.h
+        |GROUP BY 1 ORDER BY t""".stripMargin),
+
     // ── robust hourly anomaly detection: median + MAD on the hour-grain
     //    count frame (≤ 720 rows at ANY input size — the corpus-scale work
     //    is the one map-combined count). Median = lower median via
