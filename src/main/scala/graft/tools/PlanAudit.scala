@@ -21,7 +21,22 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
+    if (names == Seq("all")) {
+      // one audit line per query: the plan-quality red flags at a glance.
+      // BNLJ is only acceptable when one side is a scalar/tiny broadcast —
+      // flagged here so every occurrence gets a deliberate reading.
+      println(f"${"query"}%-28s cartesian bnlj globalWin exchanges")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          def c(m: String) = plan.sliding(m.length).count(_ == m)
+          val gw = "Window operation!"
+          println(f"$n%-28s ${c("CartesianProduct")}%9d ${c("BroadcastNestedLoopJoin")}%4d " +
+            f"${c(gw)}%9d ${c("Exchange (")}%9d")
+        } catch { case e: Throwable => println(f"$n%-28s ERROR ${e.getMessage.take(80)}") }
+      }
+    } else names.foreach { n =>
       println(s"\n=================== $n ===================")
       SparkEntry.queries.get(n) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
