@@ -82,6 +82,43 @@ object AnalyticsQueries {
            |$rows ORDER BY xcol, ycol""".stripMargin
       }),
 
+    // ── join-key skew diagnostic: per-key frequency profile of the
+    //    orderkey join column — max/p99/mean key mass and the top key's
+    //    share decide salting vs AQE skew-join BEFORE the join runs.
+    //    p99 from the exact count histogram (two tiny aggregations past
+    //    the one key-grain count) ──
+    "q_skew_metrics" -> QueryDef(
+      (spark, dir) => {
+        val k = Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(eager = false)
+        val hist = k.groupBy(col("f")).agg(count(lit(1)).as("nk"))
+        val tot = k.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_f"))
+        import org.apache.spark.sql.expressions.Window
+        val cum = hist.withColumn("cum",
+          sum(col("nk")).over(Window.orderBy(col("f"))))
+        val p99 = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") * 100 >= col("n_keys") * 99)
+          .agg(min(col("f")).as("p99_f"))
+        tot.crossJoin(broadcast(p99))
+          .select(col("n_keys"), col("n_rows"), col("max_f"), col("p99_f"),
+            expr("(max_f * 1000000) DIV GREATEST(n_rows, 1)").as("top_share_ppm"),
+            expr("(n_rows * 100) DIV n_keys").as("mean_f_x100"))
+      },
+      """WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT f, CAST(count(*) AS BIGINT) AS nk FROM k GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(f) AS BIGINT) AS n_rows, max(f) AS max_f FROM k),
+        |c AS (SELECT f, CAST(sum(nk) OVER (ORDER BY f) AS BIGINT) AS cum FROM h),
+        |p AS (SELECT min(f) AS p99_f FROM c CROSS JOIN t
+        |      WHERE cum * 100 >= n_keys * 99)
+        |SELECT n_keys, n_rows, max_f, p99_f,
+        |  (max_f * 1000000) // GREATEST(n_rows, 1) AS top_share_ppm,
+        |  (n_rows * 100) // n_keys AS mean_f_x100
+        |FROM t CROSS JOIN p""".stripMargin),
+
     // ── MERGE/upsert (SCD1): base ⟕⟖ updates full-outer on the key —
     //    update wins when matched, insert when new, base row carried
     //    otherwise; per-row action tagged and audited. The one-shuffle

@@ -698,6 +698,30 @@ object CorpusOpsQueries {
         |SELECT node, CAST(count(*) AS BIGINT) AS tri FROM x GROUP BY 1
         |ORDER BY tri DESC, node LIMIT 30""".stripMargin),
 
+    // ── degree distribution: log₂-bucketed (bucket = bitlen(deg) —
+    //    length(bin(n)) is engine-exact) over the co-purchase graph; the
+    //    first thing to read before choosing a join/partition strategy
+    //    on any graph — heavy tails mean salting, not bigger partitions ──
+    "graph_degree_dist" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val e = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val deg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+        deg.groupBy(length(bin(col("deg"))).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+            max(col("deg")).as("max_deg"), sum(col("deg")).as("edge_ends"))
+          .orderBy(col("bucket"))
+      },
+      """WITH e AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |d AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS edge_ends
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // ── PageRank: exact integer nano-unit power iteration, oracle
     //    unrolls the same iterations as chained CTEs ──
     "graph_pagerank" -> QueryDef(
