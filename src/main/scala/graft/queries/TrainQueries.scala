@@ -943,6 +943,40 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
+    // ── multimodal audio: fake PCM decode → per-frame integer energy
+    //    (Σ amp², exact — the no-libm stand-in for RMS) — the
+    //    feature-extraction stage of an audio curation pipeline, with
+    //    the same columnar batch shape a real codec UDF would fill ──
+    "mm_audio_energy" -> QueryDef(
+      (spark, dir) => {
+        val amp = "CAST(conv(substring(md5(concat(CAST(pmod(doc_id, 25) AS STRING), " +
+          "':', CAST(f AS STRING), ':', CAST(s AS STRING))), 1, 2), 16, 10) " +
+          "AS BIGINT) - 128"
+        Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(40)) === 0)
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"""transform(sequence(0, 3), f ->
+                 |  aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+                 |    (acc, s) -> acc + ($amp) * ($amp)))""".stripMargin)))
+          .withColumnRenamed("pos", "frame_idx")
+          .withColumnRenamed("col", "energy")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }, {
+        val hv = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 AS VARCHAR) " +
+          "|| ':' || CAST(f AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 AS VARCHAR) " +
+          "|| ':' || CAST(f AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1)"
+        s"""WITH g AS (SELECT doc_id, f, s, CAST($hv AS BIGINT) - 128 AS amp
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS s)
+           |  WHERE doc_id % 40 = 0)
+           |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           |  CAST(sum(amp * amp) AS BIGINT) AS energy
+           |FROM g GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
     // ── containment dedup: |A∩B| / min(|A|,|B|) over the same shingle
     //    join as jaccard — catches a doc fully EMBEDDED in a larger one,
     //    which symmetric Jaccard dilutes toward 0 ──
