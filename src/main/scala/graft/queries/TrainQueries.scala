@@ -943,6 +943,42 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
+    // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over
+    //    the stub decode — the downsample stage of an image pipeline with
+    //    exact arithmetic (block mean = sum DIV 4); same columnar batch
+    //    shape a real resize kernel would fill ──
+    "mm_resize_pool" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(25)) === 0)
+        val px = docs.select(col("doc_id"),
+          Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
+            pmod(col("doc_id"), lit(64))).as("px"))
+        // pooled(q) for q in 0..15: mean of the 2×2 block at
+        // (2·(q DIV 4), 2·(q % 4)) in the 8×8 row-major pixel array
+        px.select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, 15), q ->
+              |  CAST(px[(q DIV 4) * 16 + (q % 4) * 2]
+              |   + px[(q DIV 4) * 16 + (q % 4) * 2 + 1]
+              |   + px[(q DIV 4) * 16 + (q % 4) * 2 + 8]
+              |   + px[(q DIV 4) * 16 + (q % 4) * 2 + 9] AS BIGINT) DIV 4)""".stripMargin)))
+          .withColumnRenamed("pos", "q").withColumnRenamed("col", "v")
+          .orderBy(col("doc_id"), col("q"))
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 2, 1)) - 1))"
+        s"""WITH px AS (SELECT doc_id, p,
+           |    ($hv + CASE WHEN p = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS v
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)
+           |  WHERE doc_id % 25 = 0)
+           |SELECT doc_id, CAST((p // 16) * 4 + (p % 8) // 2 AS INT) AS q,
+           |  CAST(sum(v) // 4 AS BIGINT) AS v
+           |FROM px GROUP BY 1, 2 ORDER BY doc_id, q""".stripMargin
+      }),
+
     // ── multimodal audio: fake PCM decode → per-frame integer energy
     //    (Σ amp², exact — the no-libm stand-in for RMS) — the
     //    feature-extraction stage of an audio curation pipeline, with
