@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_sig", "multi-table hyperplane LSH bucket signatures"),
       (args: Seq[Expression]) => LshSigExpr(args(0), intArg(args(1), "tables"),
         intArg(args(2), "planes"), intArg(args(3), "dims"))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "Unicode NFC normalization (UAX #15)"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("topk_by"),
       info("topk_by", "bounded-heap top-k aggregate: array<struct<nid,sim,rank>>"),
       (args: Seq[Expression]) => TopKByDescExpr(args(0), args(1),
@@ -80,6 +83,7 @@ object GraftExtensions {
       "ngram_shingles" -> (args => NGramShinglesExpr(args(0), lit(args(1), "n"))),
       "lsh_sig" -> (args => LshSigExpr(args(0), lit(args(1), "tables"),
         lit(args(2), "planes"), lit(args(3), "dims"))),
+      "nfc_normalize" -> (args => NfcNormalizeExpr(args.head)),
       "topk_by" -> (args => TopKByDescExpr(args(0), args(1),
         lit(args(2), "k")).toAggregateExpression()))
     fns.foreach { case (name, builder) =>

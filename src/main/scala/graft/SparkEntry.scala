@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.MoreTpchQueries.defs ++
       graft.queries.TpchSubqueries.defs ++
       graft.queries.CorpusOpsQueries.defs ++
-      graft.queries.EditorialQueries.defs
+      graft.queries.EditorialQueries.defs ++
+      graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -10,6 +10,10 @@ package object functions {
   def percent_encode(c: Column): Column =
     graftbridge.column(PercentEncodeExpr(graftbridge.expression(c)))
 
+  /** Unicode NFC normalization (java.text.Normalizer; UAX #15). */
+  def nfc_normalize(c: Column): Column =
+    graftbridge.column(NfcNormalizeExpr(graftbridge.expression(c)))
+
   /** Python `str.replace(find, repl, 1)` — first literal occurrence only. */
   def replace_first(str: Column, find: Column, repl: Column): Column =
     graftbridge.column(ReplaceFirstExpr(

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Linkage
+import graft.text.WebClean
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: URL canonicalization + URL-level dedup,
+  * HTML → text extraction, Unicode NFC normalization, fuzzy record
+  * linkage, time-series interpolation, leakage-safe split assignment,
+  * and video-style scene-cut detection over the stub decode.
+  */
+object CurationQueries {
+
+  // md5-derived byte value 0..255 (DuckDB rendering of Spark's
+  // conv(substring(md5(x),1,2),16,10) — the deterministic fake-signal
+  // family shared with the mm_* queries).
+  private def hv(x: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($x), 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789abcdef', substr(md5($x), 2, 1)) - 1))"
+
+  // Raw crawl-ish URL planted per document row (mixed case, default
+  // port, tracking params, fragments — each keyed off doc_id mods so
+  // every canonicalization rule fires on a deterministic subset).
+  private val rawUrlSpark =
+    "concat('HTTPS://', upper(source), CAST(doc_id % 7 AS STRING), '.COM', " +
+      "IF(doc_id % 3 = 0, ':443', ''), '/Items/', CAST(doc_id % 40 AS STRING), " +
+      "IF(doc_id % 4 = 0, '/', ''), " +
+      "IF(doc_id % 2 = 0, concat('?utm_source=feed&id=', CAST(doc_id % 20 AS STRING), " +
+      "'&utm_campaign=a'), concat('?id=', CAST(doc_id % 20 AS STRING))), " +
+      "IF(doc_id % 6 < 3, concat('#sec', CAST(doc_id % 6 AS STRING)), ''))"
+
+  private val rawUrlSql =
+    "('HTTPS://' || upper(source) || CAST(doc_id % 7 AS VARCHAR) || '.COM' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || '/Items/' || " +
+      "CAST(doc_id % 40 AS VARCHAR) || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR) " +
+      "|| '&utm_campaign=a' ELSE '?id=' || CAST(doc_id % 20 AS VARCHAR) END || " +
+      "CASE WHEN doc_id % 6 < 3 THEN '#sec' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END)"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── URL canonicalization (row-level): fragment / case / default
+    //    port / utm params / trailing slash — the normalize-before-dedup
+    //    key derivation of a crawl pipeline ──
+    "web_url_canon" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          WebClean.canonicalizeUrl(expr(rawUrlSpark)).as("canon_url"))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id, ${WebClean.canonicalizeUrlSql(rawUrlSql)} AS canon_url
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── URL-level dedup: group by the canonical form — variants that
+    //    differ only in case/port/tracking/fragment collapse to one
+    //    representative (min doc_id), ONE hash shuffle at the URL grain ──
+    "dedup_url" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          WebClean.canonicalizeUrl(expr(rawUrlSpark)).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("representative"),
+          count(lit(1)).as("n_variants"))
+        .orderBy(col("canon_url")),
+      s"""SELECT ${WebClean.canonicalizeUrlSql(rawUrlSql)} AS canon_url,
+         |  min(doc_id) AS representative, count(*) AS n_variants
+         |FROM documents GROUP BY 1 ORDER BY canon_url""".stripMargin),
+
+    // ── HTML → text extraction: drop script/style subtrees, strip tags,
+    //    decode entities, collapse whitespace — the boilerplate-removal
+    //    front door of a web-corpus pipeline. Docs carry no markup, so
+    //    the query plants a deterministic page around each text and
+    //    recovers the payload; the oracle replays the same chain ──
+    "text_html_strip" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          WebClean.htmlStrip(expr(
+            "concat('<html><head><style>p{color:red}</style></head><body>', " +
+              "'<h1 id=\"t\">', substring(text, 1, 30), '</h1><p>', " +
+              "substring(text, 31, 40), ' &amp; &lt;more&gt; &quot;q&quot; ', " +
+              "'&#39;s&#39;&nbsp;end</p>', " +
+              "'<script type=\"text/javascript\">var x=1;</script></body></html>')"))
+            .as("cleaned"))
+        .orderBy(col("doc_id")), {
+        val html = "('<html><head><style>p{color:red}</style></head><body>' || " +
+          "'<h1 id=\"t\">' || substr(text, 1, 30) || '</h1><p>' || " +
+          "substr(text, 31, 40) || ' &amp; &lt;more&gt; &quot;q&quot; ' || " +
+          "'&#39;s&#39;&nbsp;end</p>' || " +
+          "'<script type=\"text/javascript\">var x=1;</script></body></html>')"
+        s"""SELECT doc_id, ${WebClean.htmlStripSql(html)} AS cleaned
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Unicode NFC normalization (native Catalyst expression backed by
+    //    java.text.Normalizer; DuckDB nfc_normalize is the same UAX #15
+    //    algorithm): combining sequences compose, precomposed text is
+    //    untouched — run before any hash-based dedup so `e`+U+0301 and
+    //    `é` collide ──
+    "text_nfc_norm" -> QueryDef(
+      (spark, dir) => {
+        val planted = concat(lit("Cafe\u0301 nin\u0303o u\u0308ber caf\u00e9 :: "),
+          substring(col("text"), 1, 12))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            graft.functions.nfc_normalize(planted).as("norm"),
+            length(planted).as("n_before"),
+            length(graft.functions.nfc_normalize(planted)).as("n_after"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  nfc_normalize('Cafe' || chr(769) || ' nin' || chr(771) || 'o u'
+        |    || chr(776) || 'ber caf' || chr(233) || ' :: ' || substr(text, 1, 12)) AS norm,
+        |  CAST(length('Cafe' || chr(769) || ' nin' || chr(771) || 'o u'
+        |    || chr(776) || 'ber caf' || chr(233) || ' :: ' || substr(text, 1, 12)) AS INT) AS n_before,
+        |  CAST(length(nfc_normalize('Cafe' || chr(769) || ' nin' || chr(771) || 'o u'
+        |    || chr(776) || 'ber caf' || chr(233) || ' :: ' || substr(text, 1, 12))) AS INT) AS n_after
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── fuzzy record linkage: dirty titles (one planted char deletion)
+    //    matched to the clean catalog within edit distance 1 via
+    //    two-ended blocking (prefix-6 OR suffix-6 survives any single
+    //    edit — pigeonhole-complete, LinkageSpec proves it vs the cross
+    //    join); rescore uses threshold levenshtein (early abandon) ──
+    "fuzzy_match_pairs" -> QueryDef(
+      (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+        val clean = base.select(col("doc_id").as("cid"), col("name"))
+        val dirty = base.select(col("doc_id").as("did"),
+          expr("concat(substring(name, 1, CAST(doc_id % 12 + 6 AS INT)), " +
+            "substring(name, CAST(doc_id % 12 + 8 AS INT)))").as("dname"))
+        Linkage.fuzzyPairs(dirty, "did", "dname", clean, "cid", "name",
+            maxDist = 1)
+          .orderBy(col("i"), col("j"))
+      },
+      """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),
+        |d AS (SELECT doc_id AS i,
+        |    substr(name, 1, CAST(doc_id % 12 + 6 AS INT))
+        |      || substr(name, CAST(doc_id % 12 + 8 AS INT)) AS dname
+        |  FROM b),
+        |c AS (SELECT doc_id AS j, name FROM b),
+        |dk AS (SELECT i, 'P' AS tag, substr(dname, 1, 6) AS key FROM d
+        |       UNION ALL SELECT i, 'S', right(dname, 6) FROM d),
+        |ck AS (SELECT j, 'P' AS tag, substr(name, 1, 6) AS key FROM c
+        |       UNION ALL SELECT j, 'S', right(name, 6) FROM c),
+        |cand AS (SELECT DISTINCT i, j FROM dk JOIN ck USING (tag, key))
+        |SELECT i, j, CAST(levenshtein(dname, name) AS INT) AS dist
+        |FROM cand JOIN d USING (i) JOIN c USING (j)
+        |WHERE levenshtein(dname, name) <= 1
+        |ORDER BY i, j""".stripMargin),
+
+    // ── linear interpolation over the gap-filled tick spine: missing
+    //    (event_type, hour) averages lerp between the flanking known
+    //    ticks — integer cents, floor() on ≤2^53-exact doubles so both
+    //    engines agree on negative slopes (Spark DIV truncates, DuckDB
+    //    // floors). Spine size is tick-bounded, never input-bounded ──
+    "ev_interpolate" -> QueryDef(
+      (spark, dir) => {
+        val k = Tables.events(spark, dir)
+          .groupBy(col("event_type").as("et"),
+            expr("ts_ns DIV 3600000000000").as("h"))
+          .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)" +
+            " DIV count(*)").as("v"))
+          .localCheckpoint(eager = false)
+        val spine = k.groupBy(col("et"))
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(col("et"), explode(expr("sequence(lo, hi)")).as("h"))
+        val j = spine.join(k, Seq("et", "h"), "left")
+        val known = when(col("v").isNotNull, struct(col("h"), col("v")))
+        val wPrev = Window.partitionBy("et").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy("et").orderBy("h")
+          .rowsBetween(1, Window.unboundedFollowing)
+        j.withColumn("p", last(known, ignoreNulls = true).over(wPrev))
+          .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
+          .select(col("et"), col("h"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("p").isNull, col("nx.v"))
+              .when(col("nx").isNull, col("p.v"))
+              .otherwise(col("p.v") + floor(
+                ((col("nx.v") - col("p.v")) * (col("h") - col("p.h"))).cast("double")
+                  / (col("nx.h") - col("p.h")).cast("double")).cast("long"))
+              .as("v_interp"),
+            col("v").isNull.as("filled"))
+          .orderBy(col("et"), col("h"))
+      },
+      """WITH k AS (SELECT event_type AS et, epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT et, unnest(generate_series(lo, hi)) AS h
+        |  FROM (SELECT et, min(h) AS lo, max(h) AS hi FROM k GROUP BY 1)),
+        |j AS (SELECT sp.et, sp.h, k.v FROM sp
+        |  LEFT JOIN k ON sp.et = k.et AND sp.h = k.h),
+        |w AS (SELECT et, h, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN struct_pack(h := h, v := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY et ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        |    first_value(CASE WHEN v IS NOT NULL THEN struct_pack(h := h, v := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY et ORDER BY h
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM j)
+        |SELECT et, h,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN p IS NULL THEN (nx).v
+        |       WHEN nx IS NULL THEN (p).v
+        |       ELSE (p).v + CAST(floor(CAST(((nx).v - (p).v) * (h - (p).h) AS DOUBLE)
+        |         / CAST((nx).h - (p).h AS DOUBLE)) AS BIGINT) END AS v_interp,
+        |  v IS NULL AS filled
+        |FROM w ORDER BY et, h""".stripMargin),
+
+    // ── leakage-safe split assignment: the split key is a hash of the
+    //    GROUP (source), not the row, so every doc of a source lands in
+    //    one split — eval contamination by near-dup pages from the same
+    //    site cannot cross the boundary. Pure columnar + one tiny agg ──
+    "train_group_split" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("CASE CAST(conv(substring(md5(concat('gsplit:', source)), 1, 4), " +
+            "16, 10) AS INT) % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END").as("split"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("source")).cast("long").as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split")), {
+        val h4 = "((strpos('0123456789abcdef', substr(md5('gsplit:' || source), 1, 1)) - 1) * 4096 " +
+          "+ (strpos('0123456789abcdef', substr(md5('gsplit:' || source), 2, 1)) - 1) * 256 " +
+          "+ (strpos('0123456789abcdef', substr(md5('gsplit:' || source), 3, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5('gsplit:' || source), 4, 1)) - 1))"
+        s"""SELECT CASE $h4 % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+           |    ELSE 'train' END AS split,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+           |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+      }),
+
+    // ── scene-cut detection over the stub video decode: 16 frames per
+    //    item, frame energy = scene base (shared by blocks of 4) + per-
+    //    frame noise; a cut fires where |Δenergy| across adjacent frames
+    //    clears the threshold (lag window PARTITIONED BY ITEM — no
+    //    global sort). The temporal-media twin of mm_audio_energy ──
+    "mm_scene_cuts" -> QueryDef(
+      (spark, dir) => {
+        val energy = "CAST(conv(substring(md5(concat(CAST(pmod(doc_id, 30) AS STRING), " +
+          "':', CAST(f DIV 4 AS STRING))), 1, 2), 16, 10) AS INT) * 16 + " +
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#', " +
+          "CAST(f AS STRING))), 1, 1), 16, 10) AS INT)"
+        val fr = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("f"))
+          .withColumn("energy", expr(energy))
+        val w = Window.partitionBy("doc_id").orderBy("f")
+        fr.withColumn("delta", col("energy") - lag(col("energy"), 1).over(w))
+          .filter(abs(col("delta")) > 256)
+          .select(col("doc_id"), col("f").as("frame_idx"),
+            col("delta").cast("int").as("delta"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }, {
+        val base = hv("CAST(doc_id % 30 AS VARCHAR) || ':' || CAST(f // 4 AS VARCHAR)")
+        val noise = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) " +
+          "|| '#' || CAST(f AS VARCHAR)), 1, 1)) - 1)"
+        s"""WITH fr AS (SELECT doc_id, f, $base * 16 + $noise AS energy
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS f)
+           |  WHERE doc_id % 10 = 0),
+           |d AS (SELECT doc_id, f AS frame_idx,
+           |    energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY f) AS delta
+           |  FROM fr)
+           |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           |  CAST(delta AS INT) AS delta
+           |FROM d WHERE abs(delta) > 256
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      }))
+}

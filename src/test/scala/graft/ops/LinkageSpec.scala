@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Catalog of distinct names ≥ 13 chars (completeness precondition).
+  private val catalog = Seq(
+    1L -> "alpha beta gamma delta",
+    2L -> "epsilon zeta eta theta",
+    3L -> "iota kappa lambda mu nu",
+    4L -> "omicron pi rho sigma tau",
+    5L -> "upsilon phi chi psi omega")
+
+  private def bruteForce(dirty: Seq[(Long, String)]): Set[(Long, Long, Int)] =
+    (for {
+      (i, d) <- dirty
+      (j, c) <- catalog
+      dist = levDist(d, c)
+      if dist <= 1
+    } yield (i, j, dist)).toSet
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("blocked fuzzyPairs == brute force for edits at EVERY position") {
+    // One dirty variant per (catalog row, edit position, edit kind):
+    // deletions, substitutions, and insertions across the whole string —
+    // including inside the prefix-6 and suffix-6 blocks.
+    val dirty = catalog.flatMap { case (id, name) =>
+      val dels = name.indices.map(p =>
+        name.substring(0, p) + name.substring(p + 1))
+      val subs = name.indices.map(p =>
+        name.substring(0, p) + "#" + name.substring(p + 1))
+      val ins = (0 to name.length).map(p =>
+        name.substring(0, p) + "#" + name.substring(p))
+      (dels ++ subs ++ ins).zipWithIndex.map { case (d, k) =>
+        (id * 1000 + k, d)
+      }
+    }
+    val left = dirty.toDF("did", "dname")
+    val right = catalog.toDF("cid", "name")
+    val got = Linkage.fuzzyPairs(left, "did", "dname", right, "cid", "name",
+        maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForce(dirty))
+    assert(got.nonEmpty)
+  }
+
+  test("exact matches score dist 0; unrelated strings never pair") {
+    val left = Seq(10L -> "alpha beta gamma delta",
+      11L -> "totally unrelated string").toDF("did", "dname")
+    val right = catalog.toDF("cid", "name")
+    val got = Linkage.fuzzyPairs(left, "did", "dname", right, "cid", "name",
+        maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 0)))
+  }
+
+  test("candidate volume is blocked, not the cross join") {
+    // All catalog names have DISTINCT prefixes and suffixes, so each dirty
+    // row can only ever meet its own source's buckets — the candidate
+    // count is linear in the dirty rows, not |dirty| × |catalog|.
+    val dirty = catalog.map { case (id, n) => (id + 100, n.drop(1)) }
+    val left = dirty.toDF("did", "dname")
+    val right = catalog.toDF("cid", "name")
+    val lk = left.select(col("did"),
+      explode(Linkage.blockKeys(col("dname"), 6)).as("b"))
+    val rk = right.select(col("cid"),
+      explode(Linkage.blockKeys(col("name"), 6)).as("b"))
+    val cand = lk.join(rk, lk("b") === rk("b")).select("did", "cid").distinct()
+    assert(cand.count() <= dirty.size.toLong)
+  }
+}
