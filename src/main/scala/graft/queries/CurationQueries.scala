@@ -272,5 +272,57 @@ object CurationQueries {
            |  CAST(delta AS INT) AS delta
            |FROM d WHERE abs(delta) > 256
            |ORDER BY doc_id, frame_idx""".stripMargin
-      }))
+      }),
+
+    // ── Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    //    deterministic ±1 md5-parity sign matrix: exact integer micro-unit
+    //    sums (engine- and partitioning-invariant), unrolled per output
+    //    dim into static codegen'd expressions — the cheap dimensionality
+    //    reduction run before clustering/ANN at corpus scale, zero
+    //    shuffles ──
+    "emb_rand_proj" -> QueryDef(
+      (spark, dir) => Tables.embeddings(spark, dir)
+        .withColumn("vu", expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+        .select(col("vec_id"),
+          posexplode(graft.sim.Similarity.randProj("vu", 16, 64)))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "v")
+        .orderBy(col("vec_id"), col("d")),
+      """WITH vu AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vu
+        |  FROM embeddings),
+        |s AS (SELECT o, i,
+        |    CASE WHEN strpos('01234567', substr(md5('rp:' || CAST(o AS VARCHAR)
+        |      || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS o)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+        |SELECT vec_id, CAST(o AS INT) AS d,
+        |  CAST(sum(sgn * vu[i + 1]) AS BIGINT) AS v
+        |FROM vu CROSS JOIN s
+        |GROUP BY 1, 2 ORDER BY vec_id, d""".stripMargin),
+
+    // ── hard-negative mining (contrastive-training sampler): per query,
+    //    top-3 most-similar vectors with a DIFFERENT label — exact over
+    //    the 2% query sample (the documented brute-force baseline shape;
+    //    the scale path rides the LSH bucket join with the label filter
+    //    on the candidates) ──
+    "ann_hard_negatives" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.sim.Similarity.hardNegatives(
+            e.filter(pmod(col("vec_id"), lit(50)) === 0), e, 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    floor(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |      * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |      AND q.label <> c.label)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 }

@@ -156,12 +156,15 @@ object TrainQueries {
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-        val si = sigs.select(col("id").as("i2"), col("sig").as("sig_i"))
-        val sj = sigs.select(col("id").as("j2"), col("sig").as("sig_j"))
-        val ti = base.select(col("id").as("i3"), col("shset").as("sh_i"))
-        val tj = base.select(col("id").as("j3"), col("shset").as("sh_j"))
+        // ONE enrichment frame carrying (sig, shset) → two joins, not four:
+        // at corpus scale each candidate join is a shuffle, so fetching both
+        // per-doc payloads per side in one pass halves the join count
+        val side = sigs.join(base, Seq("id")).localCheckpoint(eager = false)
+        val si = side.select(col("id").as("i2"), col("sig").as("sig_i"),
+          col("shset").as("sh_i"))
+        val sj = side.select(col("id").as("j2"), col("sig").as("sig_j"),
+          col("shset").as("sh_j"))
         cand.join(si, col("i") === col("i2")).join(sj, col("j") === col("j2"))
-          .join(ti, col("i") === col("i3")).join(tj, col("j") === col("j3"))
           .select(col("i"), col("j"),
             expr("aggregate(zip_with(sig_i, sig_j, (x, y) -> IF(x = y, 1, 0)), " +
               "0, (acc, v) -> acc + v)").as("n_match"),

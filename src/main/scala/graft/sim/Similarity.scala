@@ -155,6 +155,52 @@ object Similarity {
       .agg(sum(floor(col("col").cast("double") * 1e6 + 0.5).cast("long")).as("sum_u"),
         count(lit(1)).as("n"))
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
+    * a deterministic ±1 sign matrix (sign(o,i) = +1 iff the first hex
+    * digit of md5("rp:o:i") < 8 — the Achlioptas binary-coin variant, so
+    * the oracle rebuilds the matrix in SQL). Components are micro-unit
+    * integers, so every projected value is an EXACT 64-bit sum —
+    * partitioning/merge-order invariant, same value in any engine. The
+    * per-dim expression is UNROLLED driver-side into a static ±-term sum:
+    * whole-stage codegen, no interpreted HOF lambda re-evaluation, and no
+    * shuffle at all — the projection is purely columnar.
+    */
+  def randProj(vuCol: String, outDims: Int, inDims: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(o: Int, i: Int): Int = {
+      val h = md.digest(s"rp:$o:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+    val terms = (0 until outDims).map { o =>
+      (0 until inDims).map { i =>
+        s"${if (sign(o, i) > 0) "+" else "-"} $vuCol[$i]"
+      }.mkString("CAST(0 AS BIGINT) ", " ", "")
+    }
+    array(terms.map(t => expr(t)): _*)
+  }
+
+  /** Hard-negative mining: per query, the top-k most-similar corpus
+    * vectors whose LABEL DIFFERS from the query's (the contrastive-
+    * training negative sampler). Exact over the query sample — the same
+    * documented brute-force baseline shape as [[topK]]; at corpus scale
+    * compose the label-exclusion filter with the [[lshTopK]] bucket join
+    * instead (same rescore, label filter rides the candidate join).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("ql"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(labelCol).as("nl"))
+    val scored = q.join(c, col("qid") =!= col("nid") && col("ql") =!= col("nl"))
+      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Brute-force top-k neighbours for each query vector (exact baseline).
     * Ties break on neighbour id for determinism.
     */

@@ -298,6 +298,54 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("randProj preserves relative distances (JL property, deterministic)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+      .withColumn("vu", expr("transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+    val proj = e.select($"vec_id", Similarity.randProj("vu", 16, 64).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val orig = e.select($"vec_id", $"vu").as[(Long, Seq[Long])].collect().toMap
+    // projected values are exact integers, invariant across partitionings
+    val again = e.repartition(7)
+      .select($"vec_id", Similarity.randProj("vu", 16, 64).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(proj == again)
+    // JL with a 16-dim ±1 matrix: E[|Px-Py|²] = 16·|x-y|², so the
+    // normalized distortion |Px-Py|²/(16·|x-y|²) concentrates near 1.
+    // With fixed md5 planes this is a deterministic number per pair —
+    // assert the MEDIAN distortion over 100 pairs sits in a wide band.
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    val ids = proj.keys.toSeq.sorted
+    val ratios = ids.sliding(2).toSeq.take(100).flatMap {
+      case Seq(i, j) =>
+        val od = d2(orig(i), orig(j))
+        if (od == 0) None
+        else Some(d2(proj(i), proj(j)) / (16.0 * od))
+      case _ => None
+    }.sorted
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.5 && median < 2.0, s"median distortion=$median")
+  }
+
+  test("hardNegatives never returns the query's own label and ranks by sim") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter($"vec_id" % 50 === 0)
+    val hn = Similarity.hardNegatives(qs, e, 3)
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = hn.select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"query $q got same-label negative $n")
+    }
+    // per query: ranks are 1..k and the rank-1 negative dominates the
+    // brute-force same-label-excluded field
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
