@@ -324,5 +324,97 @@ object CurationQueries {
         |  SELECT qid, nid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM s)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // ── data-quality constraint gate (Deequ-style): per-table row
+    //    constraints fold into ONE map-combined pass per table (sum of
+    //    CASEs — no per-constraint scans); referential integrity is a
+    //    broadcast anti-join count, key uniqueness one hash agg at the
+    //    key grain. The pass/fail table a 100 TB ingest job checks
+    //    before publishing a partition ──
+    "q_quality_checks" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val rowChecks = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("l_quantity_range"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .as("l_orderkey_not_null"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+            .as("l_extendedprice_positive"))
+        val orderChecks = o.agg(
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("o_totalprice_positive"))
+        val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_line_keys"))
+        val unpivoted = rowChecks.crossJoin(orderChecks).crossJoin(orphans)
+          .crossJoin(dupKeys)
+          .select(expr("stack(6, " +
+            "'l_quantity_range', l_quantity_range, " +
+            "'l_orderkey_not_null', l_orderkey_not_null, " +
+            "'l_extendedprice_positive', l_extendedprice_positive, " +
+            "'o_totalprice_positive', o_totalprice_positive, " +
+            "'orphan_lineitems', orphan_lineitems, " +
+            "'dup_line_keys', dup_line_keys) AS (constraint, n_violations)"))
+        unpivoted.withColumn("pass", col("n_violations") === 0L)
+          .orderBy(col("constraint"))
+      },
+      """WITH row_checks AS (SELECT
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_range,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_not_null,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_positive
+        |  FROM lineitem),
+        |order_checks AS (SELECT
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_positive
+        |  FROM orders),
+        |orphans AS (SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |dup AS (SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_line_keys
+        |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+        |        FROM lineitem GROUP BY 1, 2)),
+        |u AS (
+        |  SELECT 'l_quantity_range' AS constraint, l_quantity_range AS n_violations FROM row_checks
+        |  UNION ALL SELECT 'l_orderkey_not_null', l_orderkey_not_null FROM row_checks
+        |  UNION ALL SELECT 'l_extendedprice_positive', l_extendedprice_positive FROM row_checks
+        |  UNION ALL SELECT 'o_totalprice_positive', o_totalprice_positive FROM order_checks
+        |  UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM orphans
+        |  UNION ALL SELECT 'dup_line_keys', dup_line_keys FROM dup)
+        |SELECT "constraint", n_violations, n_violations = 0 AS pass
+        |FROM u ORDER BY "constraint"""".stripMargin),
+
+    // ── incremental aggregate maintenance (materialized-view upkeep):
+    //    the standing per-key aggregate absorbs a delta batch by merging
+    //    PARTIAL aggregates — count and sum are decomposable, so the
+    //    merge is a full-outer key join + coalesced sums over two TINY
+    //    agg frames. The 100 TB pattern where re-aggregating history per
+    //    batch is impossible; the oracle recomputes from scratch, so the
+    //    hash match IS the proof that incremental == full recompute.
+    //    ("base" = even epoch-days, "delta" = odd — a deterministic
+    //    batch boundary with no data-dependent constants.) ──
+    "ev_incr_agg" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .withColumn("day", expr("ts_ns DIV 86400000000000"))
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        def part(p: Int) = e.filter(pmod(col("day"), lit(2)) === p)
+          .groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as(s"cnt_$p"), sum(col("cents")).as(s"sum_$p"))
+          .localCheckpoint(eager = false)
+        part(0).join(part(1), Seq("et"), "full_outer")
+          .select(col("et"),
+            (coalesce(col("cnt_0"), lit(0L)) + coalesce(col("cnt_1"), lit(0L)))
+              .as("cnt"),
+            (coalesce(col("sum_0"), lit(0L)) + coalesce(col("sum_1"), lit(0L)))
+              .as("sum_cents"))
+          .orderBy(col("et"))
+      },
+      """SELECT event_type AS et, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY et""".stripMargin))
 }

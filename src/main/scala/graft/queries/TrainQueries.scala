@@ -295,6 +295,46 @@ object TrainQueries {
          |  (SELECT count(*) FROM documents) -
          |    (SELECT count(*) FROM labels WHERE id <> cluster) AS n_survive""".stripMargin),
 
+    // ── per-doc dedup provenance: the USER-FACING output of corpus
+    //    dedup — every doc with its cluster, keep/remove decision, and
+    //    reason ('unique' | 'representative' | 'near_dup'). Derived from
+    //    the same pair → connected-components lineage as
+    //    dedup_end_to_end; one extra broadcast-left-join against the
+    //    (small) label frame ──
+    "dedup_provenance" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val cl = Dedup.clusters(Dedup.jaccardPairs(docs, 3, 0.10))
+        docs.select(col("doc_id"))
+          .join(cl.select(col("id"), col("cluster")),
+            col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            when(col("cluster").isNull, lit("unique"))
+              .when(col("cluster") === col("doc_id"), lit("representative"))
+              .otherwise(lit("near_dup")).as("reason"))
+          .withColumn("kept", col("reason") =!= "near_dup")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+         |  CASE WHEN l.cluster IS NULL THEN 'unique'
+         |       WHEN l.cluster = d.doc_id THEN 'representative'
+         |       ELSE 'near_dup' END AS reason,
+         |  CASE WHEN l.cluster IS NULL THEN TRUE
+         |       WHEN l.cluster = d.doc_id THEN TRUE ELSE FALSE END AS kept
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         |ORDER BY d.doc_id""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

@@ -92,6 +92,22 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("n"))
 
+  /** Stream-static enrichment: broadcast-join a (small) static dimension
+    * onto the stream. Stateless — no watermark, no streaming state — and
+    * the broadcast keeps every micro-batch shuffle-free on the stream
+    * side: the standard dimension-lookup pattern for event enrichment.
+    *
+    * NOTE a file-backed `dim` PINS its file listing when the DataFrame is
+    * created — an overwrite underneath it fails the stream (Spark's
+    * FAILED_READ_FILE), it does not refresh. For a dimension that updates
+    * while the stream runs, re-read it per batch inside `foreachBatch`
+    * and apply this same join to the batch DataFrame (works unchanged on
+    * batch frames; StreamEnrichSpec drives both patterns).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Retry routing on the event's `number-of-retries` parameter. */
   def withRetryRoute(df: DataFrame, maxRetries: Int = 3): DataFrame = {
     val retries = coalesce(
