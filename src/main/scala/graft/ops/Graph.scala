@@ -113,4 +113,33 @@ object Graph {
     ranks.join(nodes, Seq("node"))
       .select(col("node"), col("deg"), col("r"))
   }
+
+  /** Bounded-hop BFS distance labels from a source set: frontier
+    * expansion, one node-key equi-join per hop, left-anti against the
+    * settled labels so each node is labelled at its FIRST (minimum) hop —
+    * the BFS invariant. Per-round frames are lazily checkpointed, so the
+    * plan (and re-planning cost) stays flat across rounds; state on the
+    * wire is only the frontier + labels, never the paths — this is the
+    * scale-safe contrast to a transitive-closure join. `maxHops` bounds
+    * the rounds (the analytics question is "within k hops", not full
+    * diameter). Output: (node, hop), hop ∈ [0, maxHops].
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var labels = sources.select(col("node"), lit(0).as("hop"))
+      .distinct().localCheckpoint(eager = false)
+    var frontier = labels.select(col("node"))
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(labels, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(eager = false)
+      labels = labels.unionByName(next).localCheckpoint(eager = false)
+      frontier = next.select(col("node"))
+      hop += 1
+    }
+    labels
+  }
 }

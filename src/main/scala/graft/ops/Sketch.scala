@@ -41,6 +41,29 @@ object Sketch {
         floor(lit((k - 1) * 4294967296.0) / col("t.nid")).cast("long").as("est_distinct"))
   }
 
+  /** KMV set-operation estimates between two value sets (theta-sketch
+    * shape): |A|, |B| and |A∪B| each from a k-min sketch — the union
+    * sketch is literally KMV over the stacked values, the mergeability
+    * that lets sketches built per-partition (or per-corpus) combine
+    * without re-reading data — and |A∩B| by inclusion–exclusion,
+    * clamped at 0. ONE row out; everything md5-deterministic and
+    * SQL-replayable.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val stacked = a.select(lit("a").as("tag"), col(valueCol).as("v"))
+      .unionByName(b.select(lit("b").as("tag"), col(valueCol).as("v")))
+    val withU = stacked.unionByName(
+      stacked.select(lit("u").as("tag"), col("v")))
+    kmvDistinct(withU, "tag", "v", k)
+      .agg(
+        max(when(col("grp") === "a", col("est_distinct"))).as("est_a"),
+        max(when(col("grp") === "b", col("est_distinct"))).as("est_b"),
+        max(when(col("grp") === "u", col("est_distinct"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
   /** Count-Min Sketch cell position for hash row `j`: md5-derived, so the
     * whole sketch is deterministic and SQL-replayable (same trick as
     * `hash32`).

@@ -722,6 +722,44 @@ object CorpusOpsQueries {
         |  CAST(sum(deg) AS BIGINT) AS edge_ends
         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin),
 
+    // ── bounded-hop BFS distances from a source set over the
+    //    co-purchase graph: frontier expansion with a left-anti against
+    //    settled labels (first touch = min hop), one node-key equi-join
+    //    per round over checkpointed frames — state is frontier+labels,
+    //    never paths (the scale-safe contrast to transitive closure).
+    //    Oracle: bounded recursive CTE + min(hop) ──
+    "graph_bfs_hops" -> QueryDef(
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+            .as("p"))
+          .select(col("p.a"), col("p.b")).distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val sources = Tables.part(spark, dir)
+          .filter(pmod(col("p_partkey"), lit(400)) === 0)
+          .select(col("p_partkey").as("node"))
+        graft.ops.Graph.bfsHops(edges, sources, maxHops = 3)
+          .orderBy(col("node"))
+      },
+      """WITH RECURSIVE p AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |r AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS node, 0 AS hop
+        |  FROM part WHERE p_partkey % 400 = 0
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON r.node = e.src
+        |  WHERE r.hop < 3)
+        |SELECT node, CAST(min(hop) AS INT) AS hop
+        |FROM r GROUP BY 1 ORDER BY node""".stripMargin),
+
     // ── PageRank: exact integer nano-unit power iteration, oracle
     //    unrolls the same iterations as chained CTEs ──
     "graph_pagerank" -> QueryDef(

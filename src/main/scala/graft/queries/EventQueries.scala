@@ -595,6 +595,59 @@ object EventQueries {
         |FROM r JOIN ex ON r.grp = ex.grp
         |WHERE rn = 8 ORDER BY r.grp""".stripMargin),
 
+    // ── KMV set operations (theta-sketch shape): click-users vs
+    //    purchase-users — A, B, A∪B each a k-min sketch (the union
+    //    sketch is KMV over the stacked values: mergeability), A∩B by
+    //    inclusion–exclusion clamped at 0; exact counterparts ride the
+    //    same row so the estimate error is auditable under the gate ──
+    "ev_kmv_setops" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val est = graft.ops.Sketch.kmvSetOps(
+          ev.filter(col("event_type") === "click").select(col("user_id")),
+          ev.filter(col("event_type") === "purchase").select(col("user_id")),
+          "user_id", 8)
+        val exact = ev.agg(
+          countDistinct(when(col("event_type") === "click", col("user_id")))
+            .as("exact_a"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id")))
+            .as("exact_b"),
+          countDistinct(when(col("event_type").isin("click", "purchase"),
+            col("user_id"))).as("exact_union"))
+        est.crossJoin(exact)
+          .withColumn("exact_intersect",
+            col("exact_a") + col("exact_b") - col("exact_union"))
+      },
+      """WITH v AS (
+        |  SELECT 'a' AS grp, user_id AS v FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT 'b', user_id FROM events WHERE event_type = 'purchase'
+        |  UNION ALL SELECT 'u', user_id FROM events
+        |    WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT DISTINCT grp,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(v AS VARCHAR)), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS hv
+        |  FROM v),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+        |      FROM h),
+        |e AS (SELECT grp, CAST(floor(7 * 4294967296.0 / hv) AS BIGINT) AS est
+        |      FROM r WHERE rn = 8),
+        |p AS (SELECT
+        |    max(CASE WHEN grp = 'a' THEN est END) AS est_a,
+        |    max(CASE WHEN grp = 'b' THEN est END) AS est_b,
+        |    max(CASE WHEN grp = 'u' THEN est END) AS est_union FROM e),
+        |x AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+        |    CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS BIGINT) AS exact_union
+        |  FROM events)
+        |SELECT est_a, est_b, est_union,
+        |  greatest(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_intersect,
+        |  exact_a, exact_b, exact_union,
+        |  exact_a + exact_b - exact_union AS exact_intersect
+        |FROM p, x""".stripMargin),
+
     // ── editorial retry protocol (RetryHandler,
     //    tre_editorial_integration.py:432-542): per-consignment sequential
     //    state machine — incoming must be last-accepted+1, limit 3 hard-

@@ -56,4 +56,22 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pagerank(starEdges.repartition(7), 5).orderBy($"node").collect().toSeq
     assert(a == b)
   }
+
+  test("bfsHops labels each node at its minimum hop, bounded by maxHops") {
+    // chain 1-2-3-4-5-6 plus a shortcut 1-4 and an unreachable node 9-10
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (9L, 10L))
+    val edges = und.toDF("a", "b").select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.toDF("a", "b").select($"b".as("src"), $"a".as("dst")))
+    val sources = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, sources, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // shortcut wins: node 4 is 1 hop via (1,4), node 5 = 2, node 6 = 3
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 6L -> 3))
+    // beyond maxHops and disconnected components stay unlabelled
+    assert(!got.contains(9L) && !got.contains(10L))
+    val again = Graph.bfsHops(edges.repartition(5), sources, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
 }

@@ -82,4 +82,22 @@ class SketchSpec extends SparkSpec {
       .orderBy($"j", $"p").collect().toSeq
     assert(merged == a)
   }
+
+  test("kmvSetOps: identical sets estimate intersect == union; disjoint clamp at 0") {
+    val xs = (1L to 400L).toDF("v")
+    val same = Sketch.kmvSetOps(xs, xs, "v", 8)
+      .as[(Long, Long, Long, Long)].head()
+    // A == B == A∪B sketches are identical → est_intersect == est_union
+    assert(same._1 == same._2 && same._2 == same._3 && same._4 == same._3)
+    val ys = (10001L to 10400L).toDF("v")
+    val disj = Sketch.kmvSetOps(xs, ys, "v", 8)
+      .as[(Long, Long, Long, Long)].head()
+    // union of disjoint sets estimates ABOVE each side; the clamp keeps
+    // the inclusion–exclusion intersection non-negative
+    assert(disj._3 >= math.max(disj._1, disj._2))
+    assert(disj._4 >= 0L)
+    // estimates in a sane band around the true 400/800
+    assert(disj._1 > 100L && disj._1 < 1600L, s"est_a=${disj._1}")
+    assert(disj._3 > 200L && disj._3 < 3200L, s"est_union=${disj._3}")
+  }
 }
