@@ -43,7 +43,18 @@ object Bench {
       // prune the projections and under-report)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: localCheckpoint frames persist MEMORY_AND_DISK
+      // blocks that outlive the query (nothing unpersists them), so a
+      // 162-query sweep accumulates gigabytes of dead blocks — eviction +
+      // GC pressure then lands on whichever query runs next (r4's 1.52×
+      // common-subset slowdown vs r3). Drop every persisted RDD and cached
+      // plan BETWEEN queries, outside the timed window, so each query is
+      // measured against a clean block manager like a fresh session.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      name -> dt
     }
     // Locale.ROOT: default-locale %f would emit comma decimals (de_DE →
     // invalid JSON) — the metric line must parse anywhere

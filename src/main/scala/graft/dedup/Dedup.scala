@@ -20,12 +20,27 @@ object Dedup {
     * would pin the whole stage to one core. Cheap to shuffle (input is
     * small when this matters; at real scale inputs are already split).
     */
+  /** Spread decision, factored out for the spec: repartition only when
+    * the file count can't fund `target` tasks AND the bytes can't either —
+    * a few-FILED but large input already splits into ≥ target scan
+    * partitions at maxPartitionBytes, and blanket-repartitioning 100 TB
+    * because it arrived in a handful of files would be a full-corpus
+    * shuffle for nothing.
+    */
+  private[graft] def shouldSpread(nFiles: Int, target: Int, bytes: BigInt,
+                                  maxPartBytes: Long): Boolean =
+    nFiles > 0 && nFiles < target && bytes < BigInt(maxPartBytes) * target
+
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // file-count guard: metadata-only, unlike df.rdd.getNumPartitions which
     // forces plan→RDD conversion outside Catalyst and defeats AQE reuse
     val nFiles = df.inputFiles.length
-    if (nFiles == 0 || nFiles >= target) df else df.repartition(target)
+    if (shouldSpread(nFiles, target,
+        graft.ops.Hints.estimatedBytes(df),
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes))
+      df.repartition(target)
+    else df
   }
 
   /** Exact dedup on content hash: one row per distinct content with the
@@ -50,12 +65,25 @@ object Dedup {
     * tiny per-doc size aggregates. Jaccard is a ratio of ints, so the
     * DuckDB oracle matches bit-exactly.
     */
+  /** 60-bit integer key from md5: shuffling 8-byte longs instead of
+    * arbitrary-length shingle STRINGS cuts the self-join's wire format to a
+    * fixed-width key — at 100 TB the string key is the dominant shuffle
+    * cost. DuckDB-replayable (same md5 prefix, hex→int). Collision note:
+    * two distinct shingles colliding in 60 bits could inflate n_common by
+    * 1; P ≈ n²/2^61 — negligible below ~10⁹ distinct shingles per corpus
+    * slice, and any collision only perturbs one pair's ratio.
+    */
+  private def shingleKey(shingle: org.apache.spark.sql.Column) =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // one shingling pass: the self-join sides reuse one exchange, and the
-    // sizes branch reads the materialized rows instead of re-shingling
+    // sizes branch reads the materialized rows instead of re-shingling.
+    // Only the hashed key leaves the shingling stage — never the string.
     val sh = spread(docs).select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), shingleKey(col("s")).as("shingle"))
       .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
@@ -81,8 +109,10 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // same fixed-width hashed key as jaccardPairs (collision note there)
     val sh = spread(docs).select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), shingleKey(col("s")).as("shingle"))
       .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
@@ -210,6 +240,10 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // build-side bound for the banded self-join: bands × ~52 B per doc
+    // (id + n_sh + band + md5 key) ≤ the corpus text bytes for any real
+    // corpus — gate on the pre-checkpoint source estimate
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
     // shingle the corpus ONCE (lazy checkpoint): the signature branch and
     // the exact-rescore branch both read the materialized sets instead of
     // re-tokenizing + re-shingling per branch
@@ -231,11 +265,13 @@ object Dedup {
       // sides — without this checkpoint the k·|shingles| minhash md5 pass
       // runs twice
       .localCheckpoint(eager = false)
-    // SHUFFLE_HASH: the downstream is a distinct hash-agg, so SMJ's sort
-    // of the md5 band keys buys nothing — measured 1.25 s → 0.76 s warm
-    // on the sf0.1 candidate join
-    val cand = banded.hint("SHUFFLE_HASH").as("a")
-      .join(banded.hint("SHUFFLE_HASH").as("b"),
+    // SHUFFLE_HASH (size-gated): the downstream is a distinct hash-agg, so
+    // SMJ's sort of the md5 band keys buys nothing — measured 1.25 s →
+    // 0.76 s warm on the sf0.1 candidate join; unhinted (SMJ, spillable)
+    // when the corpus outgrows the local-hash-map budget
+    val hinted = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes)
+    val cand = hinted.as("a")
+      .join(hinted.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
@@ -350,6 +386,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // build-side bound: 4 bands × (id + 64-bit sig + 16-char key) per doc
+    // ≈ 350 B/doc ≤ corpus text bytes — gate on the source estimate
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
     val sigs = spread(docs).select(col(idCol).as("id"),
       TextAnalysis.simhashBits(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
@@ -361,8 +400,9 @@ object Dedup {
       .localCheckpoint(eager = false)
     val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
-    banded.hint("SHUFFLE_HASH").as("a")
-      .join(banded.hint("SHUFFLE_HASH").as("b"),
+    val hinted = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes)
+    hinted.as("a")
+      .join(hinted.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
@@ -391,6 +431,9 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // same banded-table build-side bound as minhashLsh (bands × ~52 B/doc
+    // ≤ corpus text bytes); the batch side is smaller still
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
     val base = spread(docs).select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
       .localCheckpoint(eager = false)
@@ -408,8 +451,9 @@ object Dedup {
       .localCheckpoint(eager = false)
     // candidate = any×new: the right side keeps only batch docs, so the
     // (band, key) join can never pair two standing-corpus docs
-    val cand = banded.hint("SHUFFLE_HASH").as("a")
-      .join(banded.filter(col("id") > col("split")).hint("SHUFFLE_HASH").as("b"),
+    val cand = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes).as("a")
+      .join(graft.ops.Hints.shuffleHashIfFits(
+          banded.filter(col("id") > col("split")), srcBytes).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),

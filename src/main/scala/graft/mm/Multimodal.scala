@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, with decode / feature-extract /
   * frame-sample stages running batch-wise over partitions.
   *
-  * The actual codec work is STUBBED with a deterministic fake (image/audio
-  * libraries are not in this container); the Spark-side contract — schema,
-  * partition-iterator batch shape, bounded memory — is real and tested.
-  * Swap `stubDecode` for a real codec without touching the plan.
+  * The IMAGE leg is real: PNG encode/decode runs through `javax.imageio`
+  * (JDK-only — no external codec dependency), so `decode` computes on
+  * actual pixels for PNG content. Audio/video codec work remains STUBBED
+  * with a deterministic fake (those libraries are not in this container);
+  * the Spark-side contract — schema, partition-iterator batch shape,
+  * bounded memory — is identical for both, so swapping `stubDecode` for
+  * a real audio codec never touches the plan.
   */
 object Multimodal {
 
@@ -171,9 +174,97 @@ object Multimodal {
         octet_length(col(bytesCol).cast("binary")).cast("long").as("byte_len"),
         lower(sha2(col(bytesCol).cast("binary"), 256)).as("sha256")).as("meta"))
 
+  private val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
+    0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Real grayscale PNG encode via `javax.imageio`: row-major 0-255 pixel
+    * values → PNG bytes. The fixture/ingest side of the real decode path.
+    */
+  def encodeGrayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % width, i / width, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via `javax.imageio`: (width, height, channels,
+    * band-0 pixels row-major — the gray value for grayscale images).
+    * None when the bytes aren't a decodable image.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) {
+          px(i) = raster.getSample(i % w, i / w, 0)
+          i += 1
+        }
+        Some((w, h, raster.getNumBands, px))
+      }
+    } catch { case _: Exception => None }
+
+  private val pixelsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("pixels", ArrayType(IntegerType))))
+
+  /** Encode (id, w, h, pixel-array) rows into real grayscale PNGs —
+    * mapPartitions batch shape, one image in flight at a time (bounded
+    * memory per task regardless of partition size).
+    */
+  def encodeGrayPngStage(df: DataFrame, idCol: String, pixelsCol: String,
+                         wCol: String, hCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(pixelsCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0),
+            encodeGrayPng(r.getSeq[Int](3).toArray, r.getInt(1), r.getInt(2)))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Real-codec decode stage: PNG bytes → (media_id, width, height,
+    * channels, pixels) via `javax.imageio`. Rows whose bytes don't decode
+    * are dropped — route structurally invalid media to a DLQ upstream
+    * (the EventStream pattern) rather than poisoning the feature stage.
+    */
+  def decodePixels(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { case (w, h, ch, px) =>
+            Row(r.getLong(0), w, h, ch, px.toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(pixelsSchema))
+
   /** Deterministic fake decode: "dimensions" derived from the byte length,
-    * "frames" are md5s of fixed-stride byte windows. Replace with a real
-    * codec (??? boundary) in production.
+    * "frames" are md5s of fixed-stride byte windows. The remaining honest
+    * stand-in for audio/video codecs (not in this container); PNG content
+    * never reaches it — `decode` routes image bytes through the real
+    * `javax.imageio` path.
     */
   def stubDecode(mediaId: Long, content: Array[Byte], frameStride: Int): Row = {
     val len = content.length
@@ -193,14 +284,31 @@ object Multimodal {
 
   /** Decode stage: mapPartitions over the media rows (the Scala analogue of
     * a pandas-batch UDF) — batch-iterator in, batch-iterator out, bounded
-    * by one row's bytes at a time.
+    * by one row's bytes at a time. PNG content (by magic) decodes through
+    * the REAL `javax.imageio` codec: width/height/channels come from the
+    * actual raster, frames are md5s of the first ≤8 pixel rows. Other
+    * content falls back to the deterministic audio/video stub.
     */
   def decode(media: DataFrame, frameStride: Int = 50): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { it =>
-        it.map { r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1), frameStride) }
+        it.map { r =>
+          val id = r.getLong(0)
+          val content = r.getAs[Array[Byte]](1)
+          val real =
+            if (content.length >= 8 && content.view.take(8).sameElements(pngMagic))
+              decodeImage(content).map { case (w, h, ch, px) =>
+                val frames = (0 until math.min(8, h)).map { row =>
+                  java.security.MessageDigest.getInstance("MD5")
+                    .digest(px.slice(row * w, (row + 1) * w).map(_.toByte))
+                    .map("%02x".format(_)).mkString
+                }
+                Row(id, w, h, ch, frames)
+              }
+            else None
+          real.getOrElse(stubDecode(id, content, frameStride))
+        }
       }(enc)
   }
 

@@ -49,8 +49,12 @@ object Graph {
     * each node (each triangle counted once per member).
     */
   def triangles(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("a").as("node"))
-      .unionAll(pairs.select(col("b").as("node")))
+    // the (possibly expensive) pair-generation subtree is referenced three
+    // times below (degree ×2, orientation ×1) with no exchange reuse across
+    // them — materialize it once
+    val p = pairs.localCheckpoint(eager = false)
+    val deg = p.select(col("a").as("node"))
+      .unionAll(p.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val da = deg.select(col("node").as("a"), col("deg").as("da"))
     val db = deg.select(col("node").as("b"), col("deg").as("db"))
@@ -58,24 +62,28 @@ object Graph {
     // so the orientation is acyclic and engine-independent
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = pairs.join(da, Seq("a")).join(db, Seq("b"))
+    val oriented = p.join(da, Seq("a")).join(db, Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
       .localCheckpoint(eager = false)
     // columns renamed per leg — two-sided self-joins over shared lineage
-    // otherwise trip DetectAmbiguousSelfJoin. SHUFFLE_HASH on both legs:
-    // downstream is a hash aggregate, so SMJ's sort of the m^(3/2)-row
-    // wedge stream buys nothing, and the build side is always the edge
-    // list (bounded by m ≪ wedges) — measured 8.1 s → 5.8 s at sf0.1.
-    // Broadcasting the close side is faster still locally but caps at the
-    // edge-list size — a non-starter for a 100 TB graph, so not forced.
+    // otherwise trip DetectAmbiguousSelfJoin. SHUFFLE_HASH on both legs
+    // (size-gated on the pre-checkpoint edge-list estimate — the build
+    // side is always the m-row oriented edge list, ≪ the wedge stream, but
+    // m itself must still fit the local-hash-map budget): downstream is a
+    // hash aggregate, so SMJ's sort of the m^(3/2)-row wedge stream buys
+    // nothing — measured 8.1 s → 5.8 s at sf0.1. Broadcasting the close
+    // side is faster still locally but caps at the edge-list size — a
+    // non-starter for a 100 TB graph, so not forced.
+    val edgeBytes = graft.ops.Hints.estimatedBytes(pairs)
     val o1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("ddst").as("dv"))
-    val o2 = oriented.select(col("src").as("u2"), col("dst").as("w"), col("ddst").as("dw"))
-      .hint("SHUFFLE_HASH")
-    val close = oriented.select(col("src").as("cv"), col("dst").as("cw"))
-      .hint("SHUFFLE_HASH")
+    val o2 = graft.ops.Hints.shuffleHashIfFits(
+      oriented.select(col("src").as("u2"), col("dst").as("w"), col("ddst").as("dw")),
+      edgeBytes)
+    val close = graft.ops.Hints.shuffleHashIfFits(
+      oriented.select(col("src").as("cv"), col("dst").as("cw")), edgeBytes)
     // wedge (u→v, u→w) with rank(v) < rank(w); the closing edge is then
     // oriented v→w under the same rank, so one equi-join finds it
     val wedges = o1.join(o2, col("u") === col("u2") &&
@@ -87,6 +95,10 @@ object Graph {
 
   /** (node, deg, r) after `iters` power iterations, r in nano-units. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // build-side bound for the per-iteration join: ranks live at the NODE
+    // grain (≤ edge rows always, since deg ≥ 1), so the pre-checkpoint
+    // edge-list estimate over-bounds every round's build side
+    val edgeBytes = graft.ops.Hints.estimatedBytes(edges)
     // degree is folded into the edge frame ONCE — each iteration is then
     // a single equi-join (ranks ⋈ out-edges) + one map-combined sum,
     // not a second join against the degree table every round
@@ -98,12 +110,13 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1000000000L).as("r"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
-      // SHUFFLE_HASH with the rank frame as build side: ranks live at the
-      // node grain (≤ edges always, since deg ≥ 1), and the downstream is
-      // a hash aggregate — SMJ's per-round sort of the edge stream buys
-      // nothing. Measured 4.5 s → 3.9 s warm over 5 rounds at sf0.1.
+      // SHUFFLE_HASH (size-gated) with the rank frame as build side; the
+      // downstream is a hash aggregate — SMJ's per-round sort of the edge
+      // stream buys nothing. Measured 4.5 s → 3.9 s warm over 5 rounds
+      // at sf0.1.
       ranks = e
-        .join(ranks.hint("SHUFFLE_HASH"), e("src") === ranks("node"))
+        .join(graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes),
+          e("src") === ranks("node"))
         .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000000L) + sum(col("c"))).as("r"))

@@ -25,19 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** Two-ended block keys as array<struct<tag,key>>. */
+  /** Two-ended block keys as array<struct<tag,key>>. The suffix key is a
+    * right()-equivalent with the start clamped to 1: Spark's negative-pos
+    * `substring(c, -n, n)` yields '' for strings shorter than n while SQL
+    * `right(c, n)` returns the whole string — the clamp makes both
+    * engines agree on short inputs.
+    */
   def blockKeys(c: Column, blockLen: Int): Column = array(
     struct(lit("P").as("tag"), substring(c, 1, blockLen).as("key")),
-    struct(lit("S").as("tag"), substring(c, -blockLen, blockLen).as("key")))
+    struct(lit("S").as("tag"),
+      c.substr(greatest(length(c) - (blockLen - 1), lit(1)), lit(blockLen))
+        .as("key")))
 
   /** (i, j, dist) pairs with levenshtein(leftKey, rightKey) ≤ maxDist.
-    * Complete (no missed pairs) for maxDist = 1 when strings are longer
-    * than 2·blockLen; for larger maxDist it is a recall-bounded blocking
-    * like any LSH — keep the exact path as the audit oracle.
+    *
+    * PRECONDITION (completeness): the ED ≤ 1 no-missed-pairs guarantee
+    * holds only for strings of length ≥ 2·blockLen + 1 — shorter strings
+    * can shift BOTH the prefix and the suffix block with one edit, so a
+    * true pair may share neither key and silently miss. Callers with
+    * shorter strings must route them through an exact small-side path
+    * (they are by definition few bytes) or shrink blockLen. For
+    * maxDist > 1 the blocking is recall-bounded like any LSH — keep the
+    * exact path as the audit oracle.
     */
   def fuzzyPairs(left: DataFrame, leftId: String, leftName: String,
                  right: DataFrame, rightId: String, rightName: String,
                  maxDist: Int, blockLen: Int = 6): DataFrame = {
+    // build-side bound for the block-key join: 2 keys × (id + blockLen
+    // chars + tag) per row ≈ the input's own (id, name) bytes — gate on
+    // the pre-checkpoint estimates of both sides
+    val lBytes = graft.ops.Hints.estimatedBytes(
+      left.select(col(leftId), col(leftName)))
+    val rBytes = graft.ops.Hints.estimatedBytes(
+      right.select(col(rightId), col(rightName)))
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
       .localCheckpoint(eager = false)
     val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
@@ -46,8 +66,8 @@ object Linkage {
       .select(col("i"), col("b.tag").as("tag"), col("b.key").as("key"))
     val rk = r.select(col("j"), explode(blockKeys(col("rj"), blockLen)).as("b"))
       .select(col("j"), col("b.tag").as("tag"), col("b.key").as("key"))
-    val cand = lk.hint("SHUFFLE_HASH")
-      .join(rk.hint("SHUFFLE_HASH"), Seq("tag", "key"))
+    val cand = graft.ops.Hints.shuffleHashIfFits(lk, lBytes)
+      .join(graft.ops.Hints.shuffleHashIfFits(rk, rBytes), Seq("tag", "key"))
       .select(col("i"), col("j")).distinct()
     cand.join(l, Seq("i")).join(r, Seq("j"))
       .select(col("i"), col("j"),

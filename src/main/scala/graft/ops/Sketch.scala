@@ -48,17 +48,37 @@ object Sketch {
     * without re-reading data — and |A∩B| by inclusion–exclusion,
     * clamped at 0. ONE row out; everything md5-deterministic and
     * SQL-replayable.
+    *
+    * Below-k sides degrade gracefully (ADVICE r4): a side with fewer
+    * than k distinct values never reaches rank k, but its sketch then
+    * holds EVERY distinct hash — size(sketch) is the exact count
+    * (modulo 32-bit hash collisions), so the estimate switches to that
+    * instead of going NULL. An empty side estimates 0.
     */
   def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
     val stacked = a.select(lit("a").as("tag"), col(valueCol).as("v"))
       .unionByName(b.select(lit("b").as("tag"), col(valueCol).as("v")))
     val withU = stacked.unionByName(
       stacked.select(lit("u").as("tag"), col("v")))
-    kmvDistinct(withU, "tag", "v", k)
+    val hashed = withU.select(col("tag").as("grp"), hash32(col("v")).as("h"))
+      .distinct()
+    // rank-k hash when the sketch is full (try_element_at: the filter is
+    // empty below k, and ANSI element_at would throw)
+    val hk = try_element_at(
+      filter(col("top"), t => t.getField("rank") === lit(k)), lit(1))
+      .getField("nid")
+    val est = hashed.groupBy(col("grp"))
+      .agg(graft.functions.topk_by((-col("h")).cast("double"), col("h"), k)
+        .as("top"))
+      .select(col("grp"),
+        when(size(col("top")) >= k,
+          floor(lit((k - 1) * 4294967296.0) / hk).cast("long"))
+          .otherwise(size(col("top")).cast("long")).as("est_distinct"))
+    est
       .agg(
-        max(when(col("grp") === "a", col("est_distinct"))).as("est_a"),
-        max(when(col("grp") === "b", col("est_distinct"))).as("est_b"),
-        max(when(col("grp") === "u", col("est_distinct"))).as("est_union"))
+        coalesce(max(when(col("grp") === "a", col("est_distinct"))), lit(0L)).as("est_a"),
+        coalesce(max(when(col("grp") === "b", col("est_distinct"))), lit(0L)).as("est_b"),
+        coalesce(max(when(col("grp") === "u", col("est_distinct"))), lit(0L)).as("est_union"))
       .select(col("est_a"), col("est_b"), col("est_union"),
         greatest(lit(0L),
           col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))

@@ -43,6 +43,26 @@ object CorpusOpsQueries {
     s"($idf * (($tf * (1.2 + 1.0)) / ($tf + 1.2 * $dlNorm)))"
   }
 
+  /** Canonical co-purchase edges (a < b, distinct) WITHOUT a self-join:
+    * one shuffle to the order key (the grain the file is already clustered
+    * by), sorted part-set per order, pairs exploded in place — measured
+    * 5.2 s → 2.8 s vs the two-sided equi-join at sf0.1. Shared by
+    * graph_triangles and graph_bfs_hops; lazily checkpointed because every
+    * consumer references the frame more than once (degree legs, edge-
+    * direction union) with no exchange reuse across aliased sides.
+    */
+  private def copurchasePairs(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+      .localCheckpoint(eager = false)
+
   val defs: Map[String, QueryDef] = Map(
 
     // ── BM25 ranking: one global stats row broadcast into a columnar
@@ -661,19 +681,7 @@ object CorpusOpsQueries {
     //    wedge + close are node-key equi-joins over one checkpointed frame ──
     "graph_triangles" -> QueryDef(
       (spark, dir) => {
-        // co-purchase pairs WITHOUT a self-join: one shuffle to the order
-        // key (the grain the file is already clustered by), sorted
-        // part-set per order, pairs exploded in place — measured 5.2 s →
-        // 2.8 s vs the two-sided equi-join at sf0.1
-        val pairs = Tables.lineitem(spark, dir)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-            .as("p"))
-          .select(col("p.a"), col("p.b")).distinct()
-        graft.ops.Graph.triangles(pairs)
+        graft.ops.Graph.triangles(copurchasePairs(spark, dir))
           .orderBy(col("tri").desc, col("node")).limit(30)
       },
       """WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -730,14 +738,7 @@ object CorpusOpsQueries {
     //    Oracle: bounded recursive CTE + min(hop) ──
     "graph_bfs_hops" -> QueryDef(
       (spark, dir) => {
-        val pairs = Tables.lineitem(spark, dir)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-            .as("p"))
-          .select(col("p.a"), col("p.b")).distinct()
+        val pairs = copurchasePairs(spark, dir)
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         val sources = Tables.part(spark, dir)
@@ -764,11 +765,15 @@ object CorpusOpsQueries {
     //    unrolls the same iterations as chained CTEs ──
     "graph_pagerank" -> QueryDef(
       (spark, dir) => {
+        // int node keys: supplier→2k, customer→2k+1 disambiguates the
+        // bipartite sides without string concat — 8-byte keys on every
+        // per-iteration shuffle instead of variable-length "s123"/"c456"
+        // strings (the wire+hash cost dominates at 5 iterations × edges)
         val li = Tables.lineitem(spark, dir)
           .join(Tables.orders(spark, dir),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("s"), col("l_suppkey").cast("string")).as("sn"),
-            concat(lit("c"), col("o_custkey").cast("string")).as("cn"))
+          .select((col("l_suppkey").cast("long") * 2).as("sn"),
+            (col("o_custkey").cast("long") * 2 + 1).as("cn"))
         graft.ops.Graph
           .pagerank(graft.ops.Graph.undirectedEdges(li, "sn", "cn"), iters = 5)
           .orderBy(col("r").desc, col("node"))
@@ -854,8 +859,8 @@ object CorpusOpsQueries {
         s"FROM e JOIN r${i - 1} r ON e.src = r.node " +
         s"JOIN deg d ON e.src = d.src GROUP BY 1)"
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS a,
-       |    'c' || CAST(o.o_custkey AS VARCHAR) AS b
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) * 2 AS a,
+       |    CAST(o.o_custkey AS BIGINT) * 2 + 1 AS b
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |e AS (SELECT a AS src, b AS dst FROM e0
        |      UNION ALL SELECT b AS src, a AS dst FROM e0),

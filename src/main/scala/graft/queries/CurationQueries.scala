@@ -160,8 +160,11 @@ object CurationQueries {
         val k = Tables.events(spark, dir)
           .groupBy(col("event_type").as("et"),
             expr("ts_ns DIV 3600000000000").as("h"))
-          .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)" +
-            " DIV count(*)").as("v"))
+          // floor-on-exact-double for the average too (not just the lerp):
+          // Spark DIV truncates toward zero, DuckDB // floors — they
+          // diverge whenever a bucket's cents sum is negative
+          .agg(expr("CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))" +
+            " AS DOUBLE) / count(*)) AS BIGINT)").as("v"))
           .localCheckpoint(eager = false)
         val spine = k.groupBy(col("et"))
           .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
@@ -186,8 +189,8 @@ object CurationQueries {
           .orderBy(col("et"), col("h"))
       },
       """WITH k AS (SELECT event_type AS et, epoch_ns(ts) // 3600000000000 AS h,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      // count(*) AS v
+        |    CAST(floor(CAST(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |sp AS (SELECT et, unnest(generate_series(lo, hi)) AS h
         |  FROM (SELECT et, min(h) AS lo, max(h) AS hi FROM k GROUP BY 1)),

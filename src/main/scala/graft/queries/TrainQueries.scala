@@ -140,6 +140,9 @@ object TrainQueries {
     //    checkpointed shingle sets) — candidates only, never all pairs ──
     "dedup_minhash_est" -> QueryDef(
       (spark, dir) => {
+        // banded build side ≈ 12 bands × 44 B/doc ≤ corpus text bytes —
+        // gate the SHUFFLE_HASH on the pre-checkpoint source estimate
+        val srcBytes = graft.ops.Hints.estimatedBytes(Tables.documents(spark, dir))
         val base = Tables.documents(spark, dir)
           .select(col("doc_id").as("id"),
             array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))
@@ -151,8 +154,9 @@ object TrainQueries {
           posexplode(transform(sequence(lit(0), lit(11)),
             b => md5(col("sig").getItem(b).cast("string")))))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-        val cand = banded.hint("SHUFFLE_HASH").as("a")
-          .join(banded.hint("SHUFFLE_HASH").as("b"),
+        val hinted = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes)
+        val cand = hinted.as("a")
+          .join(hinted.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
@@ -881,27 +885,41 @@ object TrainQueries {
         |  sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin),
 
-    // ── multimodal: codec-free header metadata — synthesize valid PNG
-    //    prefixes (+payload) per doc and parse the IHDR dims back from
-    //    the raw bytes (substring + base-16 conv; the cheap header scan
-    //    that runs long before any decode). Oracle states the planted
-    //    dims directly. ──
+    // ── multimodal: REAL PNGs (javax.imageio encode, planted dims +
+    //    deterministic gray gradient) read back two ways that must
+    //    agree — the codec-free IHDR header scan (substring + base-16
+    //    conv; the cheap scan a 100 TB media pipeline runs long before
+    //    any decode) AND the full javax.imageio raster decode. Oracle
+    //    states the planted dims directly. ──
     "mm_png_dims" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        val w = (pmod(col("doc_id"), lit(1000)) + 16).cast("int")
-        val h = (pmod(col("doc_id") * 7, lit(800)) + 16).cast("int")
-        val bytes = concat(Multimodal.pngHeader(w, h), col("text").cast("binary"))
-        docs.select(col("doc_id"), Multimodal.pngDims(bytes).as("dims"),
-            octet_length(bytes).cast("long").as("byte_len"))
-          .select(col("doc_id"), col("dims.width").as("width"),
-            col("dims.height").as("height"), col("byte_len"))
+        val px = docs.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id") * 7, lit(16)) + 8).cast("int").as("h"))
+          .withColumn("px",
+            expr("transform(sequence(0, w * h - 1), p -> CAST(p % 256 AS INT))"))
+        val media = Multimodal.encodeGrayPngStage(px, "doc_id", "px", "w", "h")
+          .localCheckpoint(eager = false) // header-scan + decode branches
+        val scanned = media.select(col("media_id"),
+          Multimodal.pngDims(col("content")).as("dims"))
+        val dec = Multimodal.decodePixels(media)
+          .select(col("media_id"), col("width").as("dec_w"),
+            col("height").as("dec_h"), col("channels"),
+            size(col("pixels")).as("n_px"))
+        scanned.join(dec, Seq("media_id"))
+          .select(col("media_id").as("doc_id"),
+            col("dims.width").as("width"), col("dims.height").as("height"),
+            col("dec_w"), col("dec_h"), col("channels"), col("n_px"))
           .orderBy(col("doc_id"))
       },
       """SELECT doc_id,
-        |  CAST(doc_id % 1000 + 16 AS INT) AS width,
-        |  CAST((doc_id * 7) % 800 + 16 AS INT) AS height,
-        |  CAST(24 + octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  CAST(doc_id % 24 + 8 AS INT) AS width,
+        |  CAST((doc_id * 7) % 16 + 8 AS INT) AS height,
+        |  CAST(doc_id % 24 + 8 AS INT) AS dec_w,
+        |  CAST((doc_id * 7) % 16 + 8 AS INT) AS dec_h,
+        |  1 AS channels,
+        |  CAST((doc_id % 24 + 8) * ((doc_id * 7) % 16 + 8) AS INT) AS n_px
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ── multimodal: audio header metadata (WAV/RIFF little-endian
@@ -986,17 +1004,23 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
-    // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over
-    //    the stub decode — the downsample stage of an image pipeline with
-    //    exact arithmetic (block mean = sum DIV 4); same columnar batch
-    //    shape a real resize kernel would fill ──
+    // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over a
+    //    REAL codec round-trip — deterministic pixels are encoded into
+    //    actual PNGs (javax.imageio) and decoded back to rasters before
+    //    pooling, so the downsample stage computes on real decoded
+    //    pixels; PNG is lossless, so the md5-formula oracle still
+    //    replays the exact values. Block mean = sum DIV 4 (exact) ──
     "mm_resize_pool" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
           .filter(pmod(col("doc_id"), lit(25)) === 0)
-        val px = docs.select(col("doc_id"),
+        val fake = docs.select(col("doc_id"),
+          lit(8).as("w"), lit(8).as("h"),
           Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
-            pmod(col("doc_id"), lit(64))).as("px"))
+            pmod(col("doc_id"), lit(64))).as("px0"))
+        val media = Multimodal.encodeGrayPngStage(fake, "doc_id", "px0", "w", "h")
+        val px = Multimodal.decodePixels(media)
+          .select(col("media_id").as("doc_id"), col("pixels").as("px"))
         // pooled(q) for q in 0..15: mean of the 2×2 block at
         // (2·(q DIV 4), 2·(q % 4)) in the 8×8 row-major pixel array
         px.select(col("doc_id"), posexplode(expr(

@@ -31,9 +31,16 @@ object WebClean {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(https://[^/?]*):443", "$1"),
       "^(http://[^/?]*):80", "$1")
-    val noUtm = regexp_replace(
-      regexp_replace(noPort, "utm_[a-z]+=[^&#]*&", ""),
-      "[?&]utm_[a-z]+=[^&#]*", "")
+    // left-anchored at a kept separator ($1) so a param merely CONTAINING
+    // "utm_" (e.g. "?xutm_a=1") never matches. The separator is consumed
+    // per match, so a RUN of k consecutive utm params halves per pass —
+    // 4 passes cover k ≤ 16 (the documented utm_* family has ~10 names).
+    // A lookbehind would do it in one pass, but RE2 (the oracle engine)
+    // has no lookbehind, so the log-pass form keeps both engines exact.
+    val utmMid = "([?&])utm_[a-z]+=[^&#]*&"
+    val midStripped = Iterator.iterate(noPort)(
+      c => regexp_replace(c, utmMid, "$1")).drop(4).next()
+    val noUtm = regexp_replace(midStripped, "[?&]utm_[a-z]+=[^&#]*", "")
     val noDangle = regexp_replace(noUtm, "[?&]$", "")
     // non-root only: requires ≥1 path char between the authority's root
     // slash and the stripped one, so "https://h.io/" stays intact
@@ -52,8 +59,10 @@ object WebClean {
     val lowered = s"(lower($auth) || $rest)"
     val noPort = s"regexp_replace(regexp_replace($lowered, " +
       s"'^(https://[^/?]*):443', '\\1'), '^(http://[^/?]*):80', '\\1')"
-    val noUtm = s"regexp_replace(regexp_replace($noPort, " +
-      s"'utm_[a-z]+=[^&#]*&', '', 'g'), '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
+    // same 4-pass anchored middle strip + trailing strip as the Column side
+    val midStripped = (1 to 4).foldLeft(noPort)((acc, _) =>
+      s"regexp_replace($acc, '([?&])utm_[a-z]+=[^&#]*&', '\\1', 'g')")
+    val noUtm = s"regexp_replace($midStripped, '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
     val noDangle = s"regexp_replace($noUtm, '[?&]$$', '')"
     val nonRoot = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*/[^?]*[^/?])/"
     val noSlashQ = s"regexp_replace($noDangle, '$nonRoot\\?', '\\1?')"

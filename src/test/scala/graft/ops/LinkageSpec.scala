@@ -66,6 +66,20 @@ class LinkageSpec extends SparkSpec {
     assert(got == Set((10L, 1L, 0)))
   }
 
+  test("suffix block key matches right() semantics on short strings (ADVICE r4)") {
+    // strings shorter than blockLen: Spark's negative-pos substring gave
+    // '' while the oracle's right() gives the whole string — the clamped
+    // form must agree with right() on every length
+    val rows = Seq("a", "abc", "abcdef", "abcdefgh").toDF("s")
+      .select(explode(Linkage.blockKeys(col("s"), 6)).as("b"), col("s"))
+      .filter(col("b.tag") === "S")
+      .select(col("s"), col("b.key")).as[(String, String)].collect().toMap
+    assert(rows("a") == "a")
+    assert(rows("abc") == "abc")
+    assert(rows("abcdef") == "abcdef")
+    assert(rows("abcdefgh") == "cdefgh")
+  }
+
   test("candidate volume is blocked, not the cross join") {
     // All catalog names have DISTINCT prefixes and suffixes, so each dirty
     // row can only ever meet its own source's buckets — the candidate

@@ -100,4 +100,23 @@ class SketchSpec extends SparkSpec {
     assert(disj._1 > 100L && disj._1 < 1600L, s"est_a=${disj._1}")
     assert(disj._3 > 200L && disj._3 < 3200L, s"est_union=${disj._3}")
   }
+
+  test("kmvSetOps: below-k side falls back to its exact count, never NULL (ADVICE r4)") {
+    // a has 3 distinct values (< k=8): its sketch holds every hash, so
+    // the estimate is the exact count — previously the rank-k row was
+    // absent and est_a / est_intersect came back NULL
+    val a = Seq(1L, 2L, 3L, 3L).toDF("v")
+    val b = (1L to 400L).toDF("v")
+    val r = Sketch.kmvSetOps(a, b, "v", 8)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 3L, s"est_a=${r._1}")
+    assert(r._2 > 100L && r._2 < 1600L, s"est_b=${r._2}")
+    assert(r._4 >= 0L) // defined, not NULL
+    // an empty side estimates 0 and the whole row stays defined
+    val empty = Seq.empty[Long].toDF("v")
+    val e = Sketch.kmvSetOps(empty, b, "v", 8)
+      .as[(Long, Long, Long, Long)].head()
+    assert(e._1 == 0L && e._4 == 0L)
+    assert(e._3 == e._2) // union of (∅, B) sketches == B's sketch
+  }
 }

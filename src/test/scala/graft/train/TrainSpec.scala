@@ -410,6 +410,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(again(0)) == frames(r1))
   }
 
+  test("real PNG codec: encode → javax.imageio decode round-trips pixels exactly") {
+    val pixels = Array.tabulate(8 * 8)(p => (p * 37 + 11) % 256)
+    val bytes = Multimodal.encodeGrayPng(pixels, 8, 8)
+    // it is a real PNG: magic + IHDR header scan agrees with the raster
+    assert(bytes.take(8).map(_ & 0xff).sameElements(
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)))
+    val Some((w, h, ch, got)) = Multimodal.decodeImage(bytes)
+    assert(w == 8 && h == 8 && ch == 1)
+    assert(got.sameElements(pixels)) // lossless: REAL pixels == planted
+    assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decode routes PNG bytes through the real codec, others to the stub") {
+    val pixels = Array.tabulate(6 * 4)(p => p % 256)
+    val png = Multimodal.encodeGrayPng(pixels, 6, 4)
+    val rows = Seq((1L, png), (2L, "z" * 120 getBytes "UTF-8"))
+      .toDF("id", "bytes")
+    val m = Multimodal.asMedia(rows, "id", "bytes", "application/octet-stream")
+    val got = Multimodal.decode(m, 50).orderBy($"media_id").collect()
+    // PNG row: REAL dims from the raster, one frame-md5 per pixel row (≤8)
+    assert(got(0).getInt(1) == 6 && got(0).getInt(2) == 4 && got(0).getInt(3) == 1)
+    assert(got(0).getAs[scala.collection.Seq[String]]("frames").length == 4)
+    // non-PNG row: deterministic stub (width formula from byte length)
+    assert(got(1).getInt(1) == 16 + 120 % 640)
+  }
+
+  test("encodeGrayPngStage → decodePixels is a distributed identity on pixel arrays") {
+    val fake = (0L until 9L).map(i => (i, 8, 8,
+      Array.tabulate(64)(p => ((p + i.toInt * 5) % 256)).toSeq)).toDF("id", "w", "h", "px")
+    val media = Multimodal.encodeGrayPngStage(fake, "id", "px", "w", "h")
+    val dec = Multimodal.decodePixels(media).orderBy($"media_id").collect()
+    assert(dec.length == 9)
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8 && r.getInt(3) == 1)
+      val px = r.getAs[scala.collection.Seq[Int]]("pixels")
+      assert(px == (0 until 64).map(p => (p + id.toInt * 5) % 256))
+    }
+  }
+
   test("frameSamplePlan matches the mapPartitions stub's windowing") {
     val df = Seq((1L, "x" * 120)).toDF("doc_id", "text")
     val planned = df.select(Multimodal.frameSamplePlan($"text", 50, 8)).as[Seq[String]].head()

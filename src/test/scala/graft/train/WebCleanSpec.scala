@@ -29,6 +29,20 @@ class WebCleanSpec extends SparkSpec {
     assert(canon("HTTP://A.B/KeepCase?Q=Mixed") == "http://a.b/KeepCase?Q=Mixed")
   }
 
+  test("utm strip is anchored and run-safe (ADVICE r4)") {
+    // a param NAME merely containing "utm_" is NOT a tracking param —
+    // the unanchored pattern used to eat "xutm_a=1&" and corrupt b
+    assert(canon("https://h.io/p?xutm_a=1&b=2") == "https://h.io/p?xutm_a=1&b=2")
+    // consecutive utm params all strip (separator consumption halves a
+    // run per pass; 4 passes cover any realistic run)
+    assert(canon("https://h.io/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&x=3")
+      == "https://h.io/p?x=3")
+    assert(canon("https://h.io/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&utm_f=6")
+      == "https://h.io/p")
+    // leading utm then non-utm keeps the '?'
+    assert(canon("https://h.io/p?utm_a=1&b=2") == "https://h.io/p?b=2")
+  }
+
   test("URL canonicalization is idempotent") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=5#frag",
