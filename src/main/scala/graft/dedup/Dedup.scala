@@ -242,8 +242,10 @@ object Dedup {
     val r = k / bands
     // build-side bound for the banded self-join: bands × ~52 B per doc
     // (id + n_sh + band + md5 key) ≤ the corpus text bytes for any real
-    // corpus — gate on the pre-checkpoint source estimate
-    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
+    // corpus — gate on the pre-checkpoint source estimate, ×2 safety
+    // because the bound leans on average doc length (very-short-doc
+    // corpora could otherwise understate the banded table)
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs) * 2
     // shingle the corpus ONCE (lazy checkpoint): the signature branch and
     // the exact-rescore branch both read the materialized sets instead of
     // re-tokenizing + re-shingling per branch
@@ -387,8 +389,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // build-side bound: 4 bands × (id + 64-bit sig + 16-char key) per doc
-    // ≈ 350 B/doc ≤ corpus text bytes — gate on the source estimate
-    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
+    // ≈ 350 B/doc ≤ corpus text bytes — gate on the source estimate, ×2
+    // safety since short-doc corpora weaken the per-doc-bytes bound
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs) * 2
     val sigs = spread(docs).select(col(idCol).as("id"),
       TextAnalysis.simhashBits(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
@@ -432,8 +435,8 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // same banded-table build-side bound as minhashLsh (bands × ~52 B/doc
-    // ≤ corpus text bytes); the batch side is smaller still
-    val srcBytes = graft.ops.Hints.estimatedBytes(docs)
+    // ≤ corpus text bytes, ×2 short-doc safety); batch side smaller still
+    val srcBytes = graft.ops.Hints.estimatedBytes(docs) * 2
     val base = spread(docs).select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
       .localCheckpoint(eager = false)

@@ -33,12 +33,14 @@ object Hints {
 
   /** True when `buildBytes` fits the planner's local-hash-map budget:
     * autoBroadcastJoinThreshold per partition × shuffle partitions —
-    * the same test Spark's JoinSelection uses for non-hinted SHJ.
+    * the same test Spark's JoinSelection uses for non-hinted SHJ
+    * (`plan.stats.sizeInBytes < threshold * numShufflePartitions`,
+    * strict `<` exactly as `canBuildLocalHashMap`).
     */
   def fitsLocalHashMap(df: DataFrame, buildBytes: BigInt): Boolean = {
     val conf = df.sparkSession.sessionState.conf
     val threshold = conf.autoBroadcastJoinThreshold
-    threshold > 0 && buildBytes <= BigInt(threshold) * conf.numShufflePartitions
+    threshold > 0 && buildBytes < BigInt(threshold) * conf.numShufflePartitions
   }
 
   /** `df.hint("SHUFFLE_HASH")` when `buildBytes` fits the budget, else

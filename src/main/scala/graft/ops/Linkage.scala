@@ -39,25 +39,29 @@ object Linkage {
 
   /** (i, j, dist) pairs with levenshtein(leftKey, rightKey) ≤ maxDist.
     *
-    * PRECONDITION (completeness): the ED ≤ 1 no-missed-pairs guarantee
-    * holds only for strings of length ≥ 2·blockLen + 1 — shorter strings
-    * can shift BOTH the prefix and the suffix block with one edit, so a
-    * true pair may share neither key and silently miss. Callers with
-    * shorter strings must route them through an exact small-side path
-    * (they are by definition few bytes) or shrink blockLen. For
-    * maxDist > 1 the blocking is recall-bounded like any LSH — keep the
-    * exact path as the audit oracle.
+    * Completeness (ED ≤ 1): for strings of length ≥ 2·blockLen + 1 the
+    * two-ended blocking guarantees any true pair shares a key. Shorter
+    * strings can shift BOTH the prefix and the suffix block with one
+    * edit, so the guard below ENFORCES the guarantee rather than
+    * documenting it: since an ED ≤ 1 pair's lengths differ by at most 1,
+    * every pair touching a sub-threshold string has both sides within
+    * 2·blockLen + 1 chars — those subsets (bounded rows, ≤ 2·blockLen+1
+    * bytes each) get an exact cross-match whose candidates union into
+    * the blocked set, so short keys lose no recall and long keys pay
+    * nothing. For maxDist > 1 the blocking is recall-bounded like any
+    * LSH — keep the exact path as the audit oracle.
     */
   def fuzzyPairs(left: DataFrame, leftId: String, leftName: String,
                  right: DataFrame, rightId: String, rightName: String,
                  maxDist: Int, blockLen: Int = 6): DataFrame = {
     // build-side bound for the block-key join: 2 keys × (id + blockLen
     // chars + tag) per row ≈ the input's own (id, name) bytes — gate on
-    // the pre-checkpoint estimates of both sides
+    // the pre-checkpoint estimates of both sides, ×2 safety because the
+    // proxy understates when names are shorter than the two block keys
     val lBytes = graft.ops.Hints.estimatedBytes(
-      left.select(col(leftId), col(leftName)))
+      left.select(col(leftId), col(leftName))) * 2
     val rBytes = graft.ops.Hints.estimatedBytes(
-      right.select(col(rightId), col(rightName)))
+      right.select(col(rightId), col(rightName))) * 2
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
       .localCheckpoint(eager = false)
     val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
@@ -66,9 +70,18 @@ object Linkage {
       .select(col("i"), col("b.tag").as("tag"), col("b.key").as("key"))
     val rk = r.select(col("j"), explode(blockKeys(col("rj"), blockLen)).as("b"))
       .select(col("j"), col("b.tag").as("tag"), col("b.key").as("key"))
-    val cand = graft.ops.Hints.shuffleHashIfFits(lk, lBytes)
+    val blocked = graft.ops.Hints.shuffleHashIfFits(lk, lBytes)
       .join(graft.ops.Hints.shuffleHashIfFits(rk, rBytes), Seq("tag", "key"))
-      .select(col("i"), col("j")).distinct()
+      .select(col("i"), col("j"))
+    // short-string completeness guard (see Scaladoc): exact cross-match
+    // of the ≤ 2·blockLen+1-char subsets. Deliberate broadcast
+    // nested-loop over rows of ≤ 13 bytes of key each — the short mass
+    // is its own bound, never |left|×|right|.
+    val maxShort = 2 * blockLen + 1
+    val shortPairs = l.filter(length(col("li")) <= maxShort).select(col("i"))
+      .crossJoin(broadcast(
+        r.filter(length(col("rj")) <= maxShort).select(col("j"))))
+    val cand = blocked.unionByName(shortPairs).distinct()
     cand.join(l, Seq("i")).join(r, Seq("j"))
       .select(col("i"), col("j"),
         levenshtein(col("li"), col("rj"), maxDist).as("dist"))

@@ -47,9 +47,11 @@ object CorpusOpsQueries {
     * one shuffle to the order key (the grain the file is already clustered
     * by), sorted part-set per order, pairs exploded in place — measured
     * 5.2 s → 2.8 s vs the two-sided equi-join at sf0.1. Shared by
-    * graph_triangles and graph_bfs_hops; lazily checkpointed because every
-    * consumer references the frame more than once (degree legs, edge-
-    * direction union) with no exchange reuse across aliased sides.
+    * graph_triangles and graph_bfs_hops. Returned PRE-checkpoint: a
+    * localCheckpointed frame's stats degrade to Long.Max, which would
+    * silently disable Graph.triangles' size-gated SHUFFLE_HASH hint —
+    * each multi-referencing consumer checkpoints its own copy (triangles
+    * internally, bfs at the call site) AFTER taking byte estimates.
     */
   private def copurchasePairs(spark: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame =
@@ -61,7 +63,6 @@ object CorpusOpsQueries {
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select(col("p.a"), col("p.b")).distinct()
-      .localCheckpoint(eager = false)
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -738,7 +739,10 @@ object CorpusOpsQueries {
     //    Oracle: bounded recursive CTE + min(hop) ──
     "graph_bfs_hops" -> QueryDef(
       (spark, dir) => {
-        val pairs = copurchasePairs(spark, dir)
+        // checkpoint HERE (copurchasePairs returns pre-checkpoint so
+        // triangles' size gate sees finite stats): the union references
+        // the pair-generation subtree twice
+        val pairs = copurchasePairs(spark, dir).localCheckpoint(eager = false)
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         val sources = Tables.part(spark, dir)

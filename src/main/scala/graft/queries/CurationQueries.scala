@@ -144,7 +144,11 @@ object CurationQueries {
         |       UNION ALL SELECT i, 'S', right(dname, 6) FROM d),
         |ck AS (SELECT j, 'P' AS tag, substr(name, 1, 6) AS key FROM c
         |       UNION ALL SELECT j, 'S', right(name, 6) FROM c),
-        |cand AS (SELECT DISTINCT i, j FROM dk JOIN ck USING (tag, key))
+        |sc AS (SELECT i, j FROM d, c
+        |       WHERE len(dname) <= 13 AND len(name) <= 13),
+        |cand AS (SELECT DISTINCT i, j FROM
+        |  (SELECT i, j FROM dk JOIN ck USING (tag, key)
+        |   UNION ALL SELECT i, j FROM sc))
         |SELECT i, j, CAST(levenshtein(dname, name) AS INT) AS dist
         |FROM cand JOIN d USING (i) JOIN c USING (j)
         |WHERE levenshtein(dname, name) <= 1

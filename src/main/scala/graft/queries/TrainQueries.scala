@@ -141,8 +141,9 @@ object TrainQueries {
     "dedup_minhash_est" -> QueryDef(
       (spark, dir) => {
         // banded build side ≈ 12 bands × 44 B/doc ≤ corpus text bytes —
-        // gate the SHUFFLE_HASH on the pre-checkpoint source estimate
-        val srcBytes = graft.ops.Hints.estimatedBytes(Tables.documents(spark, dir))
+        // gate the SHUFFLE_HASH on the pre-checkpoint source estimate,
+        // ×2 safety for the doc-length-dependent proxy
+        val srcBytes = graft.ops.Hints.estimatedBytes(Tables.documents(spark, dir)) * 2
         val base = Tables.documents(spark, dir)
           .select(col("doc_id").as("id"),
             array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))

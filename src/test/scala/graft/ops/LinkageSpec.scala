@@ -80,6 +80,27 @@ class LinkageSpec extends SparkSpec {
     assert(rows("abcdefgh") == "cdefgh")
   }
 
+  test("short strings (< 2·blockLen+1 chars) lose no ED≤1 pairs (ADVICE r5)") {
+    // "graft" → "grait" shifts BOTH the prefix-6 and suffix-6 block (the
+    // whole 5-char string IS both blocks), so pure blocking would miss the
+    // pair; the exact short-subset cross-match must recover it.
+    val shortCatalog = Seq(100L -> "graft", 101L -> "spark", 102L -> "scala")
+    val dirty = Seq(200L -> "grait", 201L -> "sparks", 202L -> "cala",
+      203L -> "unrelated-long-string-here")
+    val got = Linkage.fuzzyPairs(
+        dirty.toDF("did", "dname"), "did", "dname",
+        shortCatalog.toDF("cid", "name"), "cid", "name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i, d) <- dirty
+      (j, c) <- shortCatalog
+      dist = levDist(d, c)
+      if dist <= 1
+    } yield (i, j, dist)).toSet
+    assert(got == want)
+    assert(want == Set((200L, 100L, 1), (201L, 101L, 1), (202L, 102L, 1)))
+  }
+
   test("candidate volume is blocked, not the cross join") {
     // All catalog names have DISTINCT prefixes and suffixes, so each dirty
     // row can only ever meet its own source's buckets — the candidate
