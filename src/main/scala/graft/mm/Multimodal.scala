@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE leg is real: PNG encode/decode runs through `javax.imageio`
   * (JDK-only — no external codec dependency), so `decode` computes on
-  * actual pixels for PNG content. Audio/video codec work remains STUBBED
-  * with a deterministic fake (those libraries are not in this container);
-  * the Spark-side contract — schema, partition-iterator batch shape,
-  * bounded memory — is identical for both, so swapping `stubDecode` for
-  * a real audio codec never touches the plan.
+  * actual pixels for PNG content. The AUDIO leg is real for PCM WAV:
+  * RIFF is a plain chunked container and PCM needs no codec, so
+  * `encodePcm16Wav`/`decodePcmWav` read and write actual sample bytes
+  * (chunk-walking parser, 8/16-bit PCM). Only VIDEO codec work remains
+  * STUBBED with a deterministic fake (compressed-codec libraries are not
+  * in this container); the Spark-side contract — schema,
+  * partition-iterator batch shape, bounded memory — is identical for
+  * both, so swapping `stubDecode` for a real video codec never touches
+  * the plan.
   */
 object Multimodal {
 
@@ -260,6 +264,113 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(pixelsSchema))
 
+  /** Real 16-bit PCM WAV encode: interleaved signed sample values
+    * (−32768..32767) → a complete RIFF/WAVE byte stream (fmt + data,
+    * correct chunk sizes). The fixture/ingest side of the real audio
+    * decode path — no codec involved, PCM is the wire format.
+    */
+  def encodePcm16Wav(samples: Array[Int], channels: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2)     // byte rate
+    buf.putShort((channels * 2).toShort)      // block align
+    buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Real PCM WAV decode: walks the RIFF chunk list the way any
+    * conforming reader must (fmt / data located by tag, unknown chunks
+    * skipped with even-size padding), then parses the data payload as
+    * 16-bit LE signed or 8-bit unsigned-centered PCM. Returns
+    * (channels, sample_rate, bits_per_sample, samples); None for
+    * non-RIFF/WAVE bytes, non-PCM formats, or truncated chunks.
+    */
+  def decodePcmWav(content: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    def tag(off: Int): String =
+      if (off + 4 > content.length) ""
+      else new String(content, off, 4, "US-ASCII")
+    def le(off: Int, n: Int): Long =
+      (0 until n).map(i => (content(off + i) & 0xffL) << (8 * i)).sum
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    var malformed = false
+    while (!malformed && off + 8 <= content.length &&
+        (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val sz = le(off + 4, 4)
+      val body = off + 8
+      if (sz < 0 || sz > content.length) malformed = true // garbage size
+      else {
+        if (id == "fmt " && sz >= 16 && body + 16 <= content.length) {
+          if (le(body, 2).toInt != 1) return None // PCM only
+          fmt = Some((le(body + 2, 2).toInt, le(body + 4, 4).toInt,
+            le(body + 14, 2).toInt))
+        } else if (id == "data") {
+          data = Some((body, math.min(sz.toInt, content.length - body)))
+        }
+        off = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if bits == 16 || bits == 8
+    } yield {
+      val samples =
+        if (bits == 16)
+          Array.tabulate(dLen / 2)(i => le(dOff + 2 * i, 2).toShort.toInt)
+        else Array.tabulate(dLen)(i => (content(dOff + i) & 0xff) - 128)
+      (ch, rate, bits, samples)
+    }
+  }
+
+  private val samplesSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("samples", ArrayType(IntegerType))))
+
+  /** Encode (id, sample-array) rows into real PCM WAV bytes —
+    * mapPartitions batch shape, one item in flight at a time.
+    */
+  def encodePcm16WavStage(df: DataFrame, idCol: String, samplesCol: String,
+                          channels: Int, sampleRate: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    df.select(col(idCol).cast("long"), col(samplesCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0),
+            encodePcm16Wav(r.getSeq[Int](1).toArray, channels, sampleRate))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Real-codec audio decode stage: WAV bytes → (media_id, channels,
+    * sample_rate, bits_per_sample, samples). Undecodable rows are
+    * dropped — route them to a DLQ upstream, as with `decodePixels`.
+    */
+  def decodeSamples(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodePcmWav(r.getAs[Array[Byte]](1)).map { case (ch, rate, bits, s) =>
+            Row(r.getLong(0), ch, rate, bits, s.toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(samplesSchema))
+
   /** Deterministic fake decode: "dimensions" derived from the byte length,
     * "frames" are md5s of fixed-stride byte windows. The remaining honest
     * stand-in for audio/video codecs (not in this container); PNG content
@@ -286,8 +397,11 @@ object Multimodal {
     * a pandas-batch UDF) — batch-iterator in, batch-iterator out, bounded
     * by one row's bytes at a time. PNG content (by magic) decodes through
     * the REAL `javax.imageio` codec: width/height/channels come from the
-    * actual raster, frames are md5s of the first ≤8 pixel rows. Other
-    * content falls back to the deterministic audio/video stub.
+    * actual raster, frames are md5s of the first ≤8 pixel rows. RIFF/WAVE
+    * content decodes through the REAL PCM parser: width carries the
+    * sample rate, height the sample count, frames are md5s of the first
+    * ≤8 `frameStride`-sample windows. Other content falls back to the
+    * deterministic video stub.
     */
   def decode(media: DataFrame, frameStride: Int = 50): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
@@ -296,17 +410,30 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val content = r.getAs[Array[Byte]](1)
+          def md5hex(b: Array[Byte]): String =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(b).map("%02x".format(_)).mkString
           val real =
             if (content.length >= 8 && content.view.take(8).sameElements(pngMagic))
               decodeImage(content).map { case (w, h, ch, px) =>
                 val frames = (0 until math.min(8, h)).map { row =>
-                  java.security.MessageDigest.getInstance("MD5")
-                    .digest(px.slice(row * w, (row + 1) * w).map(_.toByte))
-                    .map("%02x".format(_)).mkString
+                  md5hex(px.slice(row * w, (row + 1) * w).map(_.toByte))
                 }
                 Row(id, w, h, ch, frames)
               }
-            else None
+            else
+              decodePcmWav(content).map { case (ch, rate, _, samples) =>
+                val nWindows = math.min(8,
+                  math.max(1, (samples.length + frameStride - 1) / frameStride))
+                val frames = (0 until nWindows).flatMap { i =>
+                  val from = i * frameStride
+                  if (from >= samples.length && samples.length > 0) None
+                  else Some(md5hex(samples
+                    .slice(from, math.min(samples.length, from + frameStride))
+                    .flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))))
+                }
+                Row(id, rate, samples.length, ch, frames)
+              }
           real.getOrElse(stubDecode(id, content, frameStride))
         }
       }(enc)

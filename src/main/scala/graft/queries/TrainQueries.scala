@@ -1081,6 +1081,51 @@ object TrainQueries {
            |FROM g GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
       }),
 
+    // ── multimodal audio, REAL codec path: planted deterministic 16-bit
+    //    PCM samples are encoded to actual RIFF/WAVE bytes
+    //    (encodePcm16Wav) and read back through the chunk-walking PCM
+    //    parser (decodeSamples); per-frame Σamp² energy is computed on
+    //    the DECODED samples and the decoded fmt fields ride along as
+    //    output columns. 16-bit PCM round-trips losslessly, so the
+    //    oracle restates the planted amp formula — any header, chunk
+    //    layout, or sample-byte bug breaks the hash ──
+    "mm_wav_energy" -> QueryDef(
+      (spark, dir) => {
+        val amp = "(CAST(conv(substring(md5(concat(CAST(pmod(doc_id, 25) " +
+          "AS STRING), ':', CAST(i AS STRING))), 1, 2), 16, 10) AS INT) " +
+          "- 128) * 16"
+        val src = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(40)) === 0)
+          .select(col("doc_id"),
+            expr(s"transform(sequence(0, 127), i -> CAST($amp AS INT))")
+              .as("samples"))
+        val media = Multimodal.encodePcm16WavStage(src, "doc_id", "samples",
+          channels = 1, sampleRate = 8000)
+        Multimodal.decodeSamples(media)
+          .select(col("media_id").as("doc_id"), col("channels"),
+            col("sample_rate"), col("bits_per_sample"),
+            posexplode(col("samples")).as(Seq("i", "amp")))
+          .groupBy(col("doc_id"), col("channels"), col("sample_rate"),
+            col("bits_per_sample"), expr("CAST(i DIV 32 AS INT)").as("frame_idx"))
+          .agg(sum(expr("CAST(amp AS BIGINT) * CAST(amp AS BIGINT)")).as("energy"))
+          .select(col("doc_id"), col("frame_idx"), col("channels"),
+            col("sample_rate"), col("bits_per_sample"), col("energy"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 " +
+          "AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 " +
+          "AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1))"
+        s"""WITH g AS (SELECT doc_id, i, CAST(($hv - 128) * 16 AS BIGINT) AS amp
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)
+           |  WHERE doc_id % 40 = 0)
+           |SELECT doc_id, CAST(i // 32 AS INT) AS frame_idx,
+           |  1 AS channels, 8000 AS sample_rate, 16 AS bits_per_sample,
+           |  CAST(sum(amp * amp) AS BIGINT) AS energy
+           |FROM g GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
     // ── containment dedup: |A∩B| / min(|A|,|B|) over the same shingle
     //    join as jaccard — catches a doc fully EMBEDDED in a larger one,
     //    which symmetric Jaccard dilutes toward 0 ──

@@ -422,6 +422,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real PCM WAV codec: encode → chunk-walk decode round-trips samples exactly") {
+    val samples = Array.tabulate(300)(i => ((i * 211 + 7) % 65536) - 32768)
+    val bytes = Multimodal.encodePcm16Wav(samples, channels = 2, sampleRate = 44100)
+    assert(bytes.length == 44 + 600)
+    val Some((ch, rate, bits, got)) = Multimodal.decodePcmWav(bytes)
+    assert(ch == 2 && rate == 44100 && bits == 16)
+    assert(got.sameElements(samples)) // lossless: decoded == planted
+    assert(Multimodal.decodePcmWav("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("PCM decode walks past unknown RIFF chunks and reads 8-bit PCM") {
+    // hand-build: RIFF/WAVE + junk "LIST" chunk + fmt (8-bit mono) + data
+    val data = Array[Byte](0, 64, 128.toByte, 255.toByte)
+    val buf = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(48 + data.length).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(4).put("INFO".getBytes) // skipped chunk
+    buf.put("fmt ".getBytes).putInt(16)
+    buf.putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(data.length).put(data)
+    val Some((ch, rate, bits, got)) = Multimodal.decodePcmWav(buf.array())
+    assert(ch == 1 && rate == 8000 && bits == 8)
+    assert(got.sameElements(Array(-128, -64, 0, 127))) // unsigned-centered
+    // non-PCM audioFormat must refuse, not misparse
+    val nonPcm = buf.array().clone()
+    nonPcm(12 + 12 + 8) = 3 // audioFormat = 3 (IEEE float)
+    assert(Multimodal.decodePcmWav(nonPcm).isEmpty)
+  }
+
+  test("encodePcm16WavStage → decodeSamples is a distributed identity") {
+    val rows = (0L until 7L).map(i =>
+      (i, (0 until 64).map(s => ((i * 31 + s * 17) % 4096).toInt - 2048)))
+    val df = rows.toDF("id", "samples")
+    val media = Multimodal.encodePcm16WavStage(df, "id", "samples",
+      channels = 1, sampleRate = 16000)
+    val back = Multimodal.decodeSamples(media).orderBy($"media_id").collect()
+    assert(back.length == 7)
+    back.zip(rows).foreach { case (r, (id, s)) =>
+      assert(r.getLong(0) == id)
+      assert(r.getInt(1) == 1 && r.getInt(2) == 16000 && r.getInt(3) == 16)
+      assert(r.getAs[scala.collection.Seq[Int]]("samples").toSeq == s)
+    }
+    // wavMeta's columnar header scan agrees with the chunk-walking parser
+    val m = media.select(Multimodal.wavMeta(col("content")).as("m")).head()
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(m.getInt(0) == 1 && m.getInt(1) == 16000 && m.getInt(2) == 16)
+  }
+
+  test("decode routes WAV bytes through the real PCM parser") {
+    val samples = Array.tabulate(120)(i => i * 100 - 6000)
+    val wav = Multimodal.encodePcm16Wav(samples, channels = 1, sampleRate = 8000)
+    val m = Multimodal.asMedia(Seq((5L, wav)).toDF("id", "b"), "id", "b", "audio/wav")
+    val r = Multimodal.decode(m, frameStride = 50).head()
+    assert(r.getInt(1) == 8000)  // width carries sample rate
+    assert(r.getInt(2) == 120)   // height carries sample count
+    assert(r.getInt(3) == 1)
+    assert(r.getAs[scala.collection.Seq[String]]("frames").length == 3) // 120/50
+  }
+
   test("decode routes PNG bytes through the real codec, others to the stub") {
     val pixels = Array.tabulate(6 * 4)(p => p % 256)
     val png = Multimodal.encodeGrayPng(pixels, 6, 4)
