@@ -783,8 +783,65 @@ object CorpusOpsQueries {
           .orderBy(col("r").desc, col("node"))
           .limit(30)
       },
-      pagerankSql(5))
+      pagerankSql(5)),
+
+    // ── personalized PageRank: teleport mass ONLY on a trusted seed set
+    //    (suppliers of nations 0-4) — the allowlist-seeded authority
+    //    score used to weight corpus domains; nodes unreachable from a
+    //    seed within the iteration horizon stay at exactly 0. Same
+    //    integer nano-unit arithmetic as graph_pagerank; oracle unrolls
+    //    the rounds with the seed-base left join ──
+    "graph_ppr_trusted" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey").cast("long") * 2).as("sn"),
+            (col("o_custkey").cast("long") * 2 + 1).as("cn"))
+        val seeds = Tables.supplier(spark, dir)
+          .filter(col("s_nationkey") < 5)
+          .select((col("s_suppkey").cast("long") * 2).as("node"))
+        graft.ops.Graph
+          .personalizedPagerank(
+            graft.ops.Graph.undirectedEdges(li, "sn", "cn"), seeds, iters = 3)
+          .filter(col("r") > 0)
+          .orderBy(col("r").desc, col("node"))
+          .limit(30)
+      },
+      pprSql(3))
   )
+
+  /** Chained-CTE replay of personalized PageRank: per round one
+    * contribution sum + one seed-base left join, exactly as
+    * `Graph.personalizedPagerank`.
+    */
+  private def pprSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"m$i AS (SELECT e.dst AS node, " +
+        s"CAST(sum((r.r * 17) // (20 * d.deg)) AS BIGINT) AS m " +
+        s"FROM e JOIN r${i - 1} r ON e.src = r.node " +
+        s"JOIN deg d ON e.src = d.src GROUP BY 1),\n" +
+        s"r$i AS (SELECT b.node, CAST(b.b + coalesce(m.m, 0) AS BIGINT) AS r " +
+        s"FROM base b LEFT JOIN m$i m ON b.node = m.node)"
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) * 2 AS a,
+       |    CAST(o.o_custkey AS BIGINT) * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |s AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 AS node
+       |      FROM supplier WHERE s_nationkey < 5),
+       |base AS (SELECT deg.src AS node, deg.deg,
+       |    CASE WHEN s.node IS NULL THEN 0 ELSE 150000000 END AS b
+       |  FROM deg LEFT JOIN s ON deg.src = s.node),
+       |r0 AS (SELECT node, CAST(CASE WHEN b > 0 THEN 1000000000 ELSE 0 END
+       |    AS BIGINT) AS r FROM base),
+       |$steps
+       |SELECT r.node, base.deg, r.r AS r FROM r$iters r
+       |JOIN base ON r.node = base.node
+       |WHERE r.r > 0 ORDER BY r DESC, r.node LIMIT 30""".stripMargin
+  }
 
   /** Chained-CTE power-iteration replay: two matvecs + renormalization
     * per round, floor-divisions on ≤2^53-exact doubles as PowerIter.

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ~k× scale probe: synthesize a k-times dataset from a base SF dir by
+  * union-with-key-offset, then time headline queries against BOTH dirs
+  * in one session and print the time ratios next to the data ratio.
+  *
+  * Synthesis models ORGANIC growth, not cloning:
+  * - `documents`: doc_id offset per copy; every token of copies ≥ 1 is
+  *   suffixed `~<copy>`, so shingle/minhash/line keys are DISJOINT
+  *   across copies — each copy contributes the base corpus's own
+  *   duplicate mass, total dup mass scales ~k× (cloning text verbatim
+  *   would instead grow every shingle bucket k× and candidate pairs k²×,
+  *   which no organic corpus does).
+  * - `lineitem`/`orders`: order keys offset per copy (facts scale k×);
+  *   part/supplier/customer keys unchanged — dimensions intentionally
+  *   stay 1×, so dimension joins stay broadcast-able, as at real scale.
+  *   Consequence: the distinct co-purchase EDGE SET of the graph family
+  *   is copy-invariant (same part pairs per cloned order), so graph
+  *   probes measure the scan+distinct legs scaling, not graph growth.
+  * - remaining tables: byte-for-byte file copies.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [outDir] [k] [query...]
+  */
+object ScaleProbe {
+
+  private val defaultQueries = Seq(
+    "q1_pricing_summary", "q5_local_supplier", "q18_large_orders",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard3",
+    "dedup_end_to_end", "graph_pagerank")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val queryNames =
+      if (args.length > 3) args.drop(3).toSeq else defaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, base, out, k)
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def runOne(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same per-query hygiene as Bench: dead checkpoint blocks must not
+      // bleed into the next measurement
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      dt
+    }
+    // warmup (JIT/codegen), then base and scaled timings per query
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    runOne(queryNames.head, base)
+    val rows = queryNames.map { name =>
+      val tBase = runOne(name, base)
+      val tScaled = runOne(name, out)
+      println(s"PROBE $name base=${fmt(tBase)}s x$k=${fmt(tScaled)}s " +
+        s"ratio=${fmt(tScaled / tBase)}")
+      (name, tBase, tScaled)
+    }
+    val detail = rows.map { case (n, b, s) =>
+      s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(s / b)}}"""
+    }.mkString(s"""{"metric":"scale_probe","k":$k,"base":"$base","queries":{""",
+      ",", "}}")
+    println(detail)
+    spark.stop()
+  }
+
+  /** Write the k× dataset under `out` (see class doc for the model). */
+  def synthesize(spark: SparkSession, base: String, out: String, k: Int): Unit = {
+    val copies = spark.range(k).toDF("cp")
+    def withCopies(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    withCopies(docs)
+      .select((col("doc_id") + col("cp") * docOff).as("doc_id"),
+        when(col("cp") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("~"), col("cp"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val ordOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    withCopies(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ordOff)
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    withCopies(spark.read.parquet(s"$base/lineitem.parquet"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ordOff)
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // dimensions + untouched tables: byte-for-byte copies (schema-exact —
+    // a read/rewrite would e.g. turn events' TIMESTAMP(NANOS) into int64)
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "embeddings").foreach { t =>
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

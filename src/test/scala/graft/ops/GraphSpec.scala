@@ -57,6 +57,23 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalized PageRank: mass stays near seeds; unreachable nodes at 0") {
+    // star (0 hub, spokes 1..9) + disconnected pendant pair 10-11;
+    // seed = the hub only
+    val seeds = Seq(0L).toDF("node")
+    val ppr = Graph.personalizedPagerank(starEdges, seeds, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // unreachable component gets exactly zero
+    assert(ppr(10L) == 0L && ppr(11L) == 0L)
+    // hub keeps its teleport base plus returned flow — strictly the max
+    assert(ppr(0L) > ppr(1L))
+    // spokes are symmetric and positive (one hop from the seed)
+    val spokes = (1L to 9L).map(ppr)
+    assert(spokes.distinct.length == 1 && spokes.head > 0L)
+    // non-seed spokes hold ONLY propagated mass: no teleport base
+    assert(spokes.head < 150000000L)
+  }
+
   test("bfsHops labels each node at its minimum hop, bounded by maxHops") {
     // chain 1-2-3-4-5-6 plus a shortcut 1-4 and an unreachable node 9-10
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
