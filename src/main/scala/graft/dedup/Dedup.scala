@@ -204,6 +204,38 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Per-document n-gram overlap FRACTION against a benchmark corpus —
+    * the long-n-gram decontamination used for LLM training sets (flag a
+    * doc when a meaningful share of its distinct n-grams collide with an
+    * eval suite, rather than on the first collision). Long shingles make
+    * accidental collisions vanishingly rare, so the fraction measures
+    * genuine leakage. Same scale shape as [[contamination]]: the
+    * benchmark's hashed shingle keys ride a broadcast (eval suites are
+    * tiny next to a 100 TB corpus), each training shingle does one
+    * broadcast probe, and the corpus never shuffles on content — the only
+    * shuffle is the per-doc id-grain count. Only the 60-bit md5 key
+    * leaves the shingling stage, never the shingle string. `frac4` is
+    * the overlap fraction in exact round-half-up 1e-4 units:
+    * (2·hits·10⁴ + total) DIV (2·total) — pure integers, engine-exact.
+    */
+  def ngramOverlap(docs: DataFrame, bench: DataFrame, n: Int, dirtyAt4: Long,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchK = bench
+      .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .select(shingleKey(col("g")).as("k")).distinct()
+      .withColumn("hit", lit(1L))
+    val docK = spread(docs).select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .select(col("id"), shingleKey(col("g")).as("k"))
+    docK.join(broadcast(benchK), Seq("k"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("frac4",
+        expr("(2 * n_hit * 10000 + n_ngrams) DIV (2 * n_ngrams)"))
+      .withColumn("dirty", col("frac4") >= dirtyAt4)
+  }
+
   /** Derive (bands, rows) from the LSH S-curve for a target Jaccard
     * threshold: a pair at similarity s becomes a candidate with probability
     * 1-(1-s^r)^b (k = b·r hashes), and the curve's steep crossing sits at

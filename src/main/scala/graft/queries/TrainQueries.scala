@@ -778,6 +778,72 @@ object TrainQueries {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
          |WHERE d.doc_id % 97 <> 0 ORDER BY id""".stripMargin),
 
+    // ── DSIR-style importance resampling: docs scored by the exact
+    //    fixed-point log-likelihood ratio of the target token
+    //    distribution (lang='en' slice) vs the raw corpus over 256
+    //    md5-hashed buckets; top slice kept. log2 = bit length + linear
+    //    mantissa in 1/65536 units — pure integers, zero libm, so the
+    //    oracle replays the BIGINT weights exactly ──
+    "sample_importance" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val table = graft.text.Importance.logRatioTable(docs, col("lang") === "en")
+        graft.text.Importance.docWeights(docs, table)
+          .orderBy(col("w").desc, col("doc_id")).limit(100)
+      }, {
+        val fb = "CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS INT)"
+        s"""WITH tk AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+           |f AS (SELECT doc_id, lang, $fb AS f FROM tk),
+           |c AS (SELECT f, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    count(*) AS cr FROM f GROUP BY 1),
+           |lam AS (SELECT f,
+           |    CAST((length(bin(q)) - 1) * 65536
+           |      + (q * 65536) // (CAST(1 AS BIGINT) << (length(bin(q)) - 1))
+           |      - 65536 - 1310720 AS BIGINT) AS lam
+           |  FROM (SELECT f, greatest(((ct + 1) * 1048576) // (cr + 1), 1) AS q FROM c)),
+           |w AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(lam) AS BIGINT) AS w
+           |  FROM f JOIN lam USING (f) GROUP BY 1)
+           |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, w
+           |FROM w ORDER BY w DESC, doc_id LIMIT 100""".stripMargin
+      }),
+
+    // ── long-n-gram decontamination (overlap FRACTION, not first-hit):
+    //    the benchmark is 25-token excerpts of every 31st doc — the
+    //    realistic leak shape where an eval suite quotes web passages —
+    //    and each doc reports the share of its distinct 13-grams found
+    //    in the suite. 13-grams make chance collisions ~impossible, so
+    //    frac4 measures genuine leakage; bench keys ride a broadcast ──
+    "train_ngram_overlap" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val bench = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select(col("doc_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 25), " ")
+              .as("text"))
+        Dedup.ngramOverlap(docs, bench, n = 13, dirtyAt4 = 2000)
+          .orderBy(col("id"))
+      }, {
+        def sh13(src: String) =
+          s"""list_distinct(CASE WHEN len($src) >= 13
+             |  THEN list_transform(generate_series(1, len($src)-12),
+             |         i -> array_to_string(($src)[i:i+12], ' '))
+             |  ELSE [array_to_string($src, ' ')] END)""".stripMargin
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |t AS (SELECT doc_id AS id, ${sh13("t")} AS sh FROM toks),
+           |bt AS (SELECT t[1:25] AS bt FROM toks WHERE doc_id % 31 = 0),
+           |b AS (SELECT ${sh13("bt")} AS sh FROM bt),
+           |bench AS (SELECT DISTINCT unnest(sh) AS g FROM b),
+           |e AS (SELECT id, unnest(sh) AS g FROM t),
+           |probe AS (SELECT e.id, count(*) AS n_ngrams,
+           |    CAST(sum(CASE WHEN bench.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+           |  FROM e LEFT JOIN bench ON e.g = bench.g GROUP BY 1)
+           |SELECT id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,
+           |  CAST((2*n_hit*10000 + n_ngrams) // (2*n_ngrams) AS BIGINT) AS frac4,
+           |  (2*n_hit*10000 + n_ngrams) // (2*n_ngrams) >= 2000 AS dirty
+           |FROM probe ORDER BY id""".stripMargin
+      }),
+
     // ── quality-filter funnel: per-rule drop accounting (first failing
     //    rule claims the doc) — the observable a corpus-curation pipeline
     //    reports after each filter pass ──
@@ -1124,6 +1190,67 @@ object TrainQueries {
            |  1 AS channels, 8000 AS sample_rate, 16 AS bits_per_sample,
            |  CAST(sum(amp * amp) AS BIGINT) AS energy
            |FROM g GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
+    // ── multimodal video, REAL codec path: planted deterministic 8×8
+    //    gray frames are encoded into actual animated GIF89a containers
+    //    (javax.imageio writeToSequence) and decoded back frame-by-frame
+    //    through the real reader; per-frame mean and the inter-frame L1
+    //    delta (the scene-cut signal) are computed on the DECODED
+    //    rasters. GIF's LZW + full 256-gray palette is lossless, so the
+    //    md5-formula oracle replays the exact values — any container,
+    //    palette, or frame-order bug breaks the hash ──
+    "mm_gif_frames" -> QueryDef(
+      (spark, dir) => {
+        val v = "CAST(conv(substring(md5(concat(CAST(doc_id % 25 AS STRING), " +
+          "':', CAST(f AS STRING), ':', CAST(p AS STRING))), 1, 2), 16, 10) " +
+          "AS INT)"
+        val src = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(40)) === 0)
+          .select(col("doc_id"),
+            expr(s"""transform(sequence(0, CAST((doc_id DIV 40) % 3 + 1 AS INT)),
+                    |  f -> transform(sequence(0, 63), p -> $v))""".stripMargin)
+              .as("frames"))
+        val media = Multimodal.encodeGrayGifStage(src, "doc_id", "frames", 8, 8)
+        val fr = Multimodal.decodeGifFramesStage(media)
+          .localCheckpoint(eager = false) // two branches below share the decode
+        val prev = fr.select(col("media_id"),
+          (col("frame_idx") + 1).as("frame_idx"),
+          col("pixels").as("prev_px"))
+        fr.join(prev, Seq("media_id", "frame_idx"), "left")
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("n_frames"), col("width"), col("height"),
+            expr("aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v) DIV 64")
+              .as("mean_v"),
+            coalesce(
+              expr("aggregate(zip_with(pixels, prev_px, (x, y) -> abs(x - y)), " +
+                "CAST(0 AS BIGINT), (a, v) -> a + CAST(v AS BIGINT))"),
+              lit(0L)).as("delta_prev"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 " +
+          "AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(p AS VARCHAR)), " +
+          "1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 25 " +
+          "AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(p AS VARCHAR)), " +
+          "2, 1)) - 1))"
+        s"""WITH d AS (SELECT doc_id, CAST((doc_id // 40) % 3 + 2 AS INT) AS nf
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |g AS (SELECT doc_id, nf, f, p, CAST($hv AS BIGINT) AS v
+           |  FROM d
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)
+           |  WHERE f < nf),
+           |m AS (SELECT doc_id, nf, f, CAST(sum(v) // 64 AS BIGINT) AS mean_v
+           |  FROM g GROUP BY 1, 2, 3),
+           |dl AS (SELECT a.doc_id, a.f, CAST(sum(abs(a.v - b.v)) AS BIGINT) AS delta
+           |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.p = b.p
+           |    AND b.f = a.f - 1 GROUP BY 1, 2)
+           |SELECT m.doc_id, CAST(m.f AS INT) AS frame_idx, m.nf AS n_frames,
+           |  8 AS width, 8 AS height, m.mean_v,
+           |  coalesce(dl.delta, 0) AS delta_prev
+           |FROM m LEFT JOIN dl ON m.doc_id = dl.doc_id AND m.f = dl.f
+           |ORDER BY m.doc_id, frame_idx""".stripMargin
       }),
 
     // ── containment dedup: |A∩B| / min(|A|,|B|) over the same shingle

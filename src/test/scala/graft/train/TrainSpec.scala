@@ -495,6 +495,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).getInt(1) == 16 + 120 % 640)
   }
 
+  test("real GIF codec: multi-frame encode → decode round-trips every frame exactly") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(8 * 8)(p => (p * 37 + f * 91 + 11) % 256))
+    val bytes = Multimodal.encodeGrayGif(frames, 8, 8)
+    // it is a real GIF89a container
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a")
+    val Some(got) = Multimodal.decodeGifFrames(bytes)
+    assert(got.length == 4)
+    got.zip(frames).foreach { case ((w, h, px), want) =>
+      assert(w == 8 && h == 8)
+      assert(px.sameElements(want)) // lossless: LZW + full 256-gray palette
+    }
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("encodeGrayGifStage → decodeGifFramesStage is a distributed identity") {
+    val rows = (0L until 5L).map { i =>
+      val nf = (i % 3).toInt + 2
+      (i, (0 until nf).map(f =>
+        (0 until 64).map(p => ((p * 7 + f * 13 + i.toInt * 29) % 256))))
+    }
+    val df = rows.toDF("id", "frames")
+    val media = Multimodal.encodeGrayGifStage(df, "id", "frames", 8, 8)
+    val dec = Multimodal.decodeGifFramesStage(media)
+      .orderBy($"media_id", $"frame_idx").collect()
+    assert(dec.length == rows.map(_._2.length).sum)
+    dec.foreach { r =>
+      val (id, idx) = (r.getLong(0), r.getInt(1))
+      val want = rows(id.toInt)._2(idx)
+      assert(r.getInt(2) == rows(id.toInt)._2.length) // n_frames
+      assert(r.getInt(3) == 8 && r.getInt(4) == 8)
+      assert(r.getAs[scala.collection.Seq[Int]]("pixels").toSeq == want)
+    }
+  }
+
   test("encodeGrayPngStage → decodePixels is a distributed identity on pixel arrays") {
     val fake = (0L until 9L).map(i => (i, 8, 8,
       Array.tabulate(64)(p => ((p + i.toInt * 5) % 256)).toSeq)).toDF("id", "w", "h", "px")
