@@ -94,6 +94,66 @@ object TrainQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Chained-CTE replay of QualityModel.train: per round one sum
+    * aggregation over the feature CTE with the previous round's weights
+    * cross-joined in; the same exact-double floor steps as the engine.
+    */
+  private def qualityClassifierSql(rounds: Int): String = {
+    val p = "least(greatest(CAST(floor((w0*x0 + w1*x1 + w2*x2 + w3*x3) " +
+      "/ 4000000.0) AS BIGINT) + 500, 0), 1000)"
+    val en = TextAnalysis.stopwords("en").map("'" + _ + "'").mkString(",")
+    val steps = (1 to rounds).map { i =>
+      s"g$i AS (SELECT " +
+        (0 until 4).map(k =>
+          s"CAST(sum((($p) - y) * x$k) AS BIGINT) AS g$k").mkString(", ") +
+        s" FROM f CROSS JOIN r${i - 1}),\n" +
+        s"r$i AS (SELECT " +
+        (0 until 4).map(k =>
+          s"w$k - CAST(floor(g$k / (2.0 * n)) AS BIGINT) AS w$k")
+          .mkString(", ") +
+        s" FROM r${i - 1} CROSS JOIN g$i CROSS JOIN n)"
+    }.mkString(",\n")
+    val stCols = (1 to 3).map { k =>
+      s"s$k // n AS mu$k, " +
+        s"greatest(CAST(floor(sqrt(CAST((q$k - 2 * (s$k // n) * s$k " +
+        s"+ n * (s$k // n) * (s$k // n)) // n AS DOUBLE))) AS BIGINT), 1) AS sd$k"
+    }.mkString(", ")
+    s"""WITH f0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS x0,
+       |    CAST(least(len($toksSql), 100) * 10 AS BIGINT) AS x1,
+       |    CAST(floor(len(regexp_extract_all(lower(text), '[a-z]')) * 1000
+       |      / greatest(length(text), 1)) AS BIGINT) AS x2,
+       |    CAST(floor(len(list_filter($toksSql, x -> list_contains([$en], x)))
+       |      * 1000 / greatest(len($toksSql), 1)) AS BIGINT) AS x3
+       |  FROM documents),
+       |fl AS (SELECT doc_id, x0, x1, x2, x3,
+       |    CAST(CASE WHEN (x1 * 2 + x2 + x3 * 3 >= 2100)
+       |      <> (doc_id % 11 = 0) THEN 1000 ELSE 0 END AS BIGINT) AS y
+       |  FROM f0),
+       |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${(1 to 3).map(k => s"CAST(sum(x$k) AS BIGINT) AS s$k, " +
+            s"CAST(sum(x$k * x$k) AS BIGINT) AS q$k").mkString(", ")}
+       |  FROM fl),
+       |st AS (SELECT n, $stCols FROM mo),
+       |f AS (SELECT x0,
+       |    ${(1 to 3).map(k =>
+              s"CAST(floor((x$k - mu$k) * 1000.0 / sd$k) AS BIGINT) AS x$k")
+              .mkString(", ")}, y
+       |  FROM fl CROSS JOIN st),
+       |n AS (SELECT n FROM mo),
+       |r0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |       CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$steps,
+       |acc AS (SELECT CAST(sum(CASE WHEN (($p) >= 500) = (y = 1000)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS c FROM f CROSS JOIN r$rounds)
+       |SELECT feature, weight, n_correct FROM (
+       |  SELECT 0 AS feature, w0 AS weight, c AS n_correct
+       |    FROM r$rounds CROSS JOIN acc
+       |  UNION ALL SELECT 1, w1, c FROM r$rounds CROSS JOIN acc
+       |  UNION ALL SELECT 2, w2, c FROM r$rounds CROSS JOIN acc
+       |  UNION ALL SELECT 3, w3, c FROM r$rounds CROSS JOIN acc)
+       |ORDER BY feature""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ── exact dedup: single hash-shuffle groupBy ──
@@ -777,6 +837,24 @@ object TrainQueries {
          |  coalesce(h.n_overlap, 0) >= 2 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
          |WHERE d.doc_id % 97 <> 0 ORDER BY id""".stripMargin),
+
+    // ── in-engine TRAINED quality classifier: per-mille features (bias,
+    //    length saturation, alpha density, en-stopword rate) →
+    //    exact-integer z-scoring (one moments pass) → 8 rounds of
+    //    full-batch GD on a hard-sigmoid logistic model, all in exact
+    //    fixed point. Labels are a planted teacher rule with 1/11 label
+    //    noise — the trainer must recover the boundary through the
+    //    noise (≈88% accuracy vs 51% base rate at sf0.01). One
+    //    map-combined aggregation per round (4 longs out), so a 100 TB
+    //    round is a single scan; the oracle unrolls moments + all 8
+    //    rounds as chained CTEs and must land on hash-identical
+    //    weights ──
+    "train_quality_classifier" -> QueryDef(
+      (spark, dir) => graft.text.QualityModel
+        .trainedWeights(spark, Tables.documents(spark, dir),
+          rounds = 8, noiseMod = 11)
+        .orderBy(col("feature")),
+      qualityClassifierSql(8)),
 
     // ── DSIR-style importance resampling: docs scored by the exact
     //    fixed-point log-likelihood ratio of the target token

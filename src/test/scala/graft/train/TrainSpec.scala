@@ -579,3 +579,45 @@ class MultimodalSpec extends SparkSpec {
     assert(near.map(p => (p._1, p._2)).toSet == brute.toSet)
   }
 }
+
+class QualityModelSpec extends SparkSpec {
+  import graft.text.QualityModel
+  import spark.implicits._
+
+  // planted separable data: y follows x1 exactly; x2/x3 are noise
+  private def planted = (0L until 200L).map { i =>
+    val hi = i % 2 == 0
+    (i, 1000L, if (hi) 900L else 100L, (i % 7) * 100L, (i % 5) * 100L,
+      if (hi) 1000L else 0L)
+  }.toDF("doc_id", "x0", "x1", "x2", "x3", "y")
+
+  test("standardize: z-scored features have ~zero integer mean") {
+    val std = QualityModel.standardize(planted)
+    val m = std.selectExpr("avg(x1)", "avg(x2)", "avg(x3)").head()
+    (0 until 3).foreach(k => assert(math.abs(m.getDouble(k)) < 50,
+      s"feature ${k + 1} mean ${m.getDouble(k)} not centered"))
+  }
+
+  test("train recovers a planted separable boundary (weights + accuracy)") {
+    val (w, n, acc) = QualityModel.train(QualityModel.standardize(planted), 8)
+    assert(n == 200)
+    // the informative feature carries the dominant positive weight
+    assert(w(1) > 0 && w(1) > math.abs(w(2)) && w(1) > math.abs(w(3)))
+    assert(acc >= 190, s"only $acc/200 correct") // separable → near-perfect
+  }
+
+  test("train is invariant to partitioning (exact fixed-point arithmetic)") {
+    val one = QualityModel.train(QualityModel.standardize(planted).coalesce(1), 4)
+    val many = QualityModel.train(QualityModel.standardize(planted).repartition(7), 4)
+    assert(one._1.toSeq == many._1.toSeq && one._3 == many._3)
+  }
+
+  test("teacher labels flip exactly on the noise slice") {
+    val f = QualityModel.features(Seq((11L, "the and of to a in is x y z"))
+      .toDF("doc_id", "text"))
+    val y = f.withColumn("y", QualityModel.teacherLabel(11)).select("y").head().getLong(0)
+    val rule = f.selectExpr("x1 * 2 + x2 + x3 * 3 >= 2100").head().getBoolean(0)
+    // doc_id 11 % 11 == 0 → label must be the rule INVERTED
+    assert(y == (if (rule) 0L else 1000L))
+  }
+}
