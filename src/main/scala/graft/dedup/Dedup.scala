@@ -269,7 +269,8 @@ object Dedup {
     * generation, one on (j, shingle) for the candidate overlap count.
     */
   def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // build-side bound for the banded self-join: bands × ~52 B per doc
@@ -299,11 +300,27 @@ object Dedup {
       // sides — without this checkpoint the k·|shingles| minhash md5 pass
       // runs twice
       .localCheckpoint(eager = false)
+    // bucket-size cap (production LSH hardening): a degenerate corpus —
+    // boilerplate shingles, templated text, an adversarial token pattern —
+    // can put thousands of docs in one band bucket, and pair generation is
+    // quadratic PER BUCKET. Pairs inside a giant bucket are overwhelmingly
+    // sub-threshold (that is WHY the bucket is giant: one popular low-hash
+    // shingle, not b·r agreeing hashes); a true near-dup pair re-collides
+    // in another, small band with probability ≈ the S-curve, so dropping
+    // oversized buckets trades negligible recall for the n² floor. The
+    // window count shares the (band, key) partitioning with the candidate
+    // join right below — no extra shuffle grain.
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key"))))
+        .filter(col("bn") <= maxBucket).drop("bn")
     // SHUFFLE_HASH (size-gated): the downstream is a distinct hash-agg, so
     // SMJ's sort of the md5 band keys buys nothing — measured 1.25 s →
     // 0.76 s warm on the sf0.1 candidate join; unhinted (SMJ, spillable)
     // when the corpus outgrows the local-hash-map budget
-    val hinted = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes)
+    val hinted = graft.ops.Hints.shuffleHashIfFits(pruned, srcBytes)
     val cand = hinted.as("a")
       .join(hinted.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -308,6 +308,52 @@ object CurationQueries {
         |FROM vu CROSS JOIN s
         |GROUP BY 1, 2 ORDER BY vec_id, d""".stripMargin),
 
+    // ── Matryoshka-truncation audit: recall@5 of the 16-dim PREFIX
+    //    embedding's top-k against the full 64-dim top-k, per query —
+    //    the measurement that decides whether truncated vectors are safe
+    //    for the cheap first-pass retrieval tier (MRL-style serving).
+    //    Both rankings are exact brute force over the 2% query sample
+    //    with the rounded-sim/id tiebreak, so the oracle replays them ──
+    "emb_mrl_recall" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val isQ = pmod(col("vec_id"), lit(50)) === 0
+        val full = graft.sim.Similarity.topK(e.filter(isQ), e, 5)
+          .select(col("qid"), col("nid"))
+        val pre = {
+          val t = e.select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding"))
+          graft.sim.Similarity.topK(t.filter(isQ), t, 5)
+            .select(col("qid").as("q2"), col("nid").as("n2"))
+        }
+        val overlap = full.join(pre,
+            col("qid") === col("q2") && col("nid") === col("n2"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("recall5"))
+        e.filter(isQ).select(col("vec_id").as("qid"))
+          .join(overlap, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("recall5"), lit(0L)).as("recall5"))
+          .orderBy(col("qid"))
+      }, {
+        def rankSql(vec: String) =
+          s"""SELECT qid, nid FROM (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      floor(list_inner_product(CAST(q.$vec AS DOUBLE[]),
+             |        CAST(c.$vec AS DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+             |      DESC, c.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+             |WHERE rank <= 5""".stripMargin
+        s"""WITH fullk AS (${rankSql("embedding")}),
+           |prek AS (${rankSql("embedding[1:16]")}),
+           |ov AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS recall5
+           |  FROM fullk f JOIN prek p ON f.qid = p.qid AND f.nid = p.nid
+           |  GROUP BY 1)
+           |SELECT q.vec_id AS qid, coalesce(ov.recall5, 0) AS recall5
+           |FROM embeddings q LEFT JOIN ov ON q.vec_id = ov.qid
+           |WHERE q.vec_id % 50 = 0 ORDER BY qid""".stripMargin
+      }),
+
     // ── hard-negative mining (contrastive-training sampler): per query,
     //    top-3 most-similar vectors with a DIFFERENT label — exact over
     //    the 2% query sample (the documented brute-force baseline shape;

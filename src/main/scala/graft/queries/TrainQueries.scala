@@ -768,6 +768,42 @@ object TrainQueries {
          |SELECT ngram, count(*) AS n FROM t
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin),
 
+    // ── rendezvous (HRW) sharding + elasticity audit: each doc lands on
+    //    the shard with the highest md5(doc:shard) — when a 9th shard is
+    //    added, a doc moves ONLY if the new shard wins, so exactly ~1/9
+    //    of the corpus relocates (vs ~8/9 under mod-hash resharding).
+    //    The query reports per-shard counts and how many of each shard's
+    //    docs the expansion steals — the measurement behind elastic
+    //    re-sharding of a 100 TB corpus store ──
+    "train_rendezvous_shards" -> QueryDef(
+      (spark, dir) => {
+        def shard(upTo: Int) = expr(
+          s"""array_max(transform(sequence(0, $upTo),
+             |  s -> struct(md5(concat(CAST(doc_id AS STRING), ':',
+             |                         CAST(s AS STRING))) AS h, s AS s))).s""".stripMargin)
+        Tables.documents(spark, dir)
+          .select(shard(7).as("shard"), shard(8).as("shard9"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard") =!= col("shard9"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .select(col("shard").cast("int").as("shard"), col("n_docs"),
+            col("n_moved"))
+          .orderBy(col("shard"))
+      },
+      """WITH g AS (SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s)),
+        |a AS (SELECT doc_id,
+        |    arg_max(s, h) FILTER (s < 8) AS shard,
+        |    arg_max(s, h) AS shard9
+        |  FROM g GROUP BY 1)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin),
+
     // ── deterministic corpus shuffle into training shards: salt-keyed
     //    md5 permutation → hash shard + dense per-shard position; the
     //    per-shard order digest pins the whole permutation ──

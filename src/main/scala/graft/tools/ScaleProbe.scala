@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Synthesis models ORGANIC growth, not cloning:
   * - `documents`: doc_id offset per copy; every token of copies ≥ 1 is
-  *   suffixed `~<copy>`, so shingle/minhash/line keys are DISJOINT
+  *   suffixed `x<copy>`, so shingle/minhash/line keys are DISJOINT
   *   across copies — each copy contributes the base corpus's own
   *   duplicate mass, total dup mass scales ~k× (cloning text verbatim
   *   would instead grow every shingle bucket k× and candidate pairs k²×,
-  *   which no organic corpus does).
+  *   which no organic corpus does). The suffix MUST stay inside the
+  *   `[a-z0-9]+` token alphabet: a non-alphanumeric marker (the first
+  *   draft used `~`) gets split off by the tokenizer and injects a
+  *   constant token between every original pair, which manufactures
+  *   near-universal `<c> X <c>` shingles and quadratic LSH buckets —
+  *   a degenerate corpus no organic growth produces.
   * - `lineitem`/`orders`: order keys offset per copy (facts scale k×);
   *   part/supplier/customer keys unchanged — dimensions intentionally
   *   stay 1×, so dimension joins stay broadcast-able, as at real scale.
@@ -93,7 +98,7 @@ object ScaleProbe {
       .select((col("doc_id") + col("cp") * docOff).as("doc_id"),
         when(col("cp") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("~"), col("cp"))), " ")).as("text"),
+            w => concat(w, lit("x"), col("cp"))), " ")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -111,6 +111,26 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("LSH bucket cap prunes a degenerate mega-bucket but keeps true dups") {
+    // degenerate corpus: every doc opens with the same boilerplate
+    // 3-gram, so one shingle lands in ~every doc and its band buckets go
+    // quadratic — plus one planted identical pair (100, 101)
+    val docs = ((0L until 40L).map(i =>
+      (i, s"boiler plate tail uniq${i}a uniq${i}b uniq${i}c")) ++
+      Seq((100L, "planted pair body one two three"),
+        (101L, "planted pair body one two three"))).toDF("doc_id", "text")
+    val open = Dedup.minhashLsh(docs, 3, 12, 12, 0.0)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(docs, 3, 12, 12, 0.0, maxBucket = 5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // the planted identical pair shares ALL bands — some of its buckets
+    // hold just the pair, so the cap cannot lose it
+    assert(open.contains((100L, 101L)) && capped.contains((100L, 101L)))
+    // the boilerplate mega-bucket's quadratic pair flood is pruned
+    assert(open.size > capped.size * 2,
+      s"cap should collapse the candidate flood (open=${open.size} capped=${capped.size})")
+  }
+
   test("minhash LSH finds every high-jaccard pair (recall vs exact, sf0.001)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
