@@ -48,4 +48,12 @@ package object functions {
     graftbridge.column(TopKByDescExpr(
       graftbridge.expression(score), graftbridge.expression(id), k)
       .toAggregateExpression())
+
+  /** Viterbi unigram segmentation value (cost·16 + pieces; one HashMap
+    * probe per span — the literal-map declarative DP scans all entries).
+    */
+  def unigram_seg(word: Column, vocab: Map[String, Long],
+                  maxSub: Int, maxWord: Int): Column =
+    graftbridge.column(UnigramSegExpr(
+      graftbridge.expression(word), vocab, maxSub, maxWord))
 }

@@ -768,6 +768,66 @@ object TrainQueries {
          |SELECT ngram, count(*) AS n FROM t
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin),
 
+    // ── SentencePiece-style unigram segmentation: subword vocab trained
+    //    from the corpus (all ≤4-char substrings; every char kept for
+    //    coverage + top-64 multis by freq), costs = exact fixed-point
+    //    log2 frequencies, then a per-token VITERBI DP picks the
+    //    min-cost segmentation (count rides the low bits of the DP value
+    //    as a fewest-pieces tiebreak). Engine path: the trained vocab is
+    //    a literal broadcast map, segmentation is ZERO-shuffle unrolled
+    //    codegen; the oracle retrains the vocab in SQL and replays the
+    //    DP position-by-position as 12 chained CTEs ──
+    "text_unigram_segment" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val vocab = graft.text.Unigram.collectVocab(
+          graft.text.Unigram.trainVocab(docs, topN = 64))
+        graft.text.Unigram.segmentDocs(docs, vocab).orderBy(col("doc_id"))
+      }, {
+        def lam(x: String) = s"((length(bin($x)) - 1) * 65536" +
+          s" + ($x * 65536) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))" +
+          s" - 65536)"
+        // every st_k is referenced TWICE by st_{k+1} (union + join) —
+        // without MATERIALIZED the CTE expansion is 2^12 re-scans
+        val steps = (1 to 12).map { k =>
+          s"st$k AS MATERIALIZED (SELECT * FROM st${k - 1} UNION ALL " +
+            s"SELECT c.tok, $k AS pos, CAST(min(s.v + c.cost * 16 + 1) AS BIGINT) AS v " +
+            s"FROM c JOIN st${k - 1} s ON c.tok = s.tok AND c.j = s.pos " +
+            s"WHERE c.i = $k GROUP BY 1, 2)"
+        }.mkString(",\n")
+        s"""WITH tw AS MATERIALIZED (SELECT doc_id, substr(tok0, 1, 12) AS tok
+           |  FROM (SELECT doc_id, unnest($toksSql) AS tok0 FROM documents)),
+           |subs AS MATERIALIZED (
+           |  SELECT substr(tok, s, l) AS sub, CAST(count(*) AS BIGINT) AS freq
+           |  FROM tw
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS l)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS s)
+           |  WHERE s + l - 1 <= length(tok) GROUP BY 1),
+           |vocab AS MATERIALIZED (SELECT sub, freq FROM subs WHERE length(sub) = 1
+           |  UNION ALL SELECT sub, freq FROM (
+           |    SELECT sub, freq FROM subs WHERE length(sub) > 1
+           |    ORDER BY freq DESC, sub LIMIT 64)),
+           |t AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM vocab),
+           |vc AS MATERIALIZED (SELECT sub,
+           |    greatest(${lam("t")} - ${lam("freq")}, 1) AS cost
+           |  FROM vocab CROSS JOIN t),
+           |w AS MATERIALIZED (SELECT DISTINCT tok FROM tw),
+           |c AS MATERIALIZED (SELECT w.tok, j, i, vc.cost FROM w
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS i)
+           |  JOIN vc ON i > j AND i - j <= 4 AND i <= length(w.tok)
+           |    AND substr(w.tok, j + 1, i - j) = vc.sub),
+           |st0 AS MATERIALIZED (SELECT tok, 0 AS pos, CAST(0 AS BIGINT) AS v FROM w),
+           |$steps,
+           |vv AS (SELECT s.tok, s.v FROM st12 s
+           |  JOIN w ON s.tok = w.tok AND s.pos = length(w.tok))
+           |SELECT tw.doc_id, count(*) AS n_toks,
+           |  CAST(sum(vv.v % 16) AS BIGINT) AS n_subwords,
+           |  CAST(sum(vv.v // 16) AS BIGINT) AS total_cost
+           |FROM tw JOIN vv ON tw.tok = vv.tok
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
     // ── rendezvous (HRW) sharding + elasticity audit: each doc lands on
     //    the shard with the highest md5(doc:shard) — when a 9th shard is
     //    added, a doc moves ONLY if the new shard wins, so exactly ~1/9

@@ -600,6 +600,59 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class UnigramSpec extends SparkSpec {
+  import graft.text.Unigram
+  import spark.implicits._
+
+  // "abcd" dominates the corpus; "zq" is rare filler
+  private def corpus = ((0L until 30L).map(i => (i, "abcd abcd abcd")) ++
+    Seq((100L, "zq wxyz"))).toDF("doc_id", "text")
+
+  test("trainVocab keeps every char and the dominant multi-char subword") {
+    val v = Unigram.collectVocab(Unigram.trainVocab(corpus, topN = 8))
+    // coverage: every char of the corpus is present
+    "abcdzqwxy".foreach(c => assert(v.contains(c.toString), s"missing char $c"))
+    assert(v.contains("abcd"), "dominant 4-gram should make the vocab")
+    // frequent subwords cost less than rare ones ("wx" is a freq-1 multi
+    // that survives the topN cut by the asc tiebreak; "zq" does not)
+    assert(v("abcd") < v("wx"))
+    assert(!v.contains("zq"), "topN cut should drop the late-sorting rare multi")
+  }
+
+  test("Viterbi picks the single frequent subword over per-char splits") {
+    val v = Unigram.collectVocab(Unigram.trainVocab(corpus, topN = 8))
+    val got = Unigram.segmentDocs(corpus, v)
+      .filter($"doc_id" === 0L).head()
+    assert(got.getLong(1) == 3)  // n_toks
+    assert(got.getLong(2) == 3,  // n_subwords: each "abcd" is ONE piece
+      s"expected 3 single-piece segmentations, got ${got.getLong(2)}")
+  }
+
+  test("native unigram_seg matches the declarative literal-map DP") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = Unigram.collectVocab(Unigram.trainVocab(docs, topN = 64))
+    val toks = docs.select(
+      explode(graft.text.TextAnalysis.tokens($"text")).as("tok"))
+      .select(substring($"tok", 1, Unigram.MaxWord).as("tok")).distinct()
+    val native = toks.select($"tok",
+      graft.functions.unigram_seg($"tok", v, Unigram.MaxSub, Unigram.MaxWord).as("v"))
+    val decl = Unigram.withSegmentValue(toks, "tok", v)
+    val diff = native.as("n").join(decl.as("d"), $"n.tok" === $"d.tok")
+      .filter($"n.v" =!= $"d.v").count()
+    assert(diff == 0, s"$diff tokens disagree between native and declarative DP")
+  }
+
+  test("lam is the exact bit-length + mantissa log2 surrogate") {
+    assert(Unigram.lam(1) == 0)
+    assert(Unigram.lam(2) == 65536)
+    assert(Unigram.lam(4) == 131072)
+    assert(Unigram.lam(3) == 65536 + 32768) // linear mantissa midpoint
+    // monotone on a sweep
+    val vals = (1L to 1000L).map(Unigram.lam)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a <= b })
+  }
+}
+
 class QualityModelSpec extends SparkSpec {
   import graft.text.QualityModel
   import spark.implicits._
