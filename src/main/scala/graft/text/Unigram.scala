@@ -51,15 +51,19 @@ object Unigram {
     */
   def trainVocab(docs: DataFrame, topN: Int,
                  textCol: String = "text"): DataFrame = {
+    // substrings explode from the DISTINCT-token table with occurrence
+    // weights, not from every token occurrence — identical frequencies,
+    // ~10× fewer exploded rows (the corpus's token-type/token ratio)
     val subs = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(substring(col("tok"), 1, MaxWord).as("tok"))
-      .select(explode(expr(
+      .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      .select(col("w"), explode(expr(
         s"""flatten(transform(sequence(1, $MaxSub), l ->
            |  filter(transform(sequence(1, $MaxWord), s ->
            |    IF(s + l - 1 <= length(tok), substring(tok, s, l), NULL)),
            |    x -> x IS NOT NULL)))""".stripMargin)).as("sub"))
-      .groupBy(col("sub")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("sub")).agg(sum(col("w")).as("freq"))
     val chars = subs.filter(length(col("sub")) === 1)
     val multis = subs.filter(length(col("sub")) > 1)
       .orderBy(col("freq").desc, col("sub")).limit(topN)
