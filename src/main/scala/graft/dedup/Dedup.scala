@@ -169,6 +169,54 @@ object Dedup {
           graft.text.TextAnalysis.round4(col("n_dup") / col("n_win"))))
   }
 
+  /** Dyadic duplicated-span resolution — suffix-array-style substring
+    * dedup to within a factor of 2. For every character position of every
+    * doc, hash the windows of dyadic lengths `levels` (default 8/16/32/64)
+    * starting there; a doc's `max_dup_len` is the largest dyadic L such
+    * that one of its L-windows also occurs in ANOTHER doc, and `n_dup_min`
+    * counts its distinct shared windows at the smallest level.
+    *
+    * Guarantee: any cross-doc repeated substring of true length m ≥ min
+    * level is certified at level 2^⌊log2 m⌋, so `max_dup_len` lower-bounds
+    * the longest shared span within 2× — the same resolution a capped
+    * prefix-doubling suffix-array pass yields, without its log(L) rounds
+    * of rank joins: every level hash is computed scan-side in ONE
+    * projection, and the only shuffles are at the (level, window-hash)
+    * grain. Positions are stride-1 by construction (a suffix array is
+    * inherently O(corpus chars)); the md5 can become `xxhash64` at true
+    * corpus scale (8-byte wire format, see the shingle-key note above).
+    */
+  def dyadicSpanProfile(docs: DataFrame, levels: Seq[Int] = Seq(8, 16, 32, 64),
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(levels.nonEmpty && levels == levels.sorted, "levels must be ascending")
+    val lvlArr = array(levels.map(lit): _*)
+    // one pass: explode positions, then the levels still inside the doc at
+    // that position; text is dropped before anything shuffles
+    val w = spread(docs)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("p"))
+      .select(col("id"),
+        explode(filter(lvlArr, l => col("p") + l - lit(1) <= length(col("t")))).as("lvl"),
+        col("t"), col("p"))
+      .select(col("id"), col("lvl"), md5(col("t").substr(col("p"), col("lvl"))).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // (id, lvl, h) is distinct ⇒ count(*) per (lvl, h) counts docs
+    val shared = w.groupBy(col("lvl"), col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("lvl"), col("h"))
+    val hits = w.join(shared, Seq("lvl", "h")).localCheckpoint(eager = false)
+    val mx = hits.select(col("id"), col("lvl")).distinct()
+      .groupBy(col("id")).agg(max(col("lvl")).cast("int").as("max_dup_len"))
+    val nd = hits.filter(col("lvl") === levels.min)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_min"))
+    docs.select(col(idCol).as("id"))
+      .join(mx, Seq("id"), "left")
+      .join(nd, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("max_dup_len"), lit(0)).as("max_dup_len"),
+        coalesce(col("n_dup_min"), lit(0L)).as("n_dup_min"))
+  }
+
   /** MinHash signature as an array of k string-min hashes:
     * sig_s = min over shingles of md5(s || ':' || shingle). String-min over
     * md5 hex is an order statistic — deterministic and SQL-mirrorable

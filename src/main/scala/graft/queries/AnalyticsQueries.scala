@@ -374,6 +374,105 @@ object AnalyticsQueries {
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ── k-anonymity audit: equivalence-class size histogram over the
+    //    (nation, segment, $1000-balance-bucket) quasi-identifier set;
+    //    min(class_size) IS the dataset's k level. Two map-combined hash
+    //    aggregates, balance bucketed on integer cents ──
+    "privacy_k_anon" -> QueryDef(
+      (spark, dir) => {
+        val base = privacyBase(spark, dir)
+        graft.ops.Privacy.kAnonymityHistogram(base,
+          Seq(col("nat"), col("seg"),
+            floor(col("cents") / lit(100000.0)).cast("long")))
+          .orderBy(col("class_size"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |cls AS (
+         |  SELECT nat, seg, CAST(floor(cents / 100000.0) AS BIGINT) AS bal,
+         |    CAST(count(*) AS BIGINT) AS class_size
+         |  FROM base GROUP BY 1, 2, 3)
+         |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(class_size) AS BIGINT) AS n_rows
+         |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin),
+
+    // ── generalization ladder to k=10: coarsen the quasi-identifier set
+    //    (nation→region, segment→any, balance buckets→sign→suppressed)
+    //    until every class reaches k; emits the chosen rung's class table.
+    //    One aggregate probe per rung, driver state one Long each ──
+    "privacy_generalize" -> QueryDef(
+      (spark, dir) => {
+        import graft.ops.Privacy
+        val base = privacyBase(spark, dir)
+        val bal = (unit: Double) =>
+          floor(col("cents") / lit(unit)).cast("long").cast("string")
+        val rungs = Seq(
+          Privacy.Rung("nation_seg_bal1000", Seq(
+            "q_geo" -> col("nat"), "q_seg" -> col("seg"), "q_bal" -> bal(100000.0))),
+          Privacy.Rung("nation_seg_bal2500", Seq(
+            "q_geo" -> col("nat"), "q_seg" -> col("seg"), "q_bal" -> bal(250000.0))),
+          Privacy.Rung("region_seg_bal5000", Seq(
+            "q_geo" -> col("reg"), "q_seg" -> col("seg"), "q_bal" -> bal(500000.0))),
+          Privacy.Rung("region_any_sign", Seq(
+            "q_geo" -> col("reg"), "q_seg" -> lit("*"),
+            "q_bal" -> when(col("cents") < 0, lit("neg")).otherwise(lit("nonneg")))),
+          Privacy.Rung("suppressed", Seq(
+            "q_geo" -> lit("*"), "q_seg" -> lit("*"), "q_bal" -> lit("*"))))
+        val (rung, classes) = Privacy.generalizeToK(base, rungs, k = 10L)
+        classes.select(lit(rung.name).as("rung"), col("q_geo"), col("q_seg"),
+          col("q_bal"), col("class_size"))
+          .orderBy(col("q_geo"), col("q_seg"), col("q_bal"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |r0 AS (SELECT nat AS q_geo, seg AS q_seg,
+         |         CAST(CAST(floor(cents / 100000.0) AS BIGINT) AS VARCHAR) AS q_bal,
+         |         CAST(count(*) AS BIGINT) AS class_size FROM base GROUP BY 1, 2, 3),
+         |r1 AS (SELECT nat AS q_geo, seg AS q_seg,
+         |         CAST(CAST(floor(cents / 250000.0) AS BIGINT) AS VARCHAR) AS q_bal,
+         |         CAST(count(*) AS BIGINT) AS class_size FROM base GROUP BY 1, 2, 3),
+         |r2 AS (SELECT reg AS q_geo, seg AS q_seg,
+         |         CAST(CAST(floor(cents / 500000.0) AS BIGINT) AS VARCHAR) AS q_bal,
+         |         CAST(count(*) AS BIGINT) AS class_size FROM base GROUP BY 1, 2, 3),
+         |r3 AS (SELECT reg AS q_geo, '*' AS q_seg,
+         |         CASE WHEN cents < 0 THEN 'neg' ELSE 'nonneg' END AS q_bal,
+         |         CAST(count(*) AS BIGINT) AS class_size FROM base GROUP BY 1, 2, 3),
+         |r4 AS (SELECT '*' AS q_geo, '*' AS q_seg, '*' AS q_bal,
+         |         CAST(count(*) AS BIGINT) AS class_size FROM base),
+         |ch AS (SELECT CASE
+         |         WHEN (SELECT min(class_size) FROM r0) >= 10 THEN 0
+         |         WHEN (SELECT min(class_size) FROM r1) >= 10 THEN 1
+         |         WHEN (SELECT min(class_size) FROM r2) >= 10 THEN 2
+         |         WHEN (SELECT min(class_size) FROM r3) >= 10 THEN 3
+         |         ELSE 4 END AS i)
+         |SELECT rung, q_geo, q_seg, q_bal, class_size FROM (
+         |  SELECT 'nation_seg_bal1000' AS rung, * FROM r0 WHERE (SELECT i FROM ch) = 0
+         |  UNION ALL SELECT 'nation_seg_bal2500', * FROM r1 WHERE (SELECT i FROM ch) = 1
+         |  UNION ALL SELECT 'region_seg_bal5000', * FROM r2 WHERE (SELECT i FROM ch) = 2
+         |  UNION ALL SELECT 'region_any_sign', * FROM r3 WHERE (SELECT i FROM ch) = 3
+         |  UNION ALL SELECT 'suppressed', * FROM r4 WHERE (SELECT i FROM ch) = 4)
+         |ORDER BY q_geo, q_seg, q_bal""".stripMargin)
   )
+
+  /** customer ⋈ broadcast(nation) ⋈ broadcast(region) with integer-cents
+    * balance — the shared quasi-identifier base for the privacy queries.
+    */
+  private def privacyBase(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("nat"), col("r_name").as("reg"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+
+  // NOTE: must not be a val — `defs` above interpolates it during object
+  // init, and a later-declared val would still be null at that point
+  private def privacyBaseSql: String =
+    """SELECT n.n_name AS nat, r.r_name AS reg, c.c_mktsegment AS seg,
+      |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |                  JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
 }

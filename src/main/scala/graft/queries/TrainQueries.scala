@@ -1469,6 +1469,35 @@ object TrainQueries {
         |                 LEFT JOIN dup u ON d.doc_id = u.id
         |ORDER BY id""".stripMargin),
 
+    // ── dyadic duplicated-span resolution (suffix-array-style substring
+    //    dedup to within 2×: largest dyadic window length 8/16/32/64 a doc
+    //    shares with ANOTHER doc, stride-1 positions, one scan) ──
+    "dedup_span_dyadic" -> QueryDef(
+      (spark, dir) => Dedup.dyadicSpanProfile(Tables.documents(spark, dir))
+        .orderBy(col("id")),
+      """WITH lv AS (SELECT unnest([8, 16, 32, 64]) AS lvl),
+        |pos AS (
+        |  SELECT d.doc_id AS id, lv.lvl, d.text,
+        |    unnest(generate_series(1, len(d.text) - lv.lvl + 1)) AS p
+        |  FROM documents d CROSS JOIN lv
+        |  WHERE len(d.text) >= lv.lvl),
+        |w AS (
+        |  SELECT DISTINCT id, lvl,
+        |    md5(substr(text, CAST(p AS INT), lvl)) AS h
+        |  FROM pos),
+        |shared AS (SELECT lvl, h FROM w GROUP BY lvl, h HAVING count(*) >= 2),
+        |hit AS (SELECT w.id, w.lvl FROM w JOIN shared USING (lvl, h)),
+        |mx AS (SELECT id, CAST(max(lvl) AS INT) AS max_dup_len
+        |       FROM hit GROUP BY id),
+        |nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_min
+        |       FROM hit WHERE lvl = 8 GROUP BY id)
+        |SELECT d.doc_id AS id,
+        |  coalesce(mx.max_dup_len, 0) AS max_dup_len,
+        |  coalesce(nd.n_dup_min, 0) AS n_dup_min
+        |FROM documents d LEFT JOIN mx ON d.doc_id = mx.id
+        |                 LEFT JOIN nd ON d.doc_id = nd.id
+        |ORDER BY id""".stripMargin),
+
     // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked
     //    seeds, micro-unit-rounded centroids, exact-integer Euclidean
     //    scores 2⟨v,c⟩−‖c‖² — the whole index build replays in SQL ──

@@ -111,6 +111,37 @@ class ClusteringSpec extends SparkSpec {
     assert(p(1)._2 == 1L)
   }
 
+  test("dyadicSpanProfile certifies shared spans within 2x and counts min-level windows") {
+    // docs 1/2 share exactly a 20-char span ("SHAREDSPAN0123456789"); the
+    // rest of each doc uses a disjoint alphabet so no accidental 8-grams.
+    val span = "SHAREDSPAN0123456789" // 20 chars → certified at 16, not 32
+    val docs = Seq(
+      (1L, "a" * 30 + span + "b" * 30),
+      (2L, "c" * 30 + span + "d" * 30),
+      (3L, "e" * 70),  // unique alphabet, no cross-doc windows
+      (4L, "tiny")     // shorter than the min level
+    ).toDF("doc_id", "text")
+    val p = Dedup.dyadicSpanProfile(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect()
+    assert(p(0)._2 == 16 && p(1)._2 == 16,
+      s"20-char planted span must certify at dyadic 16, got ${p.toSeq}")
+    // shared 8-windows inside a 20-char span: 20-8+1 = 13 start offsets,
+    // all distinct substrings here
+    assert(p(0)._3 == 13L && p(1)._3 == 13L)
+    assert(p(2)._2 == 0 && p(2)._3 == 0L)
+    assert(p(3)._2 == 0 && p(3)._3 == 0L)
+  }
+
+  test("dyadicSpanProfile: an exact duplicate certifies at the top level") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog, twice over " + "x" * 40),
+      (2L, "the quick brown fox jumps over the lazy dog, twice over " + "x" * 40)
+    ).toDF("doc_id", "text")
+    val p = Dedup.dyadicSpanProfile(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect()
+    assert(p.forall(_._2 == 64), s"96-char identical docs certify at 64: ${p.toSeq}")
+  }
+
   test("containment catches subset docs that jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta"
     val big = small + " " + (1 to 200).map(i => s"filler$i word$i").mkString(" ")
