@@ -1498,6 +1498,47 @@ object TrainQueries {
         |                 LEFT JOIN nd ON d.doc_id = nd.id
         |ORDER BY id""".stripMargin),
 
+    // ── corpus drift monitor: PSI + two-sample chi-squared per fixed
+    //    60-char n_chars bucket between the even/odd doc_id snapshots,
+    //    with a bucket=-1 summary row; Laplace-smoothed, round4 ──
+    "drift_psi" -> QueryDef(
+      (spark, dir) => graft.ops.Drift.psiProfile(
+        Tables.documents(spark, dir),
+        col("n_chars"), col("doc_id") % 2 === 0, width = 60, nBuckets = 10)
+        .orderBy(col("bucket")),
+      """WITH d AS (
+        |  SELECT CAST(least(CAST(floor(n_chars / 60.0) AS BIGINT), 9) AS INT) AS bucket,
+        |         doc_id % 2 = 0 AS in_a
+        |  FROM documents),
+        |c AS (SELECT bucket,
+        |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM d GROUP BY bucket),
+        |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+        |fullc AS (SELECT s.bucket, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+        |          FROM spine s LEFT JOIN c USING (bucket)),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |        FROM fullc),
+        |terms AS (
+        |  SELECT bucket, n_a, n_b,
+        |    floor(((n_a + 1.0) / (ta + 10.0) - (n_b + 1.0) / (tb + 10.0)) *
+        |      ln(((n_a + 1.0) / (ta + 10.0)) / ((n_b + 1.0) / (tb + 10.0)))
+        |      * 10000.0 + 0.5) / 10000.0 AS psi_term,
+        |    CASE WHEN n_a + n_b = 0 THEN 0.0 ELSE
+        |      floor(((n_a - (n_a + n_b) * ta / (ta + tb)) * (n_a - (n_a + n_b) * ta / (ta + tb))
+        |               / ((n_a + n_b) * ta / (ta + tb))
+        |           + (n_b - (n_a + n_b) * tb / (ta + tb)) * (n_b - (n_a + n_b) * tb / (ta + tb))
+        |               / ((n_a + n_b) * tb / (ta + tb))) * 10000.0 + 0.5) / 10000.0
+        |    END AS chi2_term
+        |  FROM fullc CROSS JOIN tot)
+        |SELECT * FROM (
+        |  SELECT bucket, n_a, n_b, psi_term, chi2_term FROM terms
+        |  UNION ALL
+        |  SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+        |    floor(sum(psi_term) * 10000.0 + 0.5) / 10000.0,
+        |    floor(sum(chi2_term) * 10000.0 + 0.5) / 10000.0 FROM terms)
+        |ORDER BY bucket""".stripMargin),
+
     // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked
     //    seeds, micro-unit-rounded centroids, exact-integer Euclidean
     //    scores 2⟨v,c⟩−‖c‖² — the whole index build replays in SQL ──
