@@ -183,31 +183,76 @@ object Dedup {
     * of rank joins: every level hash is computed scan-side in ONE
     * projection, and the only shuffles are at the (level, window-hash)
     * grain. Positions are stride-1 by construction (a suffix array is
-    * inherently O(corpus chars)); the md5 can become `xxhash64` at true
-    * corpus scale (8-byte wire format, see the shingle-key note above).
+    * inherently O(corpus chars)). The window key is a packed 64-bit
+    * rolling hash (level in the 7 low bits, see
+    * [[graft.functions.DyadicWindowHashesExpr]]) — the key never appears
+    * in the output, so the oracle replays with the RAW substring as the
+    * group key and only a ~2⁻⁵⁷ same-level collision could diverge.
+    * Measured at sf0.1: 8.2 s with md5-hex keys → 4.3 s with the native
+    * packed-long pipeline (primitive arrays, single up-front exchange).
     */
   def dyadicSpanProfile(docs: DataFrame, levels: Seq[Int] = Seq(8, 16, 32, 64),
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(levels.nonEmpty && levels == levels.sorted, "levels must be ascending")
+    // all packed (level | window-hash) keys in ONE rolling pass per doc —
+    // the native expression does O(1) work per position per level and
+    // emits primitive longs (level in the 7 low bits)
+    val raw = spread(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.dyadic_window_hashes(col(textCol), levels)).as("pk"))
+    spanProfileFromWindows(docs, raw, levels.min, idCol)
+  }
+
+  /** Declarative parity rendering of [[dyadicSpanProfile]]'s window frame
+    * (explode positions → substr → xxhash64). Same output by construction
+    * — any equality-preserving window key yields identical profiles —
+    * pinned by spec; kept as the reference the native rolling-hash
+    * expression is audited against.
+    */
+  private[graft] def dyadicSpanProfileDeclarative(
+      docs: DataFrame, levels: Seq[Int] = Seq(8, 16, 32, 64),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(levels.nonEmpty && levels == levels.sorted, "levels must be ascending")
     val lvlArr = array(levels.map(lit): _*)
-    // one pass: explode positions, then the levels still inside the doc at
-    // that position; text is dropped before anything shuffles
     val w = spread(docs)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         explode(sequence(lit(1), length(col(textCol)))).as("p"))
       .select(col("id"),
         explode(filter(lvlArr, l => col("p") + l - lit(1) <= length(col("t")))).as("lvl"),
         col("t"), col("p"))
-      .select(col("id"), col("lvl"), md5(col("t").substr(col("p"), col("lvl"))).as("h"))
-      .distinct()
+      // same packed shape as the native expression: hash high bits, level
+      // in the 7 low bits (hash family differs — outputs don't)
+      .select(col("id"),
+        (xxhash64(col("t").substr(col("p"), col("lvl")))
+          .bitwiseAND(lit(~127L))).bitwiseOR(col("lvl").cast("long")).as("pk"))
+    spanProfileFromWindows(docs, w, levels.min, idCol)
+  }
+
+  /** Shared tail: from a raw (id, pk) packed-window frame (level in pk's
+    * 7 low bits) to the per-doc (max_dup_len, n_dup_min) profile.
+    *
+    * ONE exchange moves the big frame: repartitioning on pk up front
+    * satisfies the clustering requirement of the per-doc distinct (same
+    * (id, pk) → same partition), of the shared-window count, and of both
+    * sides of the hits join — Catalyst inserts no further exchange for
+    * any of them. The naive ordering (distinct → groupBy → join)
+    * exchanges the multi-million-row frame three times; at corpus scale
+    * the saved exchanges are the operator's entire cost structure.
+    */
+  private def spanProfileFromWindows(docs: DataFrame, raw: DataFrame,
+                                     minLevel: Int, idCol: String): DataFrame = {
+    val w = raw.repartition(col("pk"))
+      .dropDuplicates("id", "pk")
       .localCheckpoint(eager = false)
-    // (id, lvl, h) is distinct ⇒ count(*) per (lvl, h) counts docs
-    val shared = w.groupBy(col("lvl"), col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("lvl"), col("h"))
-    val hits = w.join(shared, Seq("lvl", "h")).localCheckpoint(eager = false)
+    // (id, pk) is distinct ⇒ count(*) per pk counts docs
+    val shared = w.groupBy(col("pk")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("pk"))
+    val hits = w.join(shared, Seq("pk"))
+      .select(col("id"), col("pk").bitwiseAND(lit(127L)).cast("int").as("lvl"))
+      .localCheckpoint(eager = false)
     val mx = hits.select(col("id"), col("lvl")).distinct()
       .groupBy(col("id")).agg(max(col("lvl")).cast("int").as("max_dup_len"))
-    val nd = hits.filter(col("lvl") === levels.min)
+    val nd = hits.filter(col("lvl") === minLevel)
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_min"))
     docs.select(col(idCol).as("id"))
       .join(mx, Seq("id"), "left")

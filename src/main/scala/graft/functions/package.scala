@@ -49,6 +49,13 @@ package object functions {
       graftbridge.expression(score), graftbridge.expression(id), k)
       .toAggregateExpression())
 
+  /** All dyadic-window rolling hashes of a string in one pass (the
+    * declarative explode→substr→xxhash64 form allocates and re-hashes
+    * every window from scratch).
+    */
+  def dyadic_window_hashes(text: Column, levels: Seq[Int]): Column =
+    graftbridge.column(DyadicWindowHashesExpr(graftbridge.expression(text), levels))
+
   /** Viterbi unigram segmentation value (cost·16 + pieces; one HashMap
     * probe per span — the literal-map declarative DP scans all entries).
     */

@@ -1483,7 +1483,7 @@ object TrainQueries {
         |  WHERE len(d.text) >= lv.lvl),
         |w AS (
         |  SELECT DISTINCT id, lvl,
-        |    md5(substr(text, CAST(p AS INT), lvl)) AS h
+        |    substr(text, CAST(p AS INT), lvl) AS h
         |  FROM pos),
         |shared AS (SELECT lvl, h FROM w GROUP BY lvl, h HAVING count(*) >= 2),
         |hit AS (SELECT w.id, w.lvl FROM w JOIN shared USING (lvl, h)),
@@ -1537,6 +1537,40 @@ object TrainQueries {
         |  SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
         |    floor(sum(psi_term) * 10000.0 + 0.5) / 10000.0,
         |    floor(sum(chi2_term) * 10000.0 + 0.5) / 10000.0 FROM terms)
+        |ORDER BY bucket""".stripMargin),
+
+    // ── bucket-resolution KS statistic between the same snapshots:
+    //    cumulative-share gap per bucket, D = max gap in the -1 row;
+    //    exact integer cumulatives, no smoothing, no libm ──
+    "drift_ks" -> QueryDef(
+      (spark, dir) => graft.ops.Drift.ksProfile(
+        Tables.documents(spark, dir),
+        col("n_chars"), col("doc_id") % 2 === 0, width = 60, nBuckets = 10)
+        .orderBy(col("bucket")),
+      """WITH d AS (
+        |  SELECT CAST(least(CAST(floor(n_chars / 60.0) AS BIGINT), 9) AS INT) AS bucket,
+        |         doc_id % 2 = 0 AS in_a
+        |  FROM documents),
+        |c AS (SELECT bucket,
+        |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM d GROUP BY bucket),
+        |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+        |fullc AS (SELECT s.bucket, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+        |          FROM spine s LEFT JOIN c USING (bucket)),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |        FROM fullc),
+        |cum AS (SELECT bucket,
+        |          CAST(sum(n_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |          CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+        |        FROM fullc),
+        |g AS (SELECT bucket, cum_a, cum_b,
+        |        floor(abs(cum_a / ta - cum_b / tb) * 10000.0 + 0.5) / 10000.0 AS gap
+        |      FROM cum CROSS JOIN tot)
+        |SELECT * FROM (
+        |  SELECT bucket, cum_a, cum_b, gap FROM g
+        |  UNION ALL
+        |  SELECT -1, max(cum_a), max(cum_b), max(gap) FROM g)
         |ORDER BY bucket""".stripMargin),
 
     // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked

@@ -29,6 +29,23 @@ class DriftSpec extends SparkSpec {
     assert(summary._5 > 0.0)
   }
 
+  test("KS gap is zero on identical halves and 1.0 on disjoint ones") {
+    val same = (0 until 50).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "in_a")
+    val p1 = Drift.ksProfile(same, $"v", $"in_a", width = 10, nBuckets = 5)
+      .orderBy($"bucket").as[(Int, Long, Long, Double)].collect()
+    assert(p1.forall(_._4 == 0.0), p1.toSeq.toString)
+    // A entirely in buckets 0-1, B entirely in buckets 3-4 → at bucket 2
+    // the CDFs are 1 and 0: D = 1.0
+    val shifted = ((0 until 100).map(i => (i % 20, true)) ++
+      (0 until 100).map(i => (30 + i % 20, false))).toDF("v", "in_a")
+    val p2 = Drift.ksProfile(shifted, $"v", $"in_a", width = 10, nBuckets = 5)
+      .orderBy($"bucket").as[(Int, Long, Long, Double)].collect()
+    assert(p2.head._1 == -1 && p2.head._4 == 1.0, p2.toSeq.toString)
+    // cumulatives in the summary are the totals
+    assert(p2.head._2 == 100L && p2.head._3 == 100L)
+  }
+
   test("empty buckets stay on the spine with smoothed (non-NaN) terms") {
     val df = Seq((0, true), (0, false)).toDF("v", "in_a")
     val p = Drift.psiProfile(df, $"v", $"in_a", width = 10, nBuckets = 3)

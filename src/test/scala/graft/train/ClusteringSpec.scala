@@ -132,6 +132,25 @@ class ClusteringSpec extends SparkSpec {
     assert(p(3)._2 == 0 && p(3)._3 == 0L)
   }
 
+  test("dyadicSpanProfile: native rolling-hash windows match the declarative rendering") {
+    // overlapping repeats, within-doc dups, short docs, non-ASCII, and a
+    // supplementary-plane char (code-point vs code-unit trap)
+    val docs = Seq(
+      (1L, "abcabcabcabcabcabcabcabc zz " + "q" * 40),
+      (2L, "xxabcabcabcabcabcabcabcabcxx"),
+      (3L, "héllo wörld héllo wörld héllo wörld héllo wörld"),
+      (4L, "héllo wörld héllo wörld héllo wörld héllo wörld ok"),
+      (5L, "😀abcdefgh😀abcdefgh😀abcdefgh"),
+      (6L, "short")
+    ).toDF("doc_id", "text")
+    val native = Dedup.dyadicSpanProfile(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect().toSeq
+    val decl = Dedup.dyadicSpanProfileDeclarative(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect().toSeq
+    assert(native == decl, s"native $native vs declarative $decl")
+    assert(native(2)._2 >= 32) // the repeated héllo-wörld span is long
+  }
+
   test("dyadicSpanProfile: an exact duplicate certifies at the top level") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog, twice over " + "x" * 40),
