@@ -1573,6 +1573,16 @@ object TrainQueries {
         |  SELECT -1, max(cum_a), max(cum_b), max(gap) FROM g)
         |ORDER BY bucket""".stripMargin),
 
+    // ── MMR diverse selection (Carbonell & Goldstein 1998): greedy k=8,
+    //    λ=0.7 in exact tenths, micro-unit dots, ties to smaller id; each
+    //    round ONE argmax aggregate with the ≤k selected vectors inlined
+    //    as literals — the oracle unrolls the 8 greedy rounds as CTEs ──
+    "emb_mmr_select" -> QueryDef(
+      (spark, dir) => graft.sim.Mmr.selectDiverse(
+        Tables.embeddings(spark, dir), k = 8, lambdaTenths = 7)
+        .orderBy(col("rank")),
+      mmrSql(8)),
+
     // ── Lloyd's k-means over embeddings (k=8, 2 iterations): md5-ranked
     //    seeds, micro-unit-rounded centroids, exact-integer Euclidean
     //    scores 2⟨v,c⟩−‖c‖² — the whole index build replays in SQL ──
@@ -1646,6 +1656,42 @@ object TrainQueries {
     * (2⟨v,c⟩ − ‖c‖²) with (score DESC, cid) argmax. Ends at `a2`
     * (vec_id, cid).
     */
+  /** DuckDB rendering of the k-round MMR greedy loop: round r's pick is a
+    * 1-row materialized CTE; candidates cross-join the previous picks and
+    * take greatest() of the micro-unit sims. Mirrors Mmr.selectDiverse
+    * exactly (λ = 7 tenths, ties to smaller id, round 1 relevance-only).
+    */
+  private def mmrSql(k: Int): String = {
+    val sb = new StringBuilder(
+      "WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),\n" +
+      "base AS MATERIALIZED (\n" +
+      "  SELECT vec_id AS id, embedding AS v,\n" +
+      "    CAST(floor(list_inner_product(embedding::DOUBLE[],\n" +
+      "      (SELECT qv FROM q)::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS rel\n" +
+      "  FROM embeddings),\n" +
+      "s1 AS MATERIALIZED (SELECT id, v, 7 * rel AS score FROM base\n" +
+      "  ORDER BY score DESC, id ASC LIMIT 1)")
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"s$i")
+      val sims = prev.map(p =>
+        s"CAST(floor(list_inner_product(b.v::DOUBLE[], $p.v::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)")
+      val maxSim = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(", ")})"
+      val notIn = prev.map(p => s"b.id <> $p.id").mkString(" AND ")
+      sb.append(",\n" +
+        s"s$r AS MATERIALIZED (SELECT b.id, b.v,\n" +
+        s"  7 * b.rel - 3 * $maxSim AS score\n" +
+        s"  FROM base b, ${prev.mkString(", ")}\n" +
+        s"  WHERE $notIn\n" +
+        s"  ORDER BY score DESC, b.id ASC LIMIT 1)")
+    }
+    sb.append("\n" +
+      (1 to k).map(r => s"SELECT $r AS rank, id AS vec_id, score FROM s$r")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank")
+    sb.toString
+  }
+
   private lazy val kmeansSql: String =
     """WITH micro AS (
       |  SELECT vec_id, list_transform(embedding,
