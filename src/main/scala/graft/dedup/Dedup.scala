@@ -247,7 +247,12 @@ object Dedup {
     // (id, pk) is distinct ⇒ count(*) per pk counts docs
     val shared = w.groupBy(col("pk")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("pk"))
-    val hits = w.join(shared, Seq("pk"))
+    // merge hint: post-checkpoint stats are unknown, and left to itself
+    // Catalyst broadcasts `shared` — a frame that grows WITH the corpus
+    // (measured: 10× data → driver-side collect of ~15M keys, 18.7× time;
+    // with SMJ the join stays partition-local on the existing pk
+    // partitioning and the probe ratio drops to ~linear)
+    val hits = w.join(shared.hint("merge"), Seq("pk"))
       .select(col("id"), col("pk").bitwiseAND(lit(127L)).cast("int").as("lvl"))
       .localCheckpoint(eager = false)
     val mx = hits.select(col("id"), col("lvl")).distinct()
