@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated TESTDATA star schema (TESTDATA.md).
   * One parquet file per table under `\$sfDir/<name>.parquet`.
@@ -18,11 +18,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by the
-    * Verify/Bench sessions). The data is µs-aligned, so expose `ts` as a
-    * proper timestamp (lossless) plus the raw `ts_ns` long — mirroring the
-    * reference's epoch-nanos event timestamps held as integers
+  /** `events.ts` arrives either as parquet TIMESTAMP(NANOS) — which Spark
+    * only reads as a long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by the Verify/Bench sessions) — or as TIMESTAMP(MICROS) without
+    * UTC adjustment, which Spark 4 reads as TIMESTAMP_NTZ. Normalize both
+    * to the same shape: `ts` as a proper UTC timestamp plus the raw
+    * `ts_ns` epoch-nanos long — mirroring the reference's epoch-nanos
+    * event timestamps held as integers
     * (lib/tre_lib/tre_lib/message.py:125-126).
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -35,7 +37,12 @@ object Tables {
         // measurable fraction of rows (observed 127/1000 at sf0.001)
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        // NTZ→TIMESTAMP cast is lossless under the session's UTC zone
+        // (Sessions.builder pins spark.sql.session.timeZone=UTC);
+        // unix_micros itself rejects TIMESTAMP_NTZ input in Spark 4.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

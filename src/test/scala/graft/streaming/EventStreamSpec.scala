@@ -103,13 +103,22 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == "TDR-B" && r._3 == "retry"))
   }
 
+  /** events.ts is a nanos long under old testdata, TIMESTAMP_NTZ under
+    * new (µs) testdata — normalize to TIMESTAMP either way (UTC session).
+    */
+  private def tsAsTimestamp(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   test("session_window aggregation runs under streaming") {
     val dir = Files.createTempDirectory("sessstream")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .limit(300).coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
     val schema = spark.read.parquet(dir.toString + "/in").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/in")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = tsAsTimestamp(spark.readStream.schema(schema).parquet(dir.toString + "/in"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -129,8 +138,7 @@ class EventStreamSpec extends SparkSpec {
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .limit(200).coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
     val schema = spark.read.parquet(dir.toString + "/in").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/in")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = tsAsTimestamp(spark.readStream.schema(schema).parquet(dir.toString + "/in"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
