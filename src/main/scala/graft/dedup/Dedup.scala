@@ -129,6 +129,50 @@ object Dedup {
       .select(col("i"), col("j"), col("containment"))
   }
 
+  /** Winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash the POSITIONAL n-gram sequence (no
+    * distinct — winnowing is order-aware), slide a `window`-wide frame
+    * over it, and keep each frame's minimum hash, ties broken by the
+    * RIGHTMOST position. The selected fingerprints are a guaranteed
+    * cover: any shared run of ≥ window+n-1 tokens between two docs shares
+    * at least one fingerprint, while only ~2/(window+1) of positions are
+    * kept — the density/guarantee trade the paper proves optimal.
+    *
+    * Determinism + oracle: the min-with-rightmost-tie is packed into one
+    * integer key `h·2²⁰ + (2²⁰−1−pos)` so a plain windowed `min` computes
+    * it in any engine (docs are capped ≪ 2²⁰ shingles by construction);
+    * h is the first 5 md5 hex digits (20 bits — collisions only ever ADD
+    * a candidate pair, the usual fingerprinting posture).
+    *
+    * Scale shape: per-doc windows (partitioned by doc — never global),
+    * one shuffle of the distinct (doc, h) fingerprints on h for the
+    * candidate self-join — the winnowed analogue of the shingle join,
+    * at ~2/(window+1) of its volume. Frequent-fingerprint buckets (stop
+    * phrases) can be capped exactly like LSH buckets if a corpus needs it.
+    */
+  def winnowPairs(docs: DataFrame, n: Int, window: Int, minShared: Long,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = spread(docs)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingles(col(textCol), n)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        (conv(substring(md5(col("s")), 1, 5), 16, 10).cast("long") * 1048576L +
+          (lit(1048575L) - col("pos"))).as("key"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val fps = keyed
+      .select(col("id"), min(col("key")).over(w).as("mk"))
+      .select(col("id"), expr("mk DIV 1048576").as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    fps.as("x").join(fps.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("d1"), col("y.id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("d1"), col("d2"), col("shared"))
+  }
+
   /** Per-doc duplicated-span profile over fixed-length character windows
     * (Lee et al. 2022-style substring dedup, approximated with strided
     * windows): hash every `winLen`-char window at `stride` offsets, count

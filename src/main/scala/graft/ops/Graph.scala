@@ -171,6 +171,105 @@ object Graph {
       .select(col("node"), col("deg"), col("r"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * made deterministic: every node starts labelled with its own id, and
+    * each round adopts the label most frequent among its neighbours,
+    * ties broken by the SMALLEST label — argmax rendered as
+    * `max(struct(count, -label))` so the whole round is two hash
+    * aggregates, engine-exact and replayable by a plain SQL engine
+    * (the oracle unrolls rounds as chained CTEs with
+    * `row_number() OVER (ORDER BY c DESC, lab)`), unlike the
+    * random-order asynchronous original.
+    *
+    * Scale shape per round: one edge⋈label equi-join on the node key
+    * (size-gated SHUFFLE_HASH — the label frame is node-grain, ≤ edge
+    * rows since callers pass undirected both-direction edges) and two
+    * map-combined aggregates at the (dst,lab) then dst grain. Fixed
+    * round count, lazy localCheckpoints — the Clustering/PageRank loop
+    * pattern. Node ids must be non-negative (the `-label` tie-break
+    * trick needs a sign-safe domain).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val edgeBytes = graft.ops.Hints.estimatedBytes(edges)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(graft.ops.Hints.shuffleHashIfFits(labels, edgeBytes),
+          e("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  /** Bounded-round k-core peeling: each round recomputes degrees over
+    * the surviving canonical edge list (`a` < `b`, one row per edge) and
+    * drops every node with degree < k plus its edges. The classic
+    * fixpoint terminates in O(peeling depth) rounds; a FIXED round count
+    * keeps the computation engine-exact and oracle-replayable (chained
+    * CTEs), and bounds driver rounds at 100 TB — callers pick `rounds`
+    * ≥ the expected peeling depth and can verify convergence by
+    * comparing consecutive-round outputs. Output: (node, deg) for nodes
+    * still meeting the degree bar on the final edge set.
+    *
+    * Scale shape per round: one map-combined degree aggregate + two
+    * left-semi joins on the endpoint keys — never more than the edge
+    * list on the wire.
+    */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcoreWith(pairs, p => p.sparkSession.range(1).select(lit(k.toLong).as("k")),
+      rounds)
+
+  /** k-core with k tied to the graph's own density: k = (2|E|·num) DIV
+    * (|V|·den) — a fixed fraction of the mean degree. An absolute k
+    * cannot track a growing corpus (the co-purchase graph's mean degree
+    * rises with scale); the relative bar peels the sparse tail at every
+    * scale without the collapse a bar at-or-above the mean triggers on
+    * degree-concentrated graphs (measured: k = mean empties this graph
+    * in ≤3 rounds at every SF; k = 0.8·mean keeps a stable core).
+    */
+  def kcoreMeanFrac(pairs: DataFrame, num: Int, den: Int,
+                    rounds: Int): DataFrame =
+    kcoreWith(pairs, { p =>
+      val e2 = p.agg((count(lit(1)) * 2 * num).as("twoE"))
+      val v = p.select(col("a").as("node"))
+        .unionAll(p.select(col("b").as("node")))
+        .agg((countDistinct(col("node")) * den).as("vd"))
+      e2.crossJoin(v).select(expr("twoE DIV vd").as("k"))
+    }, rounds)
+
+  /** Shared peeling loop; `mkK` builds a ONE-ROW (k) frame from the
+    * initial edge list — broadcast into every round's filter (the 1-row
+    * stat-aggregate crossJoin pattern), so nothing touches the driver.
+    */
+  private def kcoreWith(pairs: DataFrame, mkK: DataFrame => DataFrame,
+                        rounds: Int): DataFrame = {
+    var p = pairs.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val kdf = broadcast(mkK(p).localCheckpoint(eager = false))
+    for (_ <- 1 to rounds) {
+      val deg = p.select(col("a").as("node"))
+        .unionAll(p.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.crossJoin(kdf).filter(col("deg") >= col("k"))
+        .select(col("node"))
+      p = p
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = false)
+    }
+    p.select(col("a").as("node")).unionAll(p.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .crossJoin(kdf).filter(col("deg") >= col("k"))
+      .select(col("node"), col("deg"))
+  }
+
   /** Bounded-hop BFS distance labels from a source set: frontier
     * expansion, one node-key equi-join per hop, left-anti against the
     * settled labels so each node is labelled at its FIRST (minimum) hop —

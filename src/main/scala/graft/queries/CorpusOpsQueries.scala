@@ -808,8 +808,90 @@ object CorpusOpsQueries {
           .orderBy(col("r").desc, col("node"))
           .limit(30)
       },
-      pprSql(3))
+      pprSql(3)),
+
+    // ── label-propagation communities: deterministic synchronous LPA
+    //    (most-frequent neighbour label, ties → smallest), 3 rounds over
+    //    the supplier/customer bipartite graph; oracle unrolls the rounds
+    //    with row_number argmax ──
+    "graph_communities_lpa" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey").cast("long") * 2).as("sn"),
+            (col("o_custkey").cast("long") * 2 + 1).as("cn"))
+        graft.ops.Graph
+          .labelPropagation(graft.ops.Graph.undirectedEdges(li, "sn", "cn"),
+            rounds = 3)
+          .groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("lab"))
+      },
+      lpaSql(3)),
+
+    // ── k-core: bounded-round degree peeling over the co-purchase graph
+    //    with the bar tied to the graph's own density (k = 0.8·mean
+    //    degree — an absolute k can't track a growing corpus); oracle
+    //    replays the same rounds as chained CTEs ──
+    "graph_kcore" -> QueryDef(
+      (spark, dir) => graft.ops.Graph
+        .kcoreMeanFrac(copurchasePairs(spark, dir), num = 4, den = 5,
+          rounds = 3)
+        .orderBy(col("node")),
+      kcoreSql(num = 4, den = 5, rounds = 3))
   )
+
+  /** Chained-CTE replay of deterministic synchronous label propagation:
+    * per round one neighbour-label count + a row_number argmax with the
+    * same (count DESC, label ASC) tie order as `Graph.labelPropagation`.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"c$i AS (SELECT e.dst AS node, l.lab, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),\n" +
+        s"l$i AS (SELECT node, lab FROM (SELECT node, lab, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn " +
+        s"FROM c$i) WHERE rn = 1)"
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) * 2 AS a,
+       |    CAST(o.o_custkey AS BIGINT) * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$steps
+       |SELECT lab, count(*) AS n_nodes FROM l$rounds
+       |GROUP BY 1 ORDER BY lab""".stripMargin
+  }
+
+  /** Chained-CTE replay of bounded-round relative k-core peeling:
+    * k = (2|E|·num) DIV (|V|·den) from the initial graph, then per round
+    * one degree count over both endpoints + two keep-joins, as
+    * `Graph.kcoreMeanFrac`.
+    */
+  private def kcoreSql(num: Int, den: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"d$i AS (SELECT node, count(*) AS deg FROM " +
+        s"(SELECT a AS node FROM p${i - 1} UNION ALL SELECT b FROM p${i - 1}) " +
+        s"GROUP BY 1),\n" +
+        s"k$i AS (SELECT node FROM d$i, kv WHERE deg >= kv.k),\n" +
+        s"p$i AS (SELECT p.a, p.b FROM p${i - 1} p " +
+        s"JOIN k$i x ON p.a = x.node JOIN k$i y ON p.b = y.node)"
+    }.mkString(",\n")
+    s"""WITH p0 AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |deg0 AS (SELECT node, count(*) AS deg FROM
+       |  (SELECT a AS node FROM p0 UNION ALL SELECT b FROM p0) GROUP BY 1),
+       |kv AS (SELECT ((SELECT 2 * count(*) FROM p0) * $num)
+       |    // ((SELECT count(*) FROM deg0) * $den) AS k),
+       |$steps
+       |SELECT node, deg FROM (
+       |  SELECT node, count(*) AS deg FROM
+       |    (SELECT a AS node FROM p$rounds UNION ALL SELECT b FROM p$rounds)
+       |  GROUP BY 1)
+       |WHERE deg >= (SELECT k FROM kv) ORDER BY node""".stripMargin
+  }
 
   /** Chained-CTE replay of personalized PageRank: per round one
     * contribution sum + one seed-base left join, exactly as

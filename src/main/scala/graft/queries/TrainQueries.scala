@@ -749,6 +749,82 @@ object TrainQueries {
          |  (CAST(sum(bits) AS BIGINT) * 100) // count(*) AS avg_bits_x100
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ── winnowing fingerprints (MOSS): per-doc windowed-min over the
+    //    positional shingle-hash sequence (ties → rightmost, packed into
+    //    one integer key so plain `min` decides both), then a candidate
+    //    join on the fingerprint — guaranteed to catch any shared run of
+    //    ≥ window+n-1 tokens at ~2/(window+1) of the shingle-join volume ──
+    "dedup_winnow_pairs" -> QueryDef(
+      (spark, dir) => Dedup
+        .winnowPairs(Tables.documents(spark, dir), n = 3, window = 4,
+          minShared = 3)
+        .orderBy(col("d1"), col("d2")),
+      s"""WITH tt AS (SELECT doc_id AS id,
+         |    CASE WHEN len($toksSql) >= 3
+         |      THEN list_transform(generate_series(1, len($toksSql)-2),
+         |             i -> array_to_string(($toksSql)[i:i+2], ' '))
+         |      ELSE [array_to_string($toksSql, ' ')] END AS sh
+         |  FROM documents),
+         |e0 AS (SELECT id, unnest(list_transform(generate_series(1, len(sh)),
+         |    i -> struct_pack(pos := i - 1,
+         |      h := CAST(list_sum(list_transform(generate_series(1, 5),
+         |        j -> (strpos('0123456789abcdef', substr(md5(sh[i]), j, 1)) - 1)
+         |             * (16 ** (5 - j)))) AS BIGINT)))) AS s
+         |  FROM tt),
+         |e AS (SELECT id, s.pos AS pos,
+         |    s.h * 1048576 + (1048575 - s.pos) AS key FROM e0),
+         |m AS (SELECT id, min(key) OVER (PARTITION BY id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk FROM e),
+         |f AS (SELECT DISTINCT id, mk // 1048576 AS h FROM m)
+         |SELECT x.id AS d1, y.id AS d2, count(*) AS shared
+         |FROM f x JOIN f y ON x.h = y.h AND x.id < y.id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY d1, d2""".stripMargin),
+
+    // ── CCNet-style perplexity buckets: per-language surprisal terciles
+    //    (head/middle/tail) over the add-1 bigram LM score — the
+    //    standard LM-quality partition of a web corpus before sampling ──
+    "train_ppl_buckets" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val sc = graft.text.LmScore
+          .surprisal(docs, col("doc_id"), col("text"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("avg_bits_x100"), col("doc_id"))
+        sc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(w))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("avg_bits_x100")).as("sum_avg_x100"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+         |  FROM tk WHERE len(t) >= 2),
+         |bgr AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM b),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(t) AS w FROM tk)),
+         |sc AS (SELECT doc_id,
+         |    CAST(length(printf('%b', c1 + v)) - length(printf('%b', c12 + 1))
+         |      AS BIGINT) AS bits
+         |  FROM bgr JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+         |av AS (SELECT doc_id,
+         |    (CAST(sum(bits) AS BIGINT) * 100) // count(*) AS avg_bits_x100
+         |  FROM sc GROUP BY doc_id),
+         |l AS (SELECT av.doc_id, d.lang, av.avg_bits_x100
+         |  FROM av JOIN documents d USING (doc_id)),
+         |bk AS (SELECT lang, CAST(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY avg_bits_x100, doc_id) AS INT) AS bucket, avg_bits_x100
+         |  FROM l)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(avg_bits_x100) AS BIGINT) AS sum_avg_x100
+         |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
+
     // ── corpus n-gram frequency profile (vocabulary statistics) ──
     "text_top_ngrams" -> QueryDef(
       (spark, dir) => {

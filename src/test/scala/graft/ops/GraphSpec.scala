@@ -91,4 +91,37 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(again == got)
   }
+
+  test("labelPropagation: two cliques joined by one bridge edge split into two communities") {
+    // cliques {1,2,3,4} and {10,11,12,13}, bridge 4-10
+    def clique(ns: Seq[Long]) =
+      for (i <- ns; j <- ns if i < j) yield (i, j)
+    val und = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L)
+    val edges = Graph.undirectedEdges(und.toDF("a", "b"), "a", "b")
+    val labs = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // each clique converges to ONE label; min tie-break keeps them distinct
+    assert(Set(1L, 2L, 3L).map(labs) == Set(labs(2L)) && labs(2L) <= 4L)
+    assert(Set(11L, 12L, 13L).map(labs) == Set(labs(11L)) && labs(11L) >= 10L)
+    assert(labs(2L) != labs(11L))
+    // deterministic under repartitioning (argmax is order-free)
+    val again = Graph.labelPropagation(edges.repartition(7), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == labs)
+  }
+
+  test("kcore: pendant chain peels off, clique core survives; relative k matches") {
+    // K4 on {1,2,3,4} plus a chain 4-5-6 (deg(5)=2, deg(6)=1)
+    val pairs = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))).toDF("a", "b")
+    val core3 = Graph.kcore(pairs, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // 6 peels (deg 1), then 5 (deg 1 after), K4 survives at deg 3
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // relative bar: mean degree = 2·8/6 = 2.67 → k = (2·8·4) DIV (6·5) = 2;
+    // 6 peels round 1, stranding 5 at deg 1 → peels round 2, K4 remains
+    val rel = Graph.kcoreMeanFrac(pairs, num = 4, den = 5, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rel == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("winnowPairs: shared long run is caught, disjoint docs are not; repartition-stable") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, s"start one two $shared end marker one"),
+      (2L, s"other prefix words here $shared trailing bits"),
+      (3L, "completely different content with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    // guarantee: any shared run of ≥ window+n-1 = 6 tokens shares ≥1 fingerprint
+    val got = Dedup.winnowPairs(docs, n = 3, window = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val again = Dedup.winnowPairs(docs.repartition(5), n = 3, window = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("LSH bucket cap prunes a degenerate mega-bucket but keeps true dups") {
     // degenerate corpus: every doc opens with the same boilerplate
     // 3-gram, so one shingle lands in ~every doc and its band buckets go
