@@ -683,19 +683,7 @@ object Dedup {
     */
   def blockDedup(docs: DataFrame, blockLen: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val nBlocks = ceil(length(t) / lit(blockLen.toDouble)).cast("int")
-    // empty-text guard: sequence(0, -1) would generate a DESCENDING range
-    val blocksArr = when(length(t) > 0,
-      transform(sequence(lit(0), nBlocks - 1),
-        i => t.substr(i * blockLen + 1, lit(blockLen))))
-      .otherwise(array().cast("array<string>"))
-    val blocks = spread(docs).select(col(idCol).as("id"), posexplode(blocksArr))
-      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block")
-    val w = Window.partitionBy(md5(col("block")))
-      .orderBy(col("id"), col("block_idx"))
-    val perDoc = blocks
-      .withColumn("first", row_number().over(w) === 1)
+    val perDoc = firstOccurrenceBlocks(docs, blockLen, idCol, textCol)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
@@ -706,5 +694,47 @@ object Dedup {
       .select(col("id"), coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** Materialize the substring-deduped CORPUS: surviving first-occurrence
+    * blocks reassembled in document order. `blockDedup` audits the dedup
+    * (counts + hash); this is the transformed-text artifact the pipeline
+    * actually writes back out before tokenization. Same two shuffles
+    * (block-hash window, doc rollup); the reassembly is a per-doc
+    * collect_list — bounded by the doc, never the corpus.
+    */
+  def blockCleanText(docs: DataFrame, blockLen: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = firstOccurrenceBlocks(docs, blockLen, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(concat_ws("", array_sort(collect_list(
+        when(col("first"), struct(col("block_idx"), col("block")))))
+        .getField("block")).as("text_clean"))
+    docs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+  }
+
+  /** (id, block_idx, block, first) — non-overlapping `blockLen`-char
+    * blocks with the corpus-wide first-occurrence flag (lowest doc id,
+    * then earliest position, wins). One shuffle on the block hash.
+    */
+  private def firstOccurrenceBlocks(docs: DataFrame, blockLen: Int,
+                                    idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nBlocks = ceil(length(t) / lit(blockLen.toDouble)).cast("int")
+    // empty-text guard: sequence(0, -1) would generate a DESCENDING range
+    val blocksArr = when(length(t) > 0,
+      transform(sequence(lit(0), nBlocks - 1),
+        i => t.substr(i * blockLen + 1, lit(blockLen))))
+      .otherwise(array().cast("array<string>"))
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col("id"), col("block_idx"))
+    spread(docs).select(col(idCol).as("id"), posexplode(blocksArr))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block")
+      .withColumn("first", row_number().over(w) === 1)
   }
 }

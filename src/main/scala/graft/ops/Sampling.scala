@@ -85,6 +85,32 @@ object Sampling {
         .cast("long") - 1)
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-training
+    * p_l ∝ n_l^α rebalance, here the common α = ½ "T=2" case): stratum
+    * weights are INTEGER floor-sqrts of the observed counts — `sqrt` is
+    * IEEE-correctly-rounded in every engine (unlike `pow`/`ln`, which
+    * drift in the last ulp across libm builds and would flake the hash
+    * gate), and flooring a correctly-rounded sqrt of a non-square can
+    * never straddle an integer. Rates then follow the mixture rule
+    * (scarcest-after-reweighting stratum in full, C = min n_l/w_l,
+    * r_l = min(1, C·w_l/n_l)) on exactly-representable doubles. The
+    * count aggregate collects #strata rows — languages, not data-scale.
+    */
+  def temperatureSqrt(df: DataFrame, keyCol: String,
+                      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSqrt: empty input")
+    val weights = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble))
+    }
+    val c = counts.map { case (s, n) => n / weights(s) }.min
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, c * weights(s) / n)
+    }
+    stratified(df, keyCol, stratumCol, rates, defaultRate = 0.0)
+  }
+
   /** Weighted sample-without-replacement via PRIORITY SAMPLING (Duffield,
     * Lund & Thorup 2007): each row gets priority q = w/u with u uniform
     * in (0,1], the k highest-priority rows are the sample, and the

@@ -326,6 +326,100 @@ object TrainQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
         |ORDER BY id""".stripMargin),
 
+    // ── substring-dedup corpus MATERIALIZATION: the cleaned text itself
+    //    (first-occurrence blocks reassembled), not just the audit counts —
+    //    what the pipeline writes back out before tokenization ──
+    "dedup_block_clean" -> QueryDef(
+      (spark, dir) => Dedup.blockCleanText(Tables.documents(spark, dir), 40)
+        .orderBy(col("id")),
+      """WITH b AS (
+        |  SELECT doc_id AS id,
+        |    unnest(generate_series(0, CAST(ceil(len(text)/40.0) AS INT) - 1)) AS block_idx,
+        |    unnest(list_transform(generate_series(0, CAST(ceil(len(text)/40.0) AS INT) - 1),
+        |      i -> substr(text, i*40 + 1, 40))) AS block
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (SELECT id, block_idx, block,
+        |        row_number() OVER (PARTITION BY md5(block)
+        |                           ORDER BY id, block_idx) = 1 AS first
+        |      FROM b),
+        |agg AS (
+        |  SELECT id, coalesce(string_agg(CASE WHEN first THEN block END, ''
+        |                                 ORDER BY block_idx), '') AS text_clean
+        |  FROM f GROUP BY id)
+        |SELECT d.doc_id AS id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(len(coalesce(a.text_clean, '')) AS BIGINT) AS n_chars_clean
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+        |ORDER BY id""".stripMargin),
+
+    // ── temperature-scaled mixture (p_l ∝ n_l^½, the multilingual "T=2"
+    //    rebalance): integer floor-sqrt weights (sqrt is correctly
+    //    rounded everywhere; pow is not), then the mixture rate rule ──
+    "sample_temperature" -> QueryDef(
+      (spark, dir) => graft.ops.Sampling
+        .temperatureSqrt(Tables.documents(spark, dir), "doc_id", "lang")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang")),
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, floor(sqrt(CAST(n AS DOUBLE))) AS w FROM n),
+        |c AS (SELECT min(CAST(n AS DOUBLE) / w) AS c FROM w),
+        |r AS (SELECT lang, least(1.0, ((SELECT c FROM c) * w) / n) AS rate
+        |      FROM w)
+        |SELECT d.lang, count(*) AS n_sampled
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+        |        AS INT) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+        |  < CAST(floor(r.rate * 65536) AS INT)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    // ── data-constrained scaling plan (Muennighoff et al. repeat
+    //    schedule): token budget = 4× the corpus, split by target
+    //    mixture weights; per source the wanted tokens, the epoch count
+    //    (capped at 4 repeats) and the effective tokens actually
+    //    servable. All integer arithmetic off one tiny per-lang agg ──
+    "train_epoch_plan" -> QueryDef(
+      (spark, dir) => {
+        val tok = Tables.documents(spark, dir)
+          .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"))
+          .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        val tot = tok.agg(sum(col("n_tokens")).as("tot"))
+        val wPm = when(col("lang") === "en", 500L)
+          .when(col("lang") === "es", 150L)
+          .when(col("lang") === "de", 150L)
+          .when(col("lang") === "fr", 100L)
+          .when(col("lang") === "zh", 100L)
+          .otherwise(0L)
+        tok.crossJoin(broadcast(tot))
+          .withColumn("w_pm", wPm)
+          .filter(col("w_pm") > 0)
+          .withColumn("want_tokens", expr("(tot * 4 * w_pm) DIV 1000"))
+          .withColumn("epochs",
+            least(expr("(want_tokens + n_tokens - 1) DIV n_tokens"), lit(4L)))
+          .withColumn("eff_tokens",
+            least(col("want_tokens"), col("n_tokens") * 4))
+          .select(col("lang"), col("n_tokens"), col("want_tokens"),
+            col("epochs"), col("eff_tokens"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tk AS (SELECT lang, len($toksSql) AS nt FROM documents),
+         |t AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |      FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM t),
+         |w AS (SELECT * FROM (VALUES ('en', 500), ('es', 150), ('de', 150),
+         |                            ('fr', 100), ('zh', 100)) AS v(lang, w_pm)),
+         |p AS (SELECT t.lang, t.n_tokens,
+         |        (tot.tot * 4 * w.w_pm) // 1000 AS want_tokens
+         |      FROM t JOIN w USING (lang) CROSS JOIN tot)
+         |SELECT lang, n_tokens, CAST(want_tokens AS BIGINT) AS want_tokens,
+         |  CAST(least((want_tokens + n_tokens - 1) // n_tokens, 4) AS BIGINT)
+         |    AS epochs,
+         |  CAST(least(want_tokens, n_tokens * 4) AS BIGINT) AS eff_tokens
+         |FROM p ORDER BY lang""".stripMargin),
+
     // ── end-to-end corpus dedup: pairs → connected components →
     //    representative survives (oracle: recursive-CTE transitive closure) ──
     "dedup_end_to_end" -> QueryDef(

@@ -34,6 +34,24 @@ class SamplingSpec extends SparkSpec {
     assert(maxN < 2 * 1000 / 8)
   }
 
+  test("temperatureSqrt flattens stratum shares toward sqrt weights; scarcest stays whole-ish") {
+    // 900 'big' vs 100 'small': α=½ targets shares ∝ 30:10, so small is
+    // upsampled RELATIVELY (kept in full) while big downsamples to
+    // C·w/n with C = min(n/w) = 100/10 = 10 → rate_big = 10·30/900 = 1/3
+    val docs = (0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small"))
+    val df = docs.toDF("doc_id", "lang")
+    val got = Sampling.temperatureSqrt(df, "doc_id", "lang")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(got("small") > 90)          // rate 1.0 modulo hash granularity
+    val bigShare = got("big").toDouble / 900
+    assert(bigShare > 0.25 && bigShare < 0.42)   // ≈ 1/3
+    // deterministic: same rows in, same rows out
+    val again = Sampling.temperatureSqrt(df.repartition(7), "doc_id", "lang")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("priority sample: k rows, ŵ = max(w, τ) ≥ w, heavy rows overrepresented") {
     // weights: ids 0..9 weigh 1000, ids 10..99 weigh 10
     val df = spark.range(100)

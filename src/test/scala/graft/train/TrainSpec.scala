@@ -203,6 +203,22 @@ class DedupSpec extends SparkSpec {
     assert(md5s.toSeq == ref)
   }
 
+  test("blockCleanText reassembles exactly the blocks blockDedup keeps") {
+    val a = "a" * 30 + " ten more."
+    val b = "b" * 33 + " seven."
+    val c = "c" * 31 + " nine mo."
+    val d = "d" * 32 + " eight.."
+    val docs = Seq(
+      (1L, a + b), (2L, b + c), (3L, a + b), (4L, d + d)
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockCleanText(docs, 40).orderBy($"id")
+      .select($"id", $"text_clean", $"n_chars", $"n_chars_clean")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, a + b, 80L, 80L), (2L, c, 80L, 40L),
+      (3L, "", 80L, 0L), (4L, d, 80L, 40L)))
+  }
+
   test("lshParams picks the S-curve crossing just below the target threshold") {
     // crossing ≈ (1/b)^(1/r) for k = b·r = 12:
     //   b=12,r=1 → 0.083   b=6,r=2 → 0.408   b=4,r=3 → 0.630
