@@ -38,4 +38,32 @@ object RangeJoin {
         p(ptCol) >= iv(startCol) && p(ptCol) < iv(endCol))
       .drop("_pb", "_ib")
   }
+
+  /** Interval × interval overlap join ([start, end) half-open on both
+    * sides, long units): both sides explode into the fixed-width buckets
+    * they span, match on the bucket id + exact overlap predicate, and
+    * each overlapping pair is counted EXACTLY ONCE by attributing it to
+    * the first bucket the pair shares — `bucket = max(⌊lStart/w⌋,
+    * ⌊rStart/w⌋)` — instead of a distinct pass over the duplicated
+    * matches. Cost scales with span/bucketWidth × rows, never |L|·|R|.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_lb",
+        explode(sequence(
+          floor(col(lStart) / bucketWidth),
+          floor((col(lEnd) - 1) / bucketWidth))))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_rb",
+        explode(sequence(
+          floor(col(rStart) / bucketWidth),
+          floor((col(rEnd) - 1) / bucketWidth))))
+    l.join(r, l("_lb") === r("_rb") &&
+        l(lStart) < r(rEnd) && r(rStart) < l(lEnd) &&
+        l("_lb") === greatest(
+          floor(l(lStart) / bucketWidth), floor(r(rStart) / bucketWidth)))
+      .drop("_lb", "_rb")
+  }
 }

@@ -249,6 +249,35 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |GROUP BY 1 ORDER BY pid""".stripMargin),
 
+    // ── interval×interval overlap (campaign windows vs incident
+    //    windows): bucketized equi-join with first-shared-bucket
+    //    attribution — one row per overlapping pair, no dedup pass;
+    //    oracle is the plain quadratic overlap join ──
+    "ev_interval_overlap" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val hourNs = 3600L * 1000000000L
+        val a = ev.filter(col("event_id") % 50 === 0)
+          .select(col("event_id").as("a_id"),
+            col("ts_ns").as("a_start"), (col("ts_ns") + 2 * hourNs).as("a_end"))
+        val b = ev.filter(col("event_id") % 73 === 0)
+          .select(col("event_id").as("b_id"),
+            (col("ts_ns") - hourNs).as("b_start"),
+            (col("ts_ns") + hourNs).as("b_end"))
+        graft.ops.RangeJoin
+          .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", hourNs)
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("a_id"))
+      },
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts_ns FROM events),
+        |a AS (SELECT event_id AS a_id, ts_ns AS a_start,
+        |        ts_ns + 7200000000000 AS a_end FROM e WHERE event_id % 50 = 0),
+        |b AS (SELECT event_id AS b_id, ts_ns - 3600000000000 AS b_start,
+        |        ts_ns + 3600000000000 AS b_end FROM e WHERE event_id % 73 = 0)
+        |SELECT a_id, count(*) AS n_overlaps
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |GROUP BY 1 ORDER BY a_id""".stripMargin),
+
     "ev_range_join" -> QueryDef(
       (spark, dir) => {
         val ev = Tables.events(spark, dir)

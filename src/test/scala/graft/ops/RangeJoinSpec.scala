@@ -31,6 +31,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalOverlap equals the naive overlap join, each pair exactly once, no BNLJ") {
+    val a = (0L until 60L).map(i => (i, i * 17L % 499L, i * 17L % 499L + 45L))
+      .toDF("a_id", "a_start", "a_end")
+    val b = (0L until 45L).map(i => (i, i * 23L % 503L, i * 23L % 503L + 70L))
+      .toDF("b_id", "b_start", "b_end")
+    val got = RangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", 64L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val naive = a.crossJoin(b)
+      .filter($"a_start" < $"b_end" && $"b_start" < $"a_end")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(naive.nonEmpty)
+    // set-equal AND multiplicity-equal (first-shared-bucket attribution)
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    val plan = RangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("intervals spanning many buckets and points on boundaries match exactly once") {
     val points = Seq((1L, 100L), (2L, 163L), (3L, 99L), (4L, 164L)).toDF("p_id", "p_ts")
     // one long interval [100, 164) spanning several width-16 buckets
