@@ -32,6 +32,22 @@ object Privacy {
       .agg(count(lit(1)).as("n_classes"),
         sum(col("class_size")).as("n_rows"))
 
+  /** l-diversity histogram (Machanavajjhala et al. 2007): per
+    * quasi-identifier class, the number of DISTINCT sensitive values,
+    * rolled up into a (l, n_classes, n_rows) histogram — `min(l)` over
+    * the result IS the dataset's l-diversity level. The complement to
+    * k-anonymity: a class can hold k rows yet leak the sensitive
+    * attribute outright when all k share one value. Same map-combined
+    * aggregate shape; the distinct is at the (class, sensitive) grain.
+    */
+  def lDiversityHistogram(df: DataFrame, quasi: Seq[Column],
+                          sensitive: Column): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(countDistinct(sensitive).as("l"), count(lit(1)).as("class_size"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+
   /** One generalization rung: a named projection of the quasi-identifier
     * set at some coarseness. All rungs must render to the same schema
     * (string quasi columns) so the chosen rung is export-stable.

@@ -397,6 +397,27 @@ object AnalyticsQueries {
          |  CAST(sum(class_size) AS BIGINT) AS n_rows
          |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin),
 
+    // ── l-diversity: distinct SENSITIVE values (market segment) per
+    //    quasi-identifier class — k rows that all share one segment still
+    //    leak it; min(l) is the export's diversity level ──
+    "privacy_l_div" -> QueryDef(
+      (spark, dir) => {
+        val base = privacyBase(spark, dir)
+        graft.ops.Privacy.lDiversityHistogram(base,
+          Seq(col("nat"), floor(col("cents") / lit(100000.0)).cast("long")),
+          col("seg"))
+          .orderBy(col("l"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |cls AS (
+         |  SELECT nat, CAST(floor(cents / 100000.0) AS BIGINT) AS bal,
+         |    CAST(count(DISTINCT seg) AS BIGINT) AS l,
+         |    CAST(count(*) AS BIGINT) AS class_size
+         |  FROM base GROUP BY 1, 2)
+         |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(class_size) AS BIGINT) AS n_rows
+         |FROM cls GROUP BY l ORDER BY l""".stripMargin),
+
     // ── generalization ladder to k=10: coarsen the quasi-identifier set
     //    (nation→region, segment→any, balance buckets→sign→suppressed)
     //    until every class reaches k; emits the chosen rung's class table.

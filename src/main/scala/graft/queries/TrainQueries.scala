@@ -707,6 +707,64 @@ object TrainQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── in-engine ANN quality audit: recall@5 of the IVF path against
+    //    the exact baseline, per query — the eval loop a pipeline runs
+    //    after every index-parameter change, as a first-class query
+    //    rather than an offline notebook ──
+    "ann_recall_audit" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val exact = Similarity
+          .topK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e, 5)
+          .select(col("qid"), col("nid"))
+        val ivf = Similarity
+          .ivfTopK(e, centroidMod = 37, nprobe = 2, k = 5, queryMod = 50)
+          .select(col("qid").as("iq"), col("nid").as("inid"))
+        exact.join(ivf,
+            col("qid") === col("iq") && col("nid") === col("inid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("iq")).as("n_hits"))
+          .withColumn("recall_x100", expr("n_hits * 100 DIV 5"))
+          .orderBy(col("qid"))
+      },
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    floor(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |ex AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s) WHERE rank <= 5),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id),
+        |iv AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs) WHERE rank <= 5)
+        |SELECT e.qid, CAST(count(i.nid) AS BIGINT) AS n_hits,
+        |  CAST((count(i.nid) * 100) // 5 AS BIGINT) AS recall_x100
+        |FROM ex e LEFT JOIN iv i ON e.qid = i.qid AND e.nid = i.nid
+        |GROUP BY 1 ORDER BY e.qid""".stripMargin),
+
     // ── group centroids (mean pooling) in fixed-point micro-units:
     //    sum+count determine the centroid exactly — integer accumulation
     //    is order-independent, a double mean would hash-drift ──

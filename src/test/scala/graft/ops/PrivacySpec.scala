@@ -19,6 +19,18 @@ class PrivacySpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
 
+  test("lDiversityHistogram: a uniform class has l=1 even when k-anonymous") {
+    val rows = Seq(
+      // class (aa): 3 rows, all sensitive 'S' → l=1 (k-anonymous, leaks)
+      ("aa", "S"), ("aa", "S"), ("aa", "S"),
+      // class (bb): 2 rows, 2 distinct sensitives → l=2
+      ("bb", "S"), ("bb", "T")
+    ).toDF("city", "diag")
+    val h = Privacy.lDiversityHistogram(rows, Seq($"city"), $"diag")
+      .orderBy($"l").as[(Long, Long, Long)].collect().toSeq
+    assert(h == Seq((1L, 1L, 3L), (2L, 1L, 2L)))
+  }
+
   test("generalizeToK picks the first rung whose min class size reaches k") {
     val rungs = Seq(
       Privacy.Rung("fine", Seq("g" -> $"city", "b" -> $"band")),
