@@ -35,6 +35,13 @@ object Bench {
     }
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => }
+    // javax.imageio's first use scans the plugin registry (a multi-second
+    // one-time cost) — warm it here so it doesn't land on whichever
+    // mm_* query touches the real codec path first (local mode = one JVM,
+    // so a driver-side round-trip warms the executor threads too)
+    try graft.mm.Multimodal.decodeImage(
+      graft.mm.Multimodal.encodeGrayPng(Array.tabulate(16)(identity), 4, 4))
+    catch { case _: Throwable => }
     // deterministic name order: timings comparable across rounds, and a
     // slow query can't masquerade under whatever HashMap order puts after it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
