@@ -117,6 +117,56 @@ object CurationQueries {
         |    || chr(776) || 'ber caf' || chr(233) || ' :: ' || substr(text, 1, 12))) AS INT) AS n_after
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── entity resolution end-to-end: the ED≤1 linkage pairs feed
+    //    connected components (pointer doubling), dirty/clean record ids
+    //    disambiguated onto odd/even keys; output is the entity-size
+    //    histogram — matched records collapsed into entities ──
+    "fuzzy_entities" -> QueryDef(
+      (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+        val clean = base.select(col("doc_id").as("cid"), col("name"))
+        val dirty = base.select(col("doc_id").as("did"),
+          expr("concat(substring(name, 1, CAST(doc_id % 12 + 6 AS INT)), " +
+            "substring(name, CAST(doc_id % 12 + 8 AS INT)))").as("dname"))
+        val pairs = Linkage
+          .fuzzyPairs(dirty, "did", "dname", clean, "cid", "name", maxDist = 1)
+          .select((col("i") * 2 + 1).as("i"), (col("j") * 2).as("j"))
+        graft.dedup.Dedup.clusters(pairs)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_entities"))
+          .orderBy(col("sz"))
+      },
+      """WITH RECURSIVE b AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),
+        |d AS (SELECT doc_id AS i,
+        |    substr(name, 1, CAST(doc_id % 12 + 6 AS INT))
+        |      || substr(name, CAST(doc_id % 12 + 8 AS INT)) AS dname
+        |  FROM b),
+        |c AS (SELECT doc_id AS j, name FROM b),
+        |dk AS (SELECT i, 'P' AS tag, substr(dname, 1, 6) AS key FROM d
+        |       UNION ALL SELECT i, 'S', right(dname, 6) FROM d),
+        |ck AS (SELECT j, 'P' AS tag, substr(name, 1, 6) AS key FROM c
+        |       UNION ALL SELECT j, 'S', right(name, 6) FROM c),
+        |sc AS (SELECT i, j FROM d, c
+        |       WHERE len(dname) <= 13 AND len(name) <= 13),
+        |cand AS (SELECT DISTINCT i, j FROM
+        |  (SELECT i, j FROM dk JOIN ck USING (tag, key)
+        |   UNION ALL SELECT i, j FROM sc)),
+        |fp AS (SELECT i, j FROM cand JOIN d USING (i) JOIN c USING (j)
+        |       WHERE levenshtein(dname, name) <= 1),
+        |pe AS (SELECT i * 2 + 1 AS i, j * 2 AS j FROM fp),
+        |edges AS (SELECT i AS src, j AS dst FROM pe UNION SELECT j, i FROM pe),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src),
+        |szs AS (SELECT cluster, count(*) AS sz FROM labels GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS sz, count(*) AS n_entities
+        |FROM szs GROUP BY 1 ORDER BY sz""".stripMargin),
+
     // ── fuzzy record linkage: dirty titles (one planted char deletion)
     //    matched to the clean catalog within edit distance 1 via
     //    two-ended blocking (prefix-6 OR suffix-6 survives any single
