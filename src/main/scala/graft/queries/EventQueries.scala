@@ -109,6 +109,30 @@ object EventQueries {
 
     // ── sessionization: 30-min inactivity gap (gaps-and-islands; the
     //    streaming form is session_window/flatMapGroupsWithState) ──
+    // ── behavioral Markov transitions: per-user event-type bigrams in
+    //    time order → the corpus-wide transition count matrix (the
+    //    first-order behavior model behind next-action prediction and
+    //    anomaly scoring). Per-user windows only — never a global sort ──
+    "ev_markov_transitions" -> QueryDef(
+      (spark, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(spark, dir)
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("curr"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev"), col("curr"))
+      },
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS curr, count(*) AS n
+        |FROM s WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev, curr""".stripMargin),
+
     "ev_sessionize" -> QueryDef(
       (spark, dir) => {
         val byUser = Window.partitionBy(col("user_id"))
