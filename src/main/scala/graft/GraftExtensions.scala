@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by", "bounded-heap top-k aggregate: array<struct<nid,sim,rank>>"),
       (args: Seq[Expression]) => TopKByDescExpr(args(0), args(1),
         intArg(args(2), "k")).toAggregateExpression()))
+    // optimizer rewrite: un-thresholded levenshtein comparisons in
+    // Filter/Join conditions take the banded early-abandon form
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
   }
 }
 
@@ -89,6 +92,8 @@ object GraftExtensions {
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    org.apache.spark.sql.graftbridge.addOptimization(
+      spark, graft.plans.LevenshteinGuardRule)
   }
 
   private def lit(e: Expression, what: String): Int = e match {

@@ -28,4 +28,13 @@ package object graftbridge {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Register an optimizer rule once per session (idempotent). */
+  def addOptimization(spark: SparkSession,
+                      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }
