@@ -50,6 +50,21 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("representative"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the copy from the most TRUSTED source: per
+    * content hash, the surviving row minimizes (priority, id) — curated
+    * corpora beat crawl copies, with the id as the deterministic tie.
+    * Same single hash-shuffle as [[exact]]; the argmin is one
+    * `min(struct(...))` partial aggregate, no window.
+    */
+  def exactByPriority(docs: DataFrame, priority: org.apache.spark.sql.Column,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(struct(priority.as("pri"), col(idCol).as("id"))).as("kept"),
+        count(lit(1)).as("n_dups"))
+      .select(col("content_hash"), col("kept.id").as("kept_id"),
+        col("kept.pri").as("kept_pri"), col("n_dups"))
+
   /** Near-exact dedup on a normalized prefix fingerprint (first k tokens). */
   def byPrefixFingerprint(docs: DataFrame, k: Int,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =

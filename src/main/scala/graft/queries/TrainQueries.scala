@@ -164,6 +164,24 @@ object TrainQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── exact dedup with source priority: the surviving copy comes from
+    //    the most trusted source (numeric source rank, id tie-break) —
+    //    curated beats crawl; argmin as one min(struct) partial agg ──
+    "dedup_source_priority" -> QueryDef(
+      (spark, dir) => Dedup.exactByPriority(Tables.documents(spark, dir),
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"))
+        .orderBy(col("content_hash")),
+      """WITH h AS (SELECT sha256(text) AS content_hash, doc_id,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS pri
+        |  FROM documents),
+        |r AS (SELECT content_hash, doc_id, pri,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY pri, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n
+        |  FROM h)
+        |SELECT content_hash, doc_id AS kept_id, pri AS kept_pri,
+        |  CAST(n AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1 ORDER BY content_hash""".stripMargin),
+
     // ── near-exact dedup on 8-token prefix fingerprint ──
     "dedup_prefix_fp" -> QueryDef(
       (spark, dir) => Dedup.byPrefixFingerprint(Tables.documents(spark, dir), 8)

@@ -102,6 +102,18 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exactByPriority keeps the lowest-(priority, id) copy per content") {
+    val docs = Seq(
+      (10L, "same text", 5L), (3L, "same text", 2L), (7L, "same text", 2L),
+      (1L, "unique text", 9L)
+    ).toDF("doc_id", "text", "pri")
+    val got = Dedup.exactByPriority(docs, col("pri"))
+      .select($"kept_id", $"kept_pri", $"n_dups")
+      .as[(Long, Long, Long)].collect().toSet
+    // dup group: pri 2 beats 5; within pri 2, id 3 beats 7
+    assert(got == Set((3L, 2L, 3L), (1L, 9L, 1L)))
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
