@@ -479,6 +479,103 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(gifFramesSchema))
 
+  /** Minimal ISO-BMFF (MP4) container shell: `ftyp` + `moov(mvhd)` — the
+    * box structure every real MP4 opens with; a metadata scan never needs
+    * the codec payload. mvhd version 0, unity matrix, planted
+    * (timescale, duration). The fixture/ingest side of [[mp4Meta]].
+    */
+  def encodeMp4Shell(timescale: Int, durationUnits: Long): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(20 + 8 + 108)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    buf.putInt(20); fourcc("ftyp")                        // ftyp box
+    fourcc("isom"); buf.putInt(0); fourcc("iso2")
+    buf.putInt(8 + 108); fourcc("moov")                   // moov wraps mvhd
+    buf.putInt(108); fourcc("mvhd")
+    buf.putInt(0)                                         // version 0 + flags
+    buf.putInt(0).putInt(0)                               // ctime, mtime
+    buf.putInt(timescale)
+    buf.putInt(durationUnits.toInt)
+    buf.putInt(0x00010000).putShort(0x0100.toShort)       // rate, volume
+    buf.putShort(0).putInt(0).putInt(0)                   // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(buf.putInt)                                // unity matrix
+    (1 to 6).foreach(_ => buf.putInt(0))                  // pre_defined
+    buf.putInt(1)                                         // next_track_ID
+    buf.array()
+  }
+
+  /** ISO-BMFF box walk — the scan any conforming MP4 reader starts
+    * with: step top-level boxes by their big-endian sizes to `moov`,
+    * step its children to `mvhd`, read (timescale, duration) honoring
+    * both version 0 (32-bit) and version 1 (64-bit) layouts. Returns
+    * None for non-BMFF bytes, truncated boxes, or a missing mvhd — the
+    * codec-free video-container metadata scan (decode itself stays
+    * stubbed; codecs aren't in this container).
+    */
+  def mp4Meta(content: Array[Byte]): Option[(Int, Long)] = {
+    def be(off: Int, n: Int): Long =
+      (0 until n).map(i => (content(off + i) & 0xffL) << (8 * (n - 1 - i))).sum
+    def tag(off: Int): String =
+      if (off + 4 > content.length) ""
+      else new String(content, off, 4, "US-ASCII")
+    def walk(from: Int, until: Int, want: String): Option[Int] = {
+      var off = from
+      while (off + 8 <= until) {
+        val sz = be(off, 4)
+        if (sz < 8 || off + sz > until) return None
+        if (tag(off + 4) == want) return Some(off)
+        off += sz.toInt
+      }
+      None
+    }
+    if (content.length < 8) return None
+    for {
+      moov <- walk(0, content.length, "moov")
+      mvhd <- walk(moov + 8, moov + be(moov, 4).toInt, "mvhd")
+      if mvhd + 12 <= content.length
+    } yield {
+      val version = content(mvhd + 8) & 0xff
+      if (version == 1)
+        (be(mvhd + 28, 4).toInt, be(mvhd + 32, 8))
+      else
+        (be(mvhd + 20, 4).toInt, be(mvhd + 24, 4))
+    }
+  }
+
+  /** Encode (id, timescale, duration) rows into MP4 shells — the
+    * mapPartitions batch shape shared by every codec stage.
+    */
+  def encodeMp4Stage(df: DataFrame, idCol: String, timescaleCol: String,
+                     durationCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    df.select(col(idCol).cast("long"), col(timescaleCol).cast("int"),
+        col(durationCol).cast("long"))
+      .mapPartitions { it =>
+        it.map(r => Row(r.getLong(0), encodeMp4Shell(r.getInt(1), r.getLong(2))))
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("timescale", IntegerType),
+    StructField("duration_units", LongType)))
+
+  /** Container-metadata scan stage: MP4 bytes → (media_id, timescale,
+    * duration_units). Unparseable rows are dropped — DLQ upstream.
+    */
+  def mp4MetaStage(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          mp4Meta(r.getAs[Array[Byte]](1)).map { case (ts, dur) =>
+            Row(r.getLong(0), ts, dur)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(mp4MetaSchema))
+
   /** Deterministic fake decode: "dimensions" derived from the byte length,
     * "frames" are md5s of fixed-stride byte windows. The remaining honest
     * stand-in for audio/video codecs (not in this container); PNG content

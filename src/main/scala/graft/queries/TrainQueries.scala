@@ -1430,6 +1430,29 @@ object TrainQueries {
         |  16 AS bits_per_sample
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── multimodal: real ISO-BMFF (MP4) container round-trip — write a
+    //    structurally valid ftyp+moov(mvhd) shell per doc, scan it back
+    //    with the box walker (codec-free container metadata, the pass a
+    //    video pipeline runs long before any decode) ──
+    "mm_mp4_meta" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            ((pmod(col("doc_id"), lit(3)) + 1) * 1000).cast("int").as("ts_scale"),
+            ((pmod(col("doc_id"), lit(7)) + 1) * 600).cast("long").as("dur"))
+        val media = Multimodal.encodeMp4Stage(docs, "doc_id", "ts_scale", "dur")
+        Multimodal.mp4MetaStage(media)
+          .select(col("media_id").as("doc_id"), col("timescale"),
+            col("duration_units"),
+            expr("duration_units * 1000 DIV timescale").as("duration_ms"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST((doc_id % 3 + 1) * 1000 AS INT) AS timescale,
+        |  CAST((doc_id % 7 + 1) * 600 AS BIGINT) AS duration_units,
+        |  ((doc_id % 7 + 1) * 600 * 1000) // ((doc_id % 3 + 1) * 1000) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── multimodal: frame sampling over byte windows (stride 50, ≤8) ──
     "mm_frame_sample" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

@@ -439,6 +439,29 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[org.apache.spark.sql.Row]("j") == null)
   }
 
+  test("mp4 shell round-trips through the box walker; v1 and junk handled") {
+    val bytes = Multimodal.encodeMp4Shell(timescale = 90000, durationUnits = 450000L)
+    assert(Multimodal.mp4Meta(bytes).contains((90000, 450000L)))
+    // a conforming reader skips unknown top-level boxes before moov
+    val free = java.nio.ByteBuffer.allocate(12)
+      .putInt(12).put("free".getBytes("US-ASCII")).putInt(0).array()
+    assert(Multimodal.mp4Meta(free ++ bytes.drop(20)).contains((90000, 450000L)))
+    // mvhd version 1 (64-bit times): hand-build the layout
+    val v1 = {
+      val b = java.nio.ByteBuffer.allocate(8 + 8 + 120)
+      b.putInt(8 + 8 + 120).put("moov".getBytes("US-ASCII"))
+      b.putInt(120).put("mvhd".getBytes("US-ASCII"))
+      b.putInt(0x01000000)              // version 1
+      b.putLong(0L).putLong(0L)         // ctime, mtime (64-bit)
+      b.putInt(1000).putLong(2500L)     // timescale, duration (64-bit)
+      while (b.hasRemaining) b.put(0.toByte)
+      b.array()
+    }
+    assert(Multimodal.mp4Meta(v1).contains((1000, 2500L)))
+    assert(Multimodal.mp4Meta("not a container".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(bytes.take(30)).isEmpty) // truncated moov
+  }
+
   test("wavMeta parses a canonical hand-written 44.1kHz stereo header") {
     // ground truth, independent of wavHeader: RIFF....WAVEfmt <16,PCM>
     // channels=2 (0200), rate=44100 (44AC0000), byteRate, align, bits=16
