@@ -109,6 +109,33 @@ object EventQueries {
 
     // ── sessionization: 30-min inactivity gap (gaps-and-islands; the
     //    streaming form is session_window/flatMapGroupsWithState) ──
+    // ── rate-limit audit: events beyond N per (user, day) flagged in
+    //    arrival order (ts, event_id total order) — the abuse/quota
+    //    scan; windows stay at the (user, day) grain ──
+    "ev_rate_limit_audit" -> QueryDef(
+      (spark, dir) => {
+        val limit = 3
+        val byUserDay = Window
+          .partitionBy(col("user_id"), expr("ts_ns DIV 86400000000000"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(spark, dir)
+          .withColumn("seq", row_number().over(byUserDay))
+          .filter(col("seq") > limit)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_throttled"),
+            min(col("event_id")).as("first_throttled"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+        |                       ORDER BY epoch_ns(ts), event_id) AS seq
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_throttled,
+        |  min(event_id) AS first_throttled
+        |FROM e WHERE seq > 3
+        |GROUP BY 1 ORDER BY user_id""".stripMargin),
+
     // ── behavioral Markov transitions: per-user event-type bigrams in
     //    time order → the corpus-wide transition count matrix (the
     //    first-order behavior model behind next-action prediction and
