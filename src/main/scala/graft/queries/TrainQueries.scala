@@ -630,6 +630,47 @@ object TrainQueries {
         |WHERE floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
         |ORDER BY i, j""".stripMargin),
 
+    // ── candidate-pair similarity histogram: the LSH candidate set
+    //    (UNthresholded) bucketed into sim deciles — the curve that picks
+    //    the near-dup threshold and audits the index's candidate quality.
+    //    Deciles bin the INTEGER micro-sim (shifted non-negative so
+    //    Spark DIV and DuckDB // agree) — no float boundary can drift ──
+    "emb_sim_histogram" -> QueryDef(
+      (spark, dir) => Similarity
+        .nearDupPairsLsh(Tables.embeddings(spark, dir), threshold = -1.0,
+          tables = 24, planes = 4, dims = 64)
+        .withColumn("micro", expr("CAST(floor(sim * 1000000 + 0.5) AS BIGINT)"))
+        .groupBy(expr("(micro + 1000000) DIV 100000 - 10").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("decile")),
+      """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
+        |                        (SELECT unnest(generate_series(0, 3)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS i, b.id AS j
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+        |micros AS (
+        |  SELECT CAST(floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM cand JOIN embeddings qa ON i = qa.vec_id
+        |            JOIN embeddings qb ON j = qb.vec_id)
+        |SELECT (micro + 1000000) // 100000 - 10 AS decile, count(*) AS n_pairs
+        |FROM micros GROUP BY 1 ORDER BY decile""".stripMargin),
+
     // ── brute-force cosine top-k (exact ANN baseline; ranks on rounded
     //    sims + id tiebreak ⇒ fully deterministic) ──
     "ann_topk" -> QueryDef(
