@@ -30,6 +30,40 @@ object RefOpQueries {
         |  regexp_extract(trim(substring(line, 65)), '([^/]*)$', 1) AS basename
         |FROM lines ORDER BY checksum""".stripMargin),
 
+    // ── S1 via the DataSource V2 connector: write the same manifest
+    //    lines to real files, read them back through
+    //    format("graft.sources.ManifestDataSource") — the file-source
+    //    leg (file-grain partitions, pruning-capable scan) under the
+    //    same oracle as the columnar parse ──
+    "s1_manifest_v2_source" -> QueryDef(
+      (spark, dir) => {
+        val out = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_manifest_v2_${dir.replaceAll("[^a-z0-9.]", "_")}")
+        out.mkdirs()
+        val lines = Tables.documents(spark, dir)
+          .select(col("source"),
+            concat(sha2(col("text"), 256), lit("  "),
+              lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
+              lit(".txt")).as("line"))
+          .collect().groupBy(_.getString(0))
+        lines.foreach { case (src, rows) =>
+          java.nio.file.Files.write(out.toPath.resolve(s"manifest-$src.txt"),
+            rows.map(_.getString(1)).sorted.mkString("", "\n", "\n")
+              .getBytes("UTF-8"))
+        }
+        spark.read.format("graft.sources.ManifestDataSource")
+          .load(out.toString)
+          .orderBy(col("checksum"))
+      },
+      """WITH lines AS (
+        |  SELECT sha256(text) || '  ' || 'data/' || source || '/doc_' || doc_id || '.txt' AS line
+        |  FROM documents)
+        |SELECT lower(substring(line, 1, 64)) AS checksum,
+        |  trim(substring(line, 65)) AS file,
+        |  regexp_extract(trim(substring(line, 65)), '([^/]*)$', 1) AS basename
+        |FROM lines ORDER BY checksum""".stripMargin),
+
     // ── S2: key:value side-file parse, left-most separator (object_lib.py:211-228) ──
     "s2_keyvalue_parse" -> QueryDef(
       (spark, dir) => {
