@@ -559,6 +559,44 @@ object TrainQueries {
          |FROM s JOIN documents d USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
 
+    // ── code-vs-prose detection (StarCoder-style corpus routing):
+    //    integer symbol/keyword evidence per doc — code-symbol density
+    //    per 10k chars, code-keyword hits — and the routing flag; pure
+    //    columnar, all-integer so the gate can't drift ──
+    "text_code_detect" -> QueryDef(
+      (spark, dir) => {
+        val symbols = length(col("text")) -
+          length(regexp_replace(col("text"), "[{}();=\\[\\]<>]", ""))
+        val kw = size(expr(
+          "regexp_extract_all(lower(text), " +
+            "'\\\\b(def|class|return|import|void|public|function|var|let|const)\\\\b', 0)"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            (symbols * 10000L).cast("long").as("sym10k_num"),
+            greatest(length(col("text")), lit(1)).cast("long").as("n_chars"),
+            kw.cast("long").as("kw_hits"))
+          .withColumn("sym_per_10k", expr("sym10k_num DIV n_chars"))
+          .withColumn("is_code",
+            (col("sym_per_10k") >= 300 || col("kw_hits") >= 3).cast("int"))
+          .select(col("doc_id"), col("sym_per_10k"), col("kw_hits"),
+            col("is_code"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(regexp_replace(text, '[{}();=\[\]<>]', '', 'g')))
+        |      * 10000 AS sym10k_num,
+        |    greatest(length(text), 1) AS n_chars,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(def|class|return|import|void|public|function|var|let|const)\b'))
+        |      AS kw_hits
+        |  FROM documents)
+        |SELECT doc_id, sym10k_num // n_chars AS sym_per_10k,
+        |  CAST(kw_hits AS BIGINT) AS kw_hits,
+        |  CAST(CASE WHEN sym10k_num // n_chars >= 300 OR kw_hits >= 3
+        |       THEN 1 ELSE 0 END AS INT) AS is_code
+        |FROM f ORDER BY doc_id""".stripMargin),
+
     // ── quality scoring (length/stopword/alpha features) ──
     // binary-double rounding (floor(x·1e4+0.5)/1e4) on BOTH sides — see
     // TextAnalysis.round4; engine round() disagrees on repr-boundary rows
