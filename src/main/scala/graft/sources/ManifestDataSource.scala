@@ -43,6 +43,55 @@ class ManifestDataSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Write side: each task renders its partition's (checksum, file) rows
+  * back to manifest lines in one `part-<pid>.manifest` file (64-char
+  * lower-hex digest + two spaces + path — the exact fixed-width format
+  * the read side and the reference's checksum_lib parse), then commits
+  * by renaming from a task-attempt staging name — the standard
+  * write-task protocol, so failed/speculative attempts never surface.
+  */
+private class ManifestWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  require(schema.fieldNames.take(2).sameElements(Array("checksum", "file")),
+    s"manifest write needs (checksum, file [, ...]) columns, got " +
+      schema.fieldNames.mkString(","))
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new ManifestWriterFactory(path)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+private class ManifestWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fs = new Path(path).getFileSystem(new Configuration())
+      private val staged = new Path(path, s".part-$partitionId-$taskId.manifest.inprogress")
+      private val out = fs.create(staged, true)
+      private val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"))
+      override def write(r: InternalRow): Unit = {
+        val checksum = r.getUTF8String(0).toString.toLowerCase(java.util.Locale.ROOT)
+        require(checksum.length == 64, s"not a 64-hex digest: $checksum")
+        w.write(checksum); w.write("  "); w.write(r.getUTF8String(1).toString)
+        w.write("\n")
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        w.close()
+        fs.rename(staged, new Path(path, s"part-$partitionId.manifest"))
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = { w.close(); fs.delete(staged, false); () }
+      override def close(): Unit = ()
+    }
+}
+
 object ManifestDataSource {
   val schema: StructType = StructType(Seq(
     StructField("checksum", StringType),
@@ -65,14 +114,21 @@ object ManifestDataSource {
   }
 }
 
-private class ManifestTable(path: String) extends Table with SupportsRead {
-  require(path != null, "manifest source needs a load(path)")
+private class ManifestTable(path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(path != null, "manifest source needs a load(path)/save(path)")
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = ManifestDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ManifestWriteBuilder(path, info.schema())
 }
 
 private class ManifestScanBuilder(path: String)

@@ -37,6 +37,28 @@ class ManifestSourceSpec extends SparkSpec {
       .rdd.getNumPartitions == 2)
   }
 
+  test("write side round-trips through the read side in manifest format") {
+    val out = Files.createTempDirectory("manifestw").toString
+    val df = Seq(
+      (digest("x").toUpperCase, "data/x.docx"),
+      (digest("y"), "deep/path/y.json")
+    ).toDF("checksum", "file")
+    df.coalesce(1).write.format("graft.sources.ManifestDataSource")
+      .mode("append").save(out)
+    // on-disk bytes are the reference's fixed-width format
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".manifest"))
+    assert(files.length == 1)
+    val text = new String(Files.readAllBytes(files.head.toPath), "UTF-8")
+    assert(text.contains(digest("x") + "  data/x.docx\n"))
+    // and the read side parses them back (digest case-folded on write)
+    val back = spark.read.format("graft.sources.ManifestDataSource").load(out)
+      .orderBy($"file").select($"checksum", $"file", $"basename")
+      .as[(String, String, String)].collect().toSeq
+    assert(back == Seq(
+      (digest("x"), "data/x.docx", "x.docx"),
+      (digest("y"), "deep/path/y.json", "y.json")))
+  }
+
   test("column pruning reaches the scan (ReadSchema carries only the projection)") {
     val pruned = spark.read.format("graft.sources.ManifestDataSource").load(dir)
       .select($"basename")
