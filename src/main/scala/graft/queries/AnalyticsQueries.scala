@@ -87,6 +87,88 @@ object AnalyticsQueries {
     //    share decide salting vs AQE skew-join BEFORE the join runs.
     //    p99 from the exact count histogram (two tiny aggregations past
     //    the one key-grain count) ──
+    // ── zone-map data-skipping audit: per-shard min/max "footer stats"
+    //    under TWO physical layouts of the same rows — key-clustered
+    //    shards (l_orderkey DIV 500: every shard spans the full date
+    //    range) vs time-partitioned shards (year*100+month of l_shipdate:
+    //    the ingest-order layout). A 3-month predicate then consults ONLY
+    //    the zone maps to decide scan-vs-skip per shard, and the audit
+    //    proves pruning is lossless: rows matched inside scanned shards
+    //    == rows matched by the full scan. This is the file-skipping
+    //    planner a 100 TB table lives or dies by — the zone-map frame is
+    //    shard-grain (kilobytes), the decision join is a broadcast, and
+    //    the result quantifies WHY layout choice matters: the key layout
+    //    skips 0 shards, the time layout skips all but the 3-4 the
+    //    predicate touches. No global sort anywhere: both shard keys are
+    //    pure row-local expressions, stats are one map-combined agg. ──
+    "q_zonemap_skip" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir).select(
+          col("l_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("t"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+        val lo = unix_micros(lit("1997-06-01").cast("timestamp"))
+        val hi = unix_micros(lit("1997-09-01").cast("timestamp"))
+        def audit(layout: String, shard: org.apache.spark.sql.Column) = {
+          val rows = li.select(shard.cast("long").as("shard"), col("t"))
+          val zones = rows.groupBy(col("shard")).agg(
+            min(col("t")).as("zmin"), max(col("t")).as("zmax"),
+            count(lit(1)).as("n_rows"))
+            .withColumn("scan", !(col("zmax") < lo || col("zmin") >= hi))
+          val pruned = rows
+            .join(broadcast(zones.filter(col("scan"))
+              .select(col("shard").as("s2"))), col("shard") === col("s2"))
+            .agg(count(lit(1)).as("rows_scanned"),
+              sum(when(col("t") >= lo && col("t") < hi, 1L).otherwise(0L))
+                .as("rows_matched_pruned"))
+          val full = li.agg(
+            count(lit(1)).as("rows_total"),
+            sum(when(col("t") >= lo && col("t") < hi, 1L).otherwise(0L))
+              .as("rows_matched_full"))
+          zones.agg(
+            count(lit(1)).as("n_shards"),
+            sum(when(col("scan"), 1L).otherwise(0L)).as("n_scan"),
+            sum(when(!col("scan"), 1L).otherwise(0L)).as("n_skip"))
+            .crossJoin(pruned).crossJoin(full)
+            .select(lit(layout).as("layout"), col("n_shards"), col("n_scan"),
+              col("n_skip"), col("rows_total"), col("rows_scanned"),
+              col("rows_matched_pruned"), col("rows_matched_full"),
+              (col("rows_matched_pruned") === col("rows_matched_full"))
+                .as("lossless"))
+        }
+        audit("key", expr("l_orderkey DIV 500"))
+          .unionByName(audit("time", col("ym")))
+          .orderBy(col("layout"))
+      },
+      """WITH li AS (SELECT l_orderkey, epoch_us(l_shipdate) AS t FROM lineitem),
+        |b AS (SELECT epoch_us(TIMESTAMP '1997-06-01') AS lo,
+        |             epoch_us(TIMESTAMP '1997-09-01') AS hi),
+        |r AS (SELECT 'key' AS layout, l_orderkey // 500 AS shard,
+        |        epoch_us(l_shipdate) AS t FROM lineitem
+        |      UNION ALL
+        |      SELECT 'time', year(l_shipdate) * 100 + month(l_shipdate),
+        |        epoch_us(l_shipdate) FROM lineitem),
+        |z AS (SELECT layout, shard, min(t) AS zmin, max(t) AS zmax,
+        |        count(*) AS n_rows FROM r GROUP BY 1, 2),
+        |zs AS (SELECT z.*, NOT (zmax < lo OR zmin >= hi) AS scan FROM z, b),
+        |shards AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS n_scan,
+        |    CAST(sum(CASE WHEN scan THEN 0 ELSE 1 END) AS BIGINT) AS n_skip
+        |  FROM zs GROUP BY 1),
+        |pruned AS (SELECT r.layout, CAST(count(*) AS BIGINT) AS rows_scanned,
+        |    CAST(sum(CASE WHEN r.t >= b.lo AND r.t < b.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rows_matched_pruned
+        |  FROM r JOIN zs ON r.layout = zs.layout AND r.shard = zs.shard, b
+        |  WHERE zs.scan GROUP BY 1),
+        |fl AS (SELECT CAST(count(*) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN t >= lo AND t < hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rows_matched_full FROM li, b)
+        |SELECT s.layout, s.n_shards, s.n_scan, s.n_skip, f.rows_total,
+        |  p.rows_scanned, p.rows_matched_pruned, f.rows_matched_full,
+        |  p.rows_matched_pruned = f.rows_matched_full AS lossless
+        |FROM shards s JOIN pruned p ON s.layout = p.layout, fl f
+        |ORDER BY s.layout""".stripMargin),
+
     "q_skew_metrics" -> QueryDef(
       (spark, dir) => {
         val k = Tables.lineitem(spark, dir)

@@ -616,6 +616,86 @@ object CorpusOpsQueries {
         |WHERE cum*100 >= p*n AND (cum - n_b)*100 < p*n
         |ORDER BY grp, p""".stripMargin),
 
+    // ── sketch quantiles via a MERGEABLE deterministic uniform sample:
+    //    per group keep the k=256 rows with the SMALLEST md5(event_id)
+    //    48-bit prefix (a bottom-k / KMV-style sample — order-independent,
+    //    so partial buffers merge associatively). The heavy lifting is the
+    //    bounded-heap topk_by aggregate: ≤k rows per group per partition
+    //    reach the shuffle, so a 100 TB group costs the same exchange bytes
+    //    as a 1 GB one — the whole point vs an exact full-sort quantile.
+    //    Estimate = positional quantile over the sorted sample; the exact
+    //    positional quantile rides along as the AUDIT leg (one window sort
+    //    — at corpus scale you ship only the sketch half). Deterministic
+    //    md5 ordering makes the sample itself oracle-replayable: DuckDB
+    //    sorts the same 12-hex prefix lexicographically (= numerically for
+    //    fixed-width hex). 48-bit keys are exact in the heap's Double
+    //    score; ties (P ≈ n²/2^49) break by value on both sides. ──
+    "stats_sketch_quantiles" -> QueryDef(
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val k = 256
+        val c = Tables.events(spark, dir).select(
+          col("event_type").as("grp"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        val agg = c.groupBy(col("grp")).agg(
+          graft.functions.topk_by(-col("h").cast("double"), col("cents"), k)
+            .as("samp"),
+          count(lit(1)).as("n"))
+        val ps = Seq(25, 50, 75).toDF("p")
+        val est = agg
+          .withColumn("vals", array_sort(expr("transform(samp, x -> x.nid)")))
+          .withColumn("m", size(col("vals")).cast("long"))
+          .join(broadcast(ps))
+          .withColumn("est_c",
+            expr("element_at(vals, CAST((p * m + 99) DIV 100 AS INT))"))
+          .select(col("grp"), col("p"), col("n"), col("m"), col("est_c"))
+        // audit leg: exact positional quantile — target ranks are a
+        // 15-row broadcast (group × p), so the fact side sorts once
+        val targets = agg.join(broadcast(ps))
+          .select(col("grp").as("tg"), col("p").as("tp"),
+            expr("CAST((p * n + 99) DIV 100 AS BIGINT)").as("tr"))
+        val ranked = c.withColumn("r",
+          row_number().over(Window.partitionBy(col("grp"))
+            .orderBy(col("cents"), col("h"))).cast("long"))
+        val exact = ranked
+          .join(broadcast(targets), col("grp") === col("tg") && col("r") === col("tr"))
+          .select(col("grp").as("g2"), col("tp").as("p2"), col("cents").as("exact_c"))
+        est.join(exact, col("grp") === col("g2") && col("p") === col("p2"))
+          .select(col("grp"), col("p"), col("n"), col("m"), col("est_c"),
+            col("exact_c"), abs(col("est_c") - col("exact_c")).as("err_c"))
+          .orderBy(col("grp"), col("p"))
+      },
+      """WITH c AS (SELECT event_type AS grp,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS h
+        |  FROM events),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |samp AS (SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h, cents) AS rh
+        |  FROM c QUALIFY rh <= 256),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY 1),
+        |sr AS (SELECT grp, cents,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS rs
+        |  FROM samp),
+        |ps AS (SELECT unnest([25, 50, 75]) AS p),
+        |est AS (SELECT sr.grp, ps.p, sr.cents AS est_c
+        |  FROM sr JOIN m ON sr.grp = m.grp
+        |  JOIN ps ON sr.rs = (ps.p * m.m + 99) // 100),
+        |ex AS (SELECT t.grp, ps.p, t.cents AS exact_c
+        |  FROM (SELECT grp, cents,
+        |          CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, h)
+        |            AS BIGINT) AS r FROM c) t
+        |  JOIN n ON t.grp = n.grp
+        |  JOIN ps ON t.r = (ps.p * n.n + 99) // 100)
+        |SELECT est.grp, CAST(est.p AS INT) AS p, n.n, m.m, est.est_c,
+        |  ex.exact_c, abs(est.est_c - ex.exact_c) AS err_c
+        |FROM est JOIN ex ON est.grp = ex.grp AND est.p = ex.p
+        |JOIN n ON est.grp = n.grp JOIN m ON est.grp = m.grp
+        |ORDER BY est.grp, est.p""".stripMargin),
+
     // ── BPE merge training: 10 greedy merge rounds on the word-frequency
     //    table; literal-replace merge semantics identical across engines,
     //    oracle unrolls rounds as chained CTEs ──

@@ -27,7 +27,12 @@ import scala.jdk.CollectionConverters._
   * column pruning (`SupportsPushDownRequiredColumns`) so
   * `.select("file")` never materializes the checksum or basename —
   * the same pruning contract the parquet scans honor, visible as the
-  * pruned `ReadSchema` in explain output. Parsing matches
+  * pruned `ReadSchema` in explain output — plus exact filter pushdown
+  * (`SupportsPushDownFilters`: equality / IN / prefix / suffix /
+  * contains and their boolean combinations over all three columns),
+  * evaluated against the raw line BEFORE any InternalRow materializes,
+  * with fully-handled predicates dropped from the post-scan residual.
+  * Parsing matches
   * `TextTables.parseManifest` byte-for-byte (lower-hex digest, trimmed
   * path, `/`-basename) — ManifestSourceSpec pins the two against each
   * other.
@@ -98,6 +103,56 @@ object ManifestDataSource {
     StructField("file", StringType),
     StructField("basename", StringType)))
 
+  import org.apache.spark.sql.sources._
+
+  /** True when the source can evaluate the filter EXACTLY against a parsed
+    * manifest line (all three columns are non-null strings, so the
+    * supported set is the string-predicate family + boolean combinations).
+    * Fully-handled filters are dropped from the post-scan residual — the
+    * row never materializes to an InternalRow, which is the entire win:
+    * at fleet scale a selective basename/prefix probe over thousands of
+    * side-file manifests does no row conversion for non-matching lines.
+    */
+  private[sources] def supportsFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String)          => schema.fieldNames.contains(a)
+    case In(a, vs)                      => schema.fieldNames.contains(a) && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _)         => schema.fieldNames.contains(a)
+    case StringEndsWith(a, _)           => schema.fieldNames.contains(a)
+    case StringContains(a, _)           => schema.fieldNames.contains(a)
+    case IsNotNull(a)                   => schema.fieldNames.contains(a)
+    case IsNull(a)                      => schema.fieldNames.contains(a)
+    case And(l, r)                      => supportsFilter(l) && supportsFilter(r)
+    case Or(l, r)                       => supportsFilter(l) && supportsFilter(r)
+    case Not(c)                         => supportsFilter(c)
+    case _                              => false
+  }
+
+  /** Evaluate a pushed filter against one parsed line. */
+  private[sources] def evalFilter(f: Filter, checksum: String, file: String,
+                                  base: String): Boolean = {
+    def v(attr: String): String = attr match {
+      case "checksum" => checksum
+      case "file"     => file
+      case "basename" => base
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    f match {
+      case EqualTo(a, value: String)  => v(a) == value
+      case In(a, vs)                  => vs.exists(_ == v(a))
+      case StringStartsWith(a, p)     => v(a).startsWith(p)
+      case StringEndsWith(a, s)       => v(a).endsWith(s)
+      case StringContains(a, s)       => v(a).contains(s)
+      case IsNotNull(_)               => true // manifest fields never null
+      case IsNull(_)                  => false
+      case And(l, r)                  => evalFilter(l, checksum, file, base) &&
+                                         evalFilter(r, checksum, file, base)
+      case Or(l, r)                   => evalFilter(l, checksum, file, base) ||
+                                         evalFilter(r, checksum, file, base)
+      case Not(c)                     => !evalFilter(c, checksum, file, base)
+      case other => throw new IllegalArgumentException(s"unpushable filter $other")
+    }
+  }
+
   /** One row from one manifest line, projected to `required`. */
   private[sources] def parseLine(line: String,
                                  required: StructType): InternalRow = {
@@ -132,19 +187,34 @@ private class ManifestTable(path: String)
 }
 
 private class ManifestScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
   private var required: StructType = ManifestDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order for a deterministic row layout
     required = StructType(ManifestDataSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new ManifestScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(ManifestDataSource.supportsFilter)
+    pushed = ours
+    // evaluation is exact (not a pruning heuristic), so handled filters
+    // need no post-scan re-check — only the residual goes back to Spark
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ManifestScan(path, required, pushed)
 }
 
-private class ManifestScan(path: String, required: StructType)
+private class ManifestScan(path: String, required: StructType,
+                           pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"ManifestScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -157,12 +227,13 @@ private class ManifestScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required)
+    new ManifestReaderFactory(required, pushed)
 }
 
 private case class ManifestFilePartition(file: String) extends InputPartition
 
-private class ManifestReaderFactory(required: StructType)
+private class ManifestReaderFactory(required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
@@ -172,9 +243,19 @@ private class ManifestReaderFactory(required: StructType)
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
       private var current: String = _
+      private def passes(line: String): Boolean = {
+        if (pushed.isEmpty) true
+        else {
+          val checksum = line.take(64).toLowerCase(java.util.Locale.ROOT)
+          val f = line.drop(64).trim
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          pushed.forall(ManifestDataSource.evalFilter(_, checksum, f, base))
+        }
+      }
       override def next(): Boolean = {
         current = reader.readLine()
-        while (current != null && current.isEmpty) current = reader.readLine()
+        while (current != null && (current.isEmpty || !passes(current)))
+          current = reader.readLine()
         current != null
       }
       override def get(): InternalRow =

@@ -59,6 +59,35 @@ class ManifestSourceSpec extends SparkSpec {
       (digest("y"), "deep/path/y.json", "y.json")))
   }
 
+  test("filter pushdown: handled predicates reach the scan and leave no residual") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    // supported predicate → lands in the scan description, no Filter node
+    val eq = base.filter($"basename" === "a.docx")
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(basename,a.docx)"), plan) // in PushedFilters
+    assert(!plan.contains("Filter ("), plan) // fully handled — no residual
+    assert(eq.select($"file").as[String].collect().toSeq == Seq("data/dir/a.docx"))
+    // filter on a column the projection drops still pushes (reader parses
+    // the line either way; the row materializes only the projection)
+    val prefixed = base.filter($"file".startsWith("data/"))
+      .select($"basename").as[String].collect().sorted.toSeq
+    assert(prefixed == Seq("a.docx", "b.docx"))
+    // boolean combination pushes as one predicate
+    val or = base.filter($"basename" === "c.json" || $"file".endsWith("b.docx"))
+    assert(or.queryExecution.executedPlan.toString.contains("Or(EqualTo"), or)
+    assert(or.select($"basename").as[String].collect().sorted.toSeq ==
+      Seq("b.docx", "c.json"))
+  }
+
+  test("unsupported predicates stay as a post-scan residual and still evaluate") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    // length() is not in the pushable set — must survive as a Filter node
+    val odd = base.filter(org.apache.spark.sql.functions.length($"file") === 6)
+    val plan = odd.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan)
+    assert(odd.select($"basename").as[String].collect().toSeq == Seq("c.json"))
+  }
+
   test("column pruning reaches the scan (ReadSchema carries only the projection)") {
     val pruned = spark.read.format("graft.sources.ManifestDataSource").load(dir)
       .select($"basename")
