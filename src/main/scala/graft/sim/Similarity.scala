@@ -201,6 +201,81 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Margin-based bitext mining (the ratio margin of Artetxe & Schwenk
+    * 2019, "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): given one embedding space holding two languages (side
+    * X = even ids, side Y = odd ids — stand-ins for e.g. LASER-encoded
+    * English/French sentence sets), mine translation pairs by scoring each
+    * cross-language candidate with
+    *   margin(x, y) = cos(x, y) / ((avg kNN(x) + avg kNN(y)) / 2)
+    * and keeping each source's best-margin target above a threshold. The
+    * margin normalizes away "hubness" — a target that is merely close to
+    * EVERYTHING (high kNN average) must beat its own neighbourhood, not an
+    * absolute cosine bar.
+    *
+    * Scale shape: candidates come from the hyperplane-LSH bucket join
+    * (side-filtered, so only X×Y pairs form — never |X|·|Y| dots), exactly
+    * how production miners run FAISS-ANN search instead of exact kNN; the
+    * forward/backward kNN averages are computed over the candidate set
+    * with the bounded-heap [[graft.functions.topk_by]] pushdown (≤k rows
+    * per vector per partition reach the shuffle). All arithmetic past the
+    * dot product is integer (micro-cosines, milli-margins):
+    * margin = 2k_x·k_y·sim / (Σ_x·k_y + Σ_y·k_x) rendered with integer
+    * DIV, so the result is partitioning-invariant and the DuckDB oracle
+    * replays it bit-for-bit. Candidates with non-positive cosine are
+    * dropped up front (they can't be mined pairs, and positivity keeps
+    * the DIV operands non-negative where Spark DIV ≡ DuckDB floor-div).
+    *
+    * Returns one row per mined source: (x, y, sim_micro, margin_milli).
+    */
+  def bitextMarginMine(emb: DataFrame, k: Int, marginMilli: Long,
+                       tables: Int = 24, planes: Int = 4, dims: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"),
+      posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .localCheckpoint(eager = false)
+    val cand = sig.filter(pmod(col("id"), lit(2)) === 0).as("a")
+      .join(sig.filter(pmod(col("id"), lit(2)) === 1).as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("x"), col("b.id").as("y"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    // one rescore pass shared by the forward top-k, backward top-k and the
+    // final margin join (checkpoint: no exchange reuse across branches)
+    val sims = cand
+      .join(vecs.select(col("vid").as("x"), col("vv").as("xv")), Seq("x"))
+      .join(vecs.select(col("vid").as("y"), col("vv").as("yv")), Seq("y"))
+      .withColumn("sim", floor(dot(col("xv"), col("yv")) * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("sim") > 0)
+      .select(col("x"), col("y"), col("sim"))
+      .localCheckpoint(eager = false)
+    // micro-sims are < 2^21, exact in the heap's Double score
+    val fwd = sims.groupBy(col("x"))
+      .agg(graft.functions.topk_by(col("sim").cast("double"), col("y"), k).as("top"))
+      .select(col("x"), explode(col("top")).as("t"))
+      .select(col("x"), col("t.nid").as("y"), col("t.sim").cast("long").as("sim"))
+    val fs = fwd.groupBy(col("x"))
+      .agg(sum(col("sim")).as("sum_x"), count(lit(1)).as("cnt_x"))
+      .withColumnRenamed("x", "fx")
+    val bs = sims.groupBy(col("y"))
+      .agg(graft.functions.topk_by(col("sim").cast("double"), col("x"), k).as("top"))
+      .select(col("y"), explode(col("top")).as("t"))
+      .groupBy(col("y"))
+      .agg(sum(col("t.sim").cast("long")).as("sum_y"), count(lit(1)).as("cnt_y"))
+      .withColumnRenamed("y", "by")
+    val w = Window.partitionBy(col("x")).orderBy(col("margin_milli").desc, col("y"))
+    fwd
+      .join(fs, col("x") === col("fx")).drop("fx")
+      .join(bs, col("y") === col("by")).drop("by")
+      .withColumn("margin_milli",
+        expr("(2000 * sim * cnt_x * cnt_y) DIV (sum_x * cnt_y + sum_y * cnt_x)"))
+      .filter(col("margin_milli") >= marginMilli)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("x"), col("y"), col("sim").as("sim_micro"), col("margin_milli"))
+  }
+
   /** Brute-force top-k neighbours for each query vector (exact baseline).
     * Ties break on neighbour id for determinism.
     */

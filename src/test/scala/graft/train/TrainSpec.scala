@@ -335,6 +335,23 @@ class SimilaritySpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("bitext margin mining: cross-parity pairs, one target per source, threshold monotone") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mined = Similarity.bitextMarginMine(e, k = 4, marginMilli = 1020L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mined.nonEmpty)
+    // source side even, target side odd — the parity split IS the language split
+    assert(mined.forall { case (x, y, _, _) => x % 2 == 0 && y % 2 == 1 })
+    // argmax selection: exactly one mined target per source
+    assert(mined.map(_._1).distinct.length == mined.length)
+    // every reported margin clears the threshold
+    assert(mined.forall(_._4 >= 1020L))
+    // raising the bar can only shrink the mined set (same argmax targets)
+    val strict = Similarity.bitextMarginMine(e, k = 4, marginMilli = 1100L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strict.subsetOf(mined.toSet))
+  }
+
   test("ivfTopK recall@5 vs brute force (deterministic; isotropic-data floor)") {
     // TESTDATA embeddings are near-isotropic random unit vectors — the
     // worst case for IVF (neighbours scatter across cells). Measured
