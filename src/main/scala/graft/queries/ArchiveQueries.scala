@@ -45,6 +45,60 @@ object ArchiveQueries {
           .orderBy(col("name"))
       },
       """SELECT 'data/doc_' || doc_id || '.txt' AS name, sha256(text) AS sha256
-        |FROM documents ORDER BY name""".stripMargin)
+        |FROM documents ORDER BY name""".stripMargin),
+
+    // ── WARC round-trip (the Common Crawl wire format): render every doc
+    //    as a gzip-member WARC record, stream the files out, full-scan
+    //    them back (1 task/file, memory = 1 record) and prove the payload
+    //    survives byte-exactly. The framing/compression isn't
+    //    SQL-expressible; the round-trip invariant is ──
+    "s_warc_roundtrip" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/rt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        // eager checkpoint materializes the write job; the read below
+        // depends on the files, not the lineage
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        graft.sources.Warc.read(spark, s"$tmp/*.warc.gz").toDF()
+          .select(col("uri"), sha2(col("payload"), 256).as("payload_sha256"),
+            octet_length(col("payload")).cast("long").as("payload_len"))
+          .orderBy(col("uri"))
+      },
+      """SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |  sha256(text) AS payload_sha256,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len
+        |FROM documents ORDER BY uri""".stripMargin),
+
+    // ── CDX selective fetch: pull ONLY the indexed records whose doc id
+    //    ≡ 0 (mod 17) via (file, offset, length) ranged reads — bytes
+    //    touched = Σ selected member sizes, not the archive. The fetched
+    //    payloads must hash identically to the source rows ──
+    "s_warc_cdx_fetch" -> QueryDef(
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val tmp = "/tmp/graft_warc/cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        val cdx = graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        val wanted = cdx.filter(
+          expr("CAST(element_at(split(uri, '/'), -1) AS BIGINT) % 17 = 0"))
+          .as[graft.sources.CdxEntry]
+        graft.sources.Warc.fetchByCdx(tmp, wanted).toDF()
+          .select(col("uri"), sha2(col("payload"), 256).as("payload_sha256"),
+            octet_length(col("payload")).cast("long").as("payload_len"))
+          .orderBy(col("uri"))
+      },
+      """SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |  sha256(text) AS payload_sha256,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len
+        |FROM documents WHERE doc_id % 17 = 0 ORDER BY uri""".stripMargin)
   )
 }
