@@ -101,6 +101,52 @@ class LinkageSpec extends SparkSpec {
     assert(want == Set((200L, 100L, 1), (201L, 101L, 1), (202L, 102L, 1)))
   }
 
+  test("segment fuzzyPairsSegment == brute force at ED≤2, edits everywhere") {
+    // two stacked edits per variant: delete at p then substitute at p2 —
+    // positions sweep the string so edits land inside ANY gram window;
+    // plus short strings that force the vacuous-bound fallback.
+    val dirty = catalog.flatMap { case (id, name) =>
+      (0 until name.length - 1).map { p =>
+        val s1 = name.substring(0, p) + name.substring(p + 1)
+        val p2 = (p * 7 + 3) % s1.length
+        (id * 1000 + p, s1.substring(0, p2) + "#" + s1.substring(p2 + 1))
+      }
+    } ++ Seq(900001L -> "al", 900002L -> "alpha bet", 900003L -> "")
+    val got = Linkage.fuzzyPairsSegment(
+        dirty.toDF("did", "dname"), "did", "dname",
+        catalog.toDF("cid", "name"), "cid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i, d) <- dirty
+      (j, c) <- catalog
+      dist = levDist(d, c)
+      if dist <= 2
+    } yield (i, j, dist)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("segment path: short strings lose no pairs (blocking + short-clean fallback)") {
+    // "graf"/"spa" pair through 1-char segment blocks; clean "ab" (< m
+    // chars, can't fill 3 segments) must be recovered by the bounded
+    // cross-match fallback
+    val got = Linkage.fuzzyPairsSegment(
+        Seq(1L -> "graf", 2L -> "spa", 3L -> "b").toDF("did", "dname"),
+        "did", "dname",
+        Seq(10L -> "graft", 11L -> "spark", 12L -> "ab").toDF("cid", "name"),
+        "cid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 10L, 1)))
+    assert(got.contains((2L, 11L, 2)))
+    assert(got.contains((3L, 12L, 1))) // short-clean fallback pair
+    // and nothing below the brute-force truth is missed
+    val all = Seq(1L -> "graf", 2L -> "spa", 3L -> "b")
+    val cat = Seq(10L -> "graft", 11L -> "spark", 12L -> "ab")
+    val want = (for { (i, d) <- all; (j, c) <- cat; dist = levDist(d, c)
+      if dist <= 2 } yield (i, j, dist)).toSet
+    assert(got == want)
+  }
+
   test("candidate volume is blocked, not the cross join") {
     // All catalog names have DISTINCT prefixes and suffixes, so each dirty
     // row can only ever meet its own source's buckets — the candidate
