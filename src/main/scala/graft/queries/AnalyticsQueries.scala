@@ -372,6 +372,54 @@ object AnalyticsQueries {
         |  ON ckey = o_custkey
         |GROUP BY 1 ORDER BY side""".stripMargin),
 
+    // ── keyed snapshot diff (data-versioning audit): synthesize a "next"
+    //    snapshot from documents (drop %97, edit %31, insert %101 under
+    //    shifted ids), full-outer join on the key comparing content
+    //    hashes → added / removed / changed / unchanged tallies. At scale
+    //    this is one co-partitioned key join; hashes ride the scans ──
+    "q_snapshot_diff" -> QueryDef(
+      (spark, dir) => {
+        val cur = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val nxt = cur.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(31)) === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(cur.filter(pmod(col("doc_id"), lit(101)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        val o = cur.select(col("doc_id").as("o_id"), sha2(col("text"), 256).as("o_sha"))
+        val n = nxt.select(col("doc_id").as("n_id"), sha2(col("text"), 256).as("n_sha"))
+        o.join(n, col("o_id") === col("n_id"), "full_outer")
+          .select(when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("o_sha") =!= col("n_sha"), "changed")
+            .otherwise("unchanged").as("status"),
+            coalesce(col("o_id"), col("n_id")).as("id"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"))
+          .orderBy(col("status"))
+      },
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM cur WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  FROM cur WHERE doc_id % 101 = 0),
+        |j AS (SELECT o.doc_id AS o_id, sha256(o.text) AS o_sha,
+        |             n.doc_id AS n_id, sha256(n.text) AS n_sha
+        |      FROM cur o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id)
+        |SELECT CASE WHEN o_id IS NULL THEN 'added'
+        |            WHEN n_id IS NULL THEN 'removed'
+        |            WHEN o_sha <> n_sha THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(coalesce(o_id, n_id)) AS min_id,
+        |  max(coalesce(o_id, n_id)) AS max_id
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin),
+
     // ── scalar subquery: parts priced above the global average ──
     "q_above_avg_parts" -> QueryDef(
       (spark, dir) => {

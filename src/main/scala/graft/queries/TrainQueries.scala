@@ -541,6 +541,27 @@ object TrainQueries {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── tokenizer fertility by language: BPE-ish tokens per byte (and
+    //    its inverse) per lang — the multilingual-pipeline metric that
+    //    decides vocabulary allocation; integer micro-ratios via DIV ──
+    "train_tokenizer_fertility" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+        .withColumn("fert_micro", expr("(n_tokens * 1000000) DIV n_bytes"))
+        .withColumn("bytes_per_tok_micro", expr("(n_bytes * 1000000) DIV n_tokens"))
+        .orderBy(col("lang")),
+      s"""SELECT lang, n_docs, n_tokens, n_bytes,
+         |  (n_tokens * 1000000) // n_bytes AS fert_micro,
+         |  (n_bytes * 1000000) // n_tokens AS bytes_per_tok_micro
+         |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+         |  FROM documents GROUP BY lang)
+         |ORDER BY lang""".stripMargin),
+
     // ── heuristic language ID (stopword-marker argmax) ──
     "text_lang_id" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
