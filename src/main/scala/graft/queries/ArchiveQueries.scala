@@ -73,6 +73,31 @@ object ArchiveQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len
         |FROM documents ORDER BY uri""".stripMargin),
 
+    // ── WARC V2 connector, index-only mode: the metadata projection is
+    //    planned entirely from the .warc.cdx sidecars — the archives are
+    //    never opened (a 100 TB crawl audit that reads only its index).
+    //    Pushed payload_len filter prunes records at plan time ──
+    "s_warc_source_meta" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        spark.read.format("graft.sources.WarcDataSource").load(tmp)
+          .filter(col("payload_len") >= 200L)
+          .select(col("uri"), col("payload_len"), col("payload_sha256"))
+          .orderBy(col("uri"))
+      },
+      """SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+        |  sha256(text) AS payload_sha256
+        |FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) >= 200
+        |ORDER BY uri""".stripMargin),
+
     // ── CDX selective fetch: pull ONLY the indexed records whose doc id
     //    ≡ 0 (mod 17) via (file, offset, length) ranged reads — bytes
     //    touched = Σ selected member sizes, not the archive. The fetched

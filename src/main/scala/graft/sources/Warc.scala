@@ -94,7 +94,10 @@ object Warc {
     * one gzip member per record in doc_id order, streaming members to a
     * Hadoop output (memory = one record; per-source skew → repartition
     * upstream). Returns the CDX index — offsets recorded as members
-    * stream out, exactly how crawl indexers produce CDX alongside WARC.
+    * stream out, exactly how crawl indexers produce CDX alongside WARC —
+    * and ALSO writes each file's index as a `<source>.warc.cdx` text
+    * sidecar (`uri offset length payload_len sha256` lines), which is
+    * what [[WarcDataSource]] plans pruned/index-only scans from.
     */
   def write(docs: DataFrame, outDir: String): Dataset[CdxEntry] = {
     val spark = docs.sparkSession
@@ -118,8 +121,29 @@ object Warc {
             payload.length.toLong, sha256Hex(payload))
           offset += member.length
         } finally out.close()
-        cdx.result().iterator
+        val entries = cdx.result()
+        val sidecar = new Path(outDir, s"$source.warc.cdx")
+        val sout = fs.create(sidecar, true)
+        try entries.foreach { e =>
+          sout.write((Seq(e.uri, e.offset, e.length, e.payload_len,
+            e.payload_sha256).mkString(" ") + "\n").getBytes("UTF-8"))
+        } finally sout.close()
+        entries.iterator
       }
+  }
+
+  /** Parse one `<file>.warc.cdx` sidecar (see [[write]]). */
+  def readCdxSidecar(fs: org.apache.hadoop.fs.FileSystem, warcFile: Path): Seq[CdxEntry] = {
+    val sidecar = new Path(warcFile.getParent,
+      warcFile.getName.stripSuffix(".gz") + ".cdx")
+    if (!fs.exists(sidecar)) return Seq.empty
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(sidecar), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).map { line =>
+      val Array(uri, off, len, plen, sha) = line.split(" ", 5)
+      CdxEntry(warcFile.getName, off.toLong, len.toLong, uri, plen.toLong, sha)
+    }.toVector
+    finally in.close()
   }
 
   /** Streaming record iterator over a (decompressed) WARC byte stream:

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.util
+import java.util.zip.GZIPInputStream
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for WARC web archives (see [[Warc]]):
+  * {{{ spark.read.format("graft.sources.WarcDataSource").load(dir) }}}
+  *
+  * Plans against the `.warc.cdx` sidecars when present, with three scan
+  * modes picked per file at planning time:
+  *  - '''index-only''' — required columns all live in the CDX
+  *    (`warc_file, uri, payload_len, payload_sha256`): rows are served
+  *    straight from the sidecar and the archive is NEVER OPENED. A
+  *    metadata query over a 100 TB crawl reads only its index.
+  *  - '''fetch''' — payload/date/record_id needed: pushed filters prune
+  *    CDX entries first, then each partition range-reads exactly the
+  *    selected gzip members (bytes read = Σ selected member lengths).
+  *    Files whose entries all fail the pushed filters produce NO
+  *    partition at all — file-level pruning like parquet's.
+  *  - '''full-scan''' — no sidecar: sequential member walk (memory = one
+  *    record) with pushed filters evaluated before row materialization.
+  *
+  * Pushdown surface: column pruning (`SupportsPushDownRequiredColumns`)
+  * and exact filters (`SupportsPushDownFilters`) — the string-predicate
+  * family over `warc_file`/`uri` and comparisons over `payload_len`,
+  * plus boolean combinations. Handled filters are dropped from the
+  * residual; they are exact in every mode.
+  */
+class WarcDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("uri", StringType),
+    StructField("record_id", StringType),
+    StructField("date", StringType),
+    StructField("payload_len", LongType),
+    StructField("payload_sha256", StringType),
+    StructField("payload", BinaryType)))
+
+  /** Columns a CDX sidecar can serve without opening the archive. */
+  private[sources] val indexServable = Set("warc_file", "uri", "payload_len",
+    "payload_sha256")
+
+  import org.apache.spark.sql.sources._
+
+  private val filterable = Set("warc_file", "uri", "payload_len")
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
+  }
+
+  private[sources] def supportsFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "warc_file" || a == "uri"
+    case EqualTo(a, v)         => a == "payload_len" && asLong(v).isDefined
+    case In(a, vs)             => (a == "warc_file" || a == "uri") &&
+                                  vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => a == "warc_file" || a == "uri"
+    case StringEndsWith(a, _)   => a == "warc_file" || a == "uri"
+    case StringContains(a, _)   => a == "warc_file" || a == "uri"
+    case GreaterThan(a, v)        => a == "payload_len" && asLong(v).isDefined
+    case GreaterThanOrEqual(a, v) => a == "payload_len" && asLong(v).isDefined
+    case LessThan(a, v)           => a == "payload_len" && asLong(v).isDefined
+    case LessThanOrEqual(a, v)    => a == "payload_len" && asLong(v).isDefined
+    case IsNotNull(a) => filterable.contains(a)
+    case IsNull(a)    => filterable.contains(a)
+    case And(l, r)    => supportsFilter(l) && supportsFilter(r)
+    case Or(l, r)     => supportsFilter(l) && supportsFilter(r)
+    case Not(c)       => supportsFilter(c)
+    case _            => false
+  }
+
+  private[sources] def evalFilter(f: Filter, file: String, uri: String,
+                                  plen: Long): Boolean = {
+    def s(attr: String): String = attr match {
+      case "warc_file" => file
+      case "uri"       => uri
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    f match {
+      case EqualTo("payload_len", v) => asLong(v).contains(plen)
+      case EqualTo(a, v: String)     => s(a) == v
+      case In(a, vs)                 => vs.exists(_ == s(a))
+      case StringStartsWith(a, p)    => s(a).startsWith(p)
+      case StringEndsWith(a, p)      => s(a).endsWith(p)
+      case StringContains(a, p)      => s(a).contains(p)
+      case GreaterThan("payload_len", v)        => plen > asLong(v).get
+      case GreaterThanOrEqual("payload_len", v) => plen >= asLong(v).get
+      case LessThan("payload_len", v)           => plen < asLong(v).get
+      case LessThanOrEqual("payload_len", v)    => plen <= asLong(v).get
+      case IsNotNull(_) => true // all pushable columns are non-null
+      case IsNull(_)    => false
+      case And(l, r) => evalFilter(l, file, uri, plen) && evalFilter(r, file, uri, plen)
+      case Or(l, r)  => evalFilter(l, file, uri, plen) || evalFilter(r, file, uri, plen)
+      case Not(c)    => !evalFilter(c, file, uri, plen)
+      case other => throw new IllegalArgumentException(s"unpushable filter $other")
+    }
+  }
+}
+
+private class WarcTable(path: String) extends Table with SupportsRead {
+  require(path != null, "warc source needs a load(path)")
+  override def name(): String = s"warc($path)"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+private class WarcScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+  private var required: StructType = WarcDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(WarcDataSource.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(WarcDataSource.supportsFilter)
+    pushed = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(path, required, pushed)
+}
+
+private sealed trait WarcPartition extends InputPartition
+private case class WarcFullScanPartition(file: String) extends WarcPartition
+private case class WarcIndexPartition(entries: Seq[CdxEntry]) extends WarcPartition
+private case class WarcFetchPartition(dir: String, file: String,
+                                      entries: Seq[CdxEntry]) extends WarcPartition
+
+private class WarcScan(path: String, required: StructType,
+                       pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
+
+  // payload/date/record_id live only inside the archive members
+  private def needsArchive: Boolean =
+    required.fieldNames.exists(f => !WarcDataSource.indexServable.contains(f))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    // plan from the union of archive and sidecar stems: an index-only
+    // query over a sidecar whose archive was tiered away still plans
+    val listed = Option(fs.listStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.getName)
+    val stems = (listed.filter(_.endsWith(".warc.gz")).map(_.stripSuffix(".gz")) ++
+      listed.filter(_.endsWith(".warc.cdx")).map(_.stripSuffix(".cdx")))
+      .distinct.sorted
+    stems.map(s => new Path(p, s + ".gz")).flatMap { f =>
+      val entries = Warc.readCdxSidecar(fs, f)
+      if (entries.isEmpty) {
+        // no sidecar: sequential walk, filters applied in the reader
+        Seq(WarcFullScanPartition(f.toString): InputPartition)
+      } else {
+        val kept = entries.filter(e => pushed.forall(
+          WarcDataSource.evalFilter(_, e.warc_file, e.uri, e.payload_len)))
+        if (kept.isEmpty) Seq.empty // whole file pruned
+        else kept.grouped(2048).map[InputPartition] { group =>
+          if (needsArchive) WarcFetchPartition(p.toString, f.getName, group)
+          else WarcIndexPartition(group)
+        }.toSeq
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pushed)
+}
+
+private class WarcReaderFactory(required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
+
+  // recordId/date/sha/payload are by-name: only evaluated when the column
+  // is actually in the pruned schema (the index-only reader passes
+  // loud-failure thunks for archive-only columns)
+  private def row(warcFile: String, uri: String, recordId: => String, date: => String,
+                  payloadLen: Long, sha: => String, payload: => Array[Byte]): InternalRow = {
+    val vals: Array[Any] = required.fieldNames.map {
+      case "warc_file"      => UTF8String.fromString(warcFile)
+      case "uri"            => UTF8String.fromString(uri)
+      case "record_id"      => UTF8String.fromString(recordId)
+      case "date"           => UTF8String.fromString(date)
+      case "payload_len"    => payloadLen: java.lang.Long
+      case "payload_sha256" => UTF8String.fromString(sha)
+      case "payload"        => payload
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case WarcIndexPartition(entries) =>
+        // archive never opened: rows come straight from the CDX
+        val it = entries.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: CdxEntry = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow =
+            row(cur.warc_file, cur.uri,
+              sys.error("record_id is not index-servable"),
+              sys.error("date is not index-servable"),
+              cur.payload_len, cur.payload_sha256,
+              sys.error("payload is not index-servable"))
+          override def close(): Unit = ()
+        }
+      case WarcFetchPartition(dir, file, entries) =>
+        new PartitionReader[InternalRow] {
+          private val hp = new Path(dir, file)
+          private val in = hp.getFileSystem(new Configuration()).open(hp)
+          private val it = entries.sortBy(_.offset).iterator
+          private var cur: WarcRecord = _
+          private var curSha: String = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val e = it.next()
+            in.seek(e.offset)
+            val member = new Array[Byte](e.length.toInt)
+            in.readFully(member)
+            val one = Warc.parseStream(file,
+              new GZIPInputStream(new java.io.ByteArrayInputStream(member)))
+            cur = one.next()
+            curSha = e.payload_sha256
+            true
+          }
+          override def get(): InternalRow =
+            row(cur.warc_file, cur.uri, cur.record_id, cur.date,
+              cur.payload.length.toLong, curSha, cur.payload)
+          override def close(): Unit = in.close()
+        }
+      case WarcFullScanPartition(file) =>
+        new PartitionReader[InternalRow] {
+          private val hp = new Path(file)
+          private val it = Warc.parseStream(hp.getName,
+            new GZIPInputStream(hp.getFileSystem(new Configuration()).open(hp)))
+          private var cur: WarcRecord = _
+          override def next(): Boolean = {
+            while (it.hasNext) {
+              val r = it.next()
+              if (pushed.forall(WarcDataSource.evalFilter(_, r.warc_file, r.uri,
+                  r.payload.length.toLong))) {
+                cur = r; return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow =
+            row(cur.warc_file, cur.uri, cur.record_id, cur.date,
+              cur.payload.length.toLong, sha256Hex(cur.payload), cur.payload)
+          override def close(): Unit = ()
+        }
+    }
+}
