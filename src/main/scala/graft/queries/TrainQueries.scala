@@ -1339,6 +1339,37 @@ object TrainQueries {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
          |WHERE d.doc_id % 97 <> 0 ORDER BY id""".stripMargin),
 
+    // ── SEMANTIC decontamination (rounds out lexical n-gram + Bloom):
+    //    flag training vectors whose max cosine against the eval-suite
+    //    embeddings clears a threshold — paraphrased leakage that shares
+    //    no shingles. Eval suites are MBs against a 100 TB corpus, so the
+    //    eval side broadcasts (the deliberate m ≪ n BNLJ, same shape as
+    //    the IVF assignment); the training side streams through one scan
+    //    + a map-combined max per doc ──
+    "train_semantic_decon" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val eval = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+        val train = e.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        train.crossJoin(broadcast(eval))
+          .withColumn("sim",
+            floor(Similarity.dot(col("v"), col("ev")) * lit(1e6) + lit(0.5)).cast("long"))
+          .groupBy(col("id")).agg(max(col("sim")).as("max_sim_micro"))
+          .withColumn("contaminated", col("max_sim_micro") >= 450000L)
+          .orderBy(col("id"))
+      },
+      """SELECT t.vec_id AS id,
+        |  max(CAST(floor(list_inner_product(t.embedding::DOUBLE[],
+        |    e.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)) AS max_sim_micro,
+        |  max(CAST(floor(list_inner_product(t.embedding::DOUBLE[],
+        |    e.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)) >= 450000
+        |    AS contaminated
+        |FROM embeddings t JOIN embeddings e
+        |  ON t.vec_id % 50 <> 0 AND e.vec_id % 50 = 0
+        |GROUP BY 1 ORDER BY id""".stripMargin),
+
     // ── in-engine TRAINED quality classifier: per-mille features (bias,
     //    length saturation, alpha density, en-stopword rate) →
     //    exact-integer z-scoring (one moments pass) → 8 rounds of
