@@ -298,4 +298,49 @@ object Graph {
     }
     labels
   }
+
+  /** Item-to-item similarity over a bipartite (group, item) relation —
+    * the collaborative-filtering primitive ("customers who bought X also
+    * bought Y"): Jaccard over the items' group sets, top-k per item.
+    *
+    * Plan shape: co-occurrence counts come from the same group-explode
+    * pair generation as [[triangles]]' wedge step (one shuffle to the
+    * group key the fact table is already clustered by, pairs exploded
+    * in place — never an item×item join); degrees are one (item)-grain
+    * agg; `minCo` prunes the long tail of coincidental pairs BEFORE the
+    * degree joins; similarity is the exact integer micro-ratio
+    * `co·10⁶ DIV (deg_a + deg_b − co)`, and the per-item top-k goes
+    * through the bounded-heap [[graft.functions.topk_by]] pushdown (≤k
+    * rows per item per partition reach the shuffle). Candidate volume is
+    * Σ_groups C(|group|, 2) — the wedge mass — with the usual degree-cap
+    * escape hatch upstream if a pathological group appears.
+    */
+  def cooccurrenceTopK(rows: DataFrame, grpCol: String, itemCol: String,
+                       k: Int, minCo: Long): DataFrame = {
+    val pairs = rows.groupBy(col(grpCol).as("g"))
+      .agg(sort_array(collect_set(col(itemCol))).as("xs"))
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> " +
+          "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val deg = rows.groupBy(col(itemCol).as("n"))
+      .agg(countDistinct(col(grpCol)).as("deg"))
+      .localCheckpoint(eager = false) // reused by both sides of the pair
+    val sym = pairs.select(col("a").as("i"), col("b").as("j"), col("co"))
+      .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("co")))
+    val scored = sym
+      .join(deg.select(col("n").as("i"), col("deg").as("deg_i")), Seq("i"))
+      .join(deg.select(col("n").as("j"), col("deg").as("deg_j")), Seq("j"))
+      .withColumn("sim_micro", expr("(co * 1000000) DIV (deg_i + deg_j - co)"))
+    // micro-ratios < 2^21: exact in the heap's Double score
+    scored.groupBy(col("i"))
+      .agg(graft.functions.topk_by(col("sim_micro").cast("double"), col("j"), k)
+        .as("top"))
+      .select(col("i"), explode(col("top")).as("t"))
+      .select(col("i").as("item"), col("t.nid").as("neighbor"),
+        col("t.sim").cast("long").as("sim_micro"), col("t.rank").as("rank"))
+  }
 }

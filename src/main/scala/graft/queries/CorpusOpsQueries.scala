@@ -757,6 +757,34 @@ object CorpusOpsQueries {
       },
       bpeEncodeSql(10)),
 
+    // ── item-to-item recommendations ("bought X, also bought Y"):
+    //    order-set Jaccard over co-purchase counts, exact integer
+    //    micro-ratios, bounded-heap top-3 per item; pair generation is
+    //    the group-explode shape (never item×item) with minCo pruning ──
+    "graph_item_sim" -> QueryDef(
+      (spark, dir) => graft.ops.Graph
+        .cooccurrenceTopK(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", k = 3, minCo = 2)
+        .orderBy(col("item"), col("rank")),
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |        CAST(count(*) AS BIGINT) AS co
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT l_partkey AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS deg
+        |        FROM lineitem GROUP BY 1),
+        |sym AS (SELECT a AS i, b AS j, co FROM p
+        |        UNION ALL SELECT b, a, co FROM p),
+        |sc AS (SELECT i, j, (co * 1000000) // (di.deg + dj.deg - co) AS sim_micro
+        |       FROM sym JOIN deg di ON i = di.n JOIN deg dj ON j = dj.n)
+        |SELECT i AS item, j AS neighbor, sim_micro, CAST(rank AS INT) AS rank
+        |FROM (SELECT i, j, sim_micro,
+        |        row_number() OVER (PARTITION BY i
+        |          ORDER BY sim_micro DESC, j) AS rank FROM sc)
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin),
+
     // ── triangle counting: degree-ordered orientation caps wedge volume
     //    at m^(3/2) (skew-proof — no hub enumerates its full neighborhood);
     //    wedge + close are node-key equi-joins over one checkpointed frame ──

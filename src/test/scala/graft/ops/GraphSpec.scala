@@ -124,4 +124,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rel == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("cooccurrenceTopK: hand-computed Jaccard, minCo prune, rank ties on id") {
+    // baskets: {1,2,3} ×2, {1,2} ×1, {3,4} ×1 →
+    //   co(1,2)=3, co(1,3)=2, co(2,3)=2, co(3,4)=1 (pruned at minCo=2)
+    //   deg: 1→3, 2→3, 3→3, 4→1
+    val rows = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 1L), (102L, 2L),
+      (103L, 3L), (103L, 4L)
+    ).toDF("basket", "item")
+    val got = Graph.cooccurrenceTopK(rows, "basket", "item", k = 2, minCo = 2L)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    // jaccard(1,2) = 3/(3+3-3) = 1.0 → 1000000
+    // jaccard(1,3) = 2/(3+3-2) = 0.5 → 500000 (same for (2,3))
+    assert(got(1L -> 1) == ((2L, 1000000L)))
+    assert(got(1L -> 2) == ((3L, 500000L)))
+    assert(got(2L -> 1) == ((1L, 1000000L)))
+    assert(got(2L -> 2) == ((3L, 500000L)))
+    // item 3: two 500000 ties → smaller neighbor id first
+    assert(got(3L -> 1) == ((1L, 500000L)))
+    assert(got(3L -> 2) == ((2L, 500000L)))
+    // item 4's only pair was pruned by minCo
+    assert(!got.keySet.exists(_._1 == 4L))
+  }
 }
