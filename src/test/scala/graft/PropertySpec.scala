@@ -130,4 +130,55 @@ class PropertySpec extends SparkSpec {
       .setDifferences(listing, extracted).count()
     assert(diffs == 2)                            // set difference catches it
   }
+
+  test("PassJoin segment blocking is complete for random strings under ≤2 random edits") {
+    // random catalog strings over a SMALL alphabet (worst case for
+    // segment diversity), random edit kinds at random positions — the
+    // blocked join must recover every planted pair, and must equal the
+    // brute-force ED≤2 truth over the whole cross product.
+    val alpha = "abc d"
+    val strGen = for {
+      n <- Gen.choose(1, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha.toSeq))
+    } yield cs.mkString
+    def edit(s: String, kind: Int, pos: Int, ch: Char): String = {
+      val p = if (s.isEmpty) 0 else pos % (s.length + 1)
+      kind % 3 match {
+        case 0 if s.nonEmpty => s.take(p % s.length) + s.drop(p % s.length + 1) // delete
+        case 1 => s.take(p) + ch + s.drop(p)                                     // insert
+        case _ if s.nonEmpty => s.updated(p % s.length, ch)                      // substitute
+        case _ => s + ch
+      }
+    }
+    val editGen = Gen.zip(Gen.choose(0, 2), Gen.choose(0, 40), Gen.oneOf(alpha.toSeq))
+    val catalog = samples(strGen, 40).distinct.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val dirty = samples(Gen.zip(Gen.choose(0, catalog.size - 1),
+        Gen.choose(1, 2), Gen.listOfN(2, editGen)), 60)
+      .zipWithIndex.map { case ((ci, nEdits, edits), k) =>
+        val base = catalog(ci % catalog.size)._2
+        val d = edits.take(nEdits).foldLeft(base) { case (s, (kind, pos, ch)) =>
+          edit(s, kind, pos, ch)
+        }
+        (1000L + k, d)
+      }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (i, d) <- dirty; (j, c) <- catalog
+      dist = lev(d, c) if dist <= 2
+    } yield (i, j, dist)).toSet
+    val got = graft.ops.Linkage.fuzzyPairsSegment(
+        dirty.toDF("did", "dname"), "did", "dname",
+        catalog.toDF("cid", "name"), "cid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
 }
