@@ -216,6 +216,74 @@ object TrainQueries {
     //    sketch-only pipeline ever sees) next to the exact shingle
     //    Jaccard. Exact overlap runs columnar (array_intersect on the
     //    checkpointed shingle sets) — candidates only, never all pairs ──
+    // ── LSH S-curve tuning table: collision probability
+    //    p = 1 − (1 − s^r)^b for every (bands × rows) factorization of
+    //    the K=12 signature, on a s = k/20 grid — the table `lshParams`
+    //    walks when it picks banding for a threshold. All EXACT integer
+    //    arithmetic: s^r and (1−s^r)^b as scaled big-int powers over the
+    //    constant denominator 20¹², so both engines land on identical
+    //    milli-probabilities (no libm pow anywhere) ──
+    "dedup_lsh_scurve" -> QueryDef(
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val grid = (for {
+          (b, r) <- Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+          k <- 1 to 19
+        } yield (k, b, r)).toDF("k20", "bands", "rows_per_band")
+        val kr = "CASE rows_per_band WHEN 1 THEN CAST(k20 AS BIGINT) " +
+          "WHEN 2 THEN CAST(k20 AS BIGINT)*k20 " +
+          "WHEN 3 THEN CAST(k20 AS BIGINT)*k20*k20 " +
+          "WHEN 4 THEN CAST(k20 AS BIGINT)*k20*k20*k20 " +
+          "WHEN 6 THEN CAST(k20 AS BIGINT)*k20*k20*k20*k20*k20 " +
+          "ELSE CAST(k20 AS BIGINT)*k20*k20*k20*k20*k20*k20*k20*k20*k20*k20*k20 END"
+        val p20r = "CASE rows_per_band WHEN 1 THEN CAST(20 AS BIGINT) " +
+          "WHEN 2 THEN CAST(400 AS BIGINT) WHEN 3 THEN CAST(8000 AS BIGINT) " +
+          "WHEN 4 THEN CAST(160000 AS BIGINT) WHEN 6 THEN CAST(64000000 AS BIGINT) " +
+          "ELSE CAST(4096000000000000 AS BIGINT) END"
+        grid
+          .withColumn("diff", expr(s"($p20r) - ($kr)"))
+          .withColumn("num", expr("CASE bands WHEN 1 THEN diff " +
+            "WHEN 2 THEN diff*diff WHEN 3 THEN diff*diff*diff " +
+            "WHEN 4 THEN diff*diff*diff*diff " +
+            "WHEN 6 THEN diff*diff*diff*diff*diff*diff " +
+            "ELSE ((diff*diff*diff)*(diff*diff*diff))*((diff*diff*diff)*(diff*diff*diff)) END"))
+          .select(col("k20").cast("long").as("k20"),
+            (col("k20") * 50).cast("long").as("s_milli"),
+            col("bands").cast("long").as("bands"),
+            col("rows_per_band").cast("long").as("rows_per_band"),
+            expr("(2000 * (4096000000000000 - num) + 4096000000000000) " +
+              "DIV (2 * 4096000000000000)").as("p_milli"))
+          .orderBy(col("bands").desc, col("k20"))
+      },
+      """WITH cfg(bands, rows_per_band) AS (
+        |  VALUES (12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)),
+        |ks AS (SELECT unnest(generate_series(1, 19)) AS k20),
+        |g AS (SELECT k20, bands, rows_per_band FROM cfg, ks),
+        |pw AS (SELECT k20, bands, rows_per_band,
+        |  (CASE rows_per_band WHEN 1 THEN CAST(20 AS BIGINT)
+        |    WHEN 2 THEN 400 WHEN 3 THEN 8000 WHEN 4 THEN 160000
+        |    WHEN 6 THEN 64000000 ELSE 4096000000000000 END)
+        |  - (CASE rows_per_band WHEN 1 THEN CAST(k20 AS BIGINT)
+        |    WHEN 2 THEN CAST(k20 AS BIGINT)*k20
+        |    WHEN 3 THEN CAST(k20 AS BIGINT)*k20*k20
+        |    WHEN 4 THEN CAST(k20 AS BIGINT)*k20*k20*k20
+        |    WHEN 6 THEN CAST(k20 AS BIGINT)*k20*k20*k20*k20*k20
+        |    ELSE CAST(k20 AS BIGINT)*k20*k20*k20*k20*k20*k20*k20*k20*k20*k20*k20 END)
+        |  AS diff FROM g),
+        |nm AS (SELECT k20, bands, rows_per_band,
+        |  CASE bands WHEN 1 THEN diff WHEN 2 THEN diff*diff
+        |    WHEN 3 THEN diff*diff*diff WHEN 4 THEN diff*diff*diff*diff
+        |    WHEN 6 THEN diff*diff*diff*diff*diff*diff
+        |    ELSE ((diff*diff*diff)*(diff*diff*diff))*((diff*diff*diff)*(diff*diff*diff))
+        |  END AS num FROM pw)
+        |SELECT CAST(k20 AS BIGINT) AS k20, CAST(k20 * 50 AS BIGINT) AS s_milli,
+        |  CAST(bands AS BIGINT) AS bands,
+        |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |  (2000 * (4096000000000000 - num) + 4096000000000000)
+        |    // (2 * 4096000000000000) AS p_milli
+        |FROM nm ORDER BY bands DESC, k20""".stripMargin),
+
     "dedup_minhash_est" -> QueryDef(
       (spark, dir) => {
         // banded build side ≈ 12 bands × 44 B/doc ≤ corpus text bytes —
