@@ -37,7 +37,9 @@ import scala.jdk.CollectionConverters._
   * path, `/`-basename) — ManifestSourceSpec pins the two against each
   * other.
   */
-class ManifestDataSource extends TableProvider {
+class ManifestDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "manifest"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ManifestDataSource.schema
 

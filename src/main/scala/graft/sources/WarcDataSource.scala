@@ -36,7 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * plus boolean combinations. Handled filters are dropped from the
   * residual; they are exact in every mode.
   */
-class WarcDataSource extends TableProvider {
+class WarcDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.schema
 

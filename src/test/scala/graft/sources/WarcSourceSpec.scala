@@ -85,6 +85,11 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.head._3 == sha)
   }
 
+  test("connector registers under the short name 'warc'") {
+    val dir = writtenDir()
+    assert(spark.read.format("warc").load(dir.toString).count() == 3L)
+  }
+
   test("column pruning reaches the scan description") {
     val dir = writtenDir()
     val plan = spark.read.format(fmt).load(dir.toString)
