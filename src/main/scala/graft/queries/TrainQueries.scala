@@ -1076,6 +1076,48 @@ object TrainQueries {
          |  least((bin+1)*256, cum) - greatest(bin*256, strt) AS seg_len
          |FROM seg ORDER BY shard, bin, id""".stripMargin),
 
+    // ── SEMANTIC packing (long-context curation): pack sequences within
+    //    k-means clusters instead of hash shards, so each 256-token bin
+    //    holds topically related documents. Composition of the oracle-
+    //    gated kmeans assignment and the span packer; output is the
+    //    per-(cluster, bin) roll-up. The oracle chains the full kmeans
+    //    replay into the packing CTEs ──
+    "train_pack_by_cluster" -> QueryDef(
+      (spark, dir) => {
+        val clusters = graft.sim.Clustering
+          .kmeansAssign(Tables.embeddings(spark, dir), k = 8, iters = 2)
+          .select(col("id").as("doc_id"), col("cid").as("cluster"))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .join(clusters, Seq("doc_id"))
+        val segs = graft.text.SequencePack.packSpansBy(
+          docs, col("doc_id"), col("n_tok"), col("cluster"), capacity = 256)
+        graft.text.SequencePack.binStats(segs, capacity = 256)
+          .select(col("shard"), col("bin"), col("n_segments"),
+            col("n_tokens"), col("n_docs"), col("is_full"))
+          .orderBy(col("shard"), col("bin"))
+      },
+      kmeansSql + s""",
+        |d AS (
+        |  SELECT doc_id AS id, a2.cid AS shard,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tok
+        |  FROM documents JOIN a2 ON doc_id = vec_id
+        |  WHERE len($toksSql) > 0),
+        |cm AS (SELECT id, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS cum
+        |  FROM d),
+        |seg AS (SELECT id, shard, cum, cum - n_tok AS strt,
+        |    unnest(generate_series((cum - n_tok) // 256, (cum - 1) // 256)) AS bin
+        |  FROM cm),
+        |sl AS (SELECT id, shard, bin,
+        |    least((bin+1)*256, cum) - greatest(bin*256, strt) AS seg_len
+        |  FROM seg)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN sum(seg_len) = 256 THEN 1 ELSE 0 END AS INT) AS is_full
+        |FROM sl GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+
     // ── packed-bin roll-up: every bin except each shard's last must be
     //    exactly capacity tokens full ──
     "train_pack_bins" -> QueryDef(

@@ -32,10 +32,19 @@ object SequencePack {
     *             positions)
     */
   def packSpans(docs: DataFrame, id: Column, nTok: Column,
-                shards: Int, capacity: Int): DataFrame = {
-    val base = docs.select(id.as("id"), nTok.cast("long").as("n_tok"))
+                shards: Int, capacity: Int): DataFrame =
+    packSpansBy(docs, id, nTok, pmod(id, lit(shards.toLong)), capacity)
+
+  /** [[packSpans]] with a caller-supplied shard key — e.g. a k-means
+    * cluster id for SEMANTIC packing (related docs share a sequence, the
+    * long-context curation trick), or a language/domain column. Same
+    * deterministic greedy span layout within each shard.
+    */
+  def packSpansBy(docs: DataFrame, id: Column, nTok: Column,
+                  shard: Column, capacity: Int): DataFrame = {
+    val base = docs.select(id.as("id"), nTok.cast("long").as("n_tok"),
+        shard.cast("long").as("shard"))
       .filter(col("n_tok") > 0)
-      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
     base
       .withColumn("cum", sum(col("n_tok")).over(w))
