@@ -49,6 +49,21 @@ package object functions {
       graftbridge.expression(score), graftbridge.expression(id), k)
       .toAggregateExpression())
 
+  /** Misra-Gries frequent-items summary (<= k counters per partition,
+    * map-side partial agg): array<struct<item,est>> CANDIDATES — every
+    * item with true count > n/(k+1) is guaranteed present; estimates are
+    * order-dependent, so exact-recount before trusting them.
+    */
+  def misra_gries(item: Column, k: Int): Column =
+    graftbridge.column(MisraGriesAgg(graftbridge.expression(item), k)
+      .toAggregateExpression())
+
+  /** Content-defined chunk spans (md5-window boundary rule; see
+    * [[graft.functions.CdcChunksExpr]]).
+    */
+  def cdc_chunks(text: Column, w: Int): Column =
+    graftbridge.column(CdcChunksExpr(graftbridge.expression(text), w))
+
   /** All dyadic-window rolling hashes of a string in one pass (the
     * declarative explode→substr→xxhash64 form allocates and re-hashes
     * every window from scratch).

@@ -1220,6 +1220,59 @@ object TrainQueries {
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY d1, d2""".stripMargin),
 
+    // ── content-defined chunking (rsync/LBFS dedup): boundaries where the
+    //    trailing 16-char window's md5 ends in '0', so identical regions
+    //    chunk identically regardless of byte offset — shared >= 8-char
+    //    chunks across docs are the edit-robust duplicate spans. Oracle
+    //    replays the exact boundary rule per character position ──
+    "dedup_cdc_chunks" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.cdc_chunks(col("text"), 16)).as("chunk"))
+        .filter(length(col("chunk")) >= 8)
+        .groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .select(md5(col("chunk")).as("h"),
+          length(col("chunk")).as("chunk_len"), col("n_docs"), col("n_occ"))
+        .orderBy(col("n_occ").desc, col("h"))
+        .limit(100),
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(16, len(text))) AS i
+        |  FROM documents),
+        |b AS (SELECT doc_id, i FROM pos
+        |  WHERE substr(md5(substr(text, i - 15, 16)), 32, 1) = '0'),
+        |ends AS (SELECT doc_id, i AS e FROM b
+        |  UNION SELECT doc_id, len(text) AS e FROM documents WHERE len(text) > 0),
+        |spans AS (SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM ends),
+        |chunks AS (SELECT s.doc_id,
+        |    substr(d.text, CAST(s.prev + 1 AS INT), CAST(s.e - s.prev AS INT)) AS chunk
+        |  FROM spans s JOIN documents d USING (doc_id)
+        |  WHERE s.e - s.prev >= 8)
+        |SELECT md5(chunk) AS h, CAST(len(chunk) AS INT) AS chunk_len,
+        |  count(DISTINCT doc_id) AS n_docs, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, h LIMIT 100""".stripMargin),
+
+    // ── exact heavy hitters at support 1/30, sketch-guided: one
+    //    Misra-Gries aggregate (<= 29 counters/partition, kilobyte
+    //    shuffle) names the candidates, a broadcast-narrowed exact
+    //    recount keeps only true > n/30 items — the full-cardinality
+    //    token groupBy never happens ──
+    "text_heavy_hitters" -> QueryDef(
+      (spark, dir) => graft.ops.HeavyHitters.heavyHitters(
+        Tables.documents(spark, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", k = 29),
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+         |SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks, tot GROUP BY tok, n HAVING count(*) * 30 > n
+         |ORDER BY cnt DESC, item""".stripMargin),
+
     // ── CCNet-style perplexity buckets: per-language surprisal terciles
     //    (head/middle/tail) over the add-1 bigram LM score — the
     //    standard LM-quality partition of a web corpus before sampling ──
