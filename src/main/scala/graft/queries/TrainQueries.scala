@@ -2238,6 +2238,41 @@ object TrainQueries {
            |FROM a2 LEFT JOIN drp d ON a2.vec_id = d.vec_id
            |ORDER BY a2.vec_id""".stripMargin),
 
+    // ── BERTopic-style cluster labeling: top-5 terms per k-means cluster
+    //    by exact-integer lift (in-cluster rate / corpus rate, ppm);
+    //    embedding i is document i's vector, so the k-means partition and
+    //    the term stats replay together in one SQL chain ──
+    "emb_cluster_terms" -> QueryDef(
+      (spark, dir) => graft.sim.Clustering.clusterTopTerms(
+        graft.sim.Clustering.kmeansAssign(
+          Tables.embeddings(spark, dir), k = 8, iters = 2)
+          .select(col("id").as("doc_id"), col("cid").as("cluster")),
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term")),
+        minTf = 5, topK = 5),
+      kmeansSql +
+        s""",
+           |tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |ct AS (SELECT a2.cid AS cluster, t.term,
+           |         CAST(count(*) AS BIGINT) AS tf
+           |       FROM tk t JOIN a2 ON a2.vec_id = t.doc_id GROUP BY 1, 2),
+           |ac AS (SELECT cluster, CAST(sum(tf) AS BIGINT) AS a_c
+           |       FROM ct GROUP BY 1),
+           |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f_t
+           |       FROM ct GROUP BY 1),
+           |nt AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM ct),
+           |sc AS (SELECT ct.cluster, ct.term, ct.tf,
+           |         (ct.tf * nt.n * 1000000) // (ac.a_c * ft.f_t) AS lift_ppm
+           |       FROM ct JOIN ac USING (cluster) JOIN ft USING (term)
+           |       CROSS JOIN nt WHERE ct.tf >= 5),
+           |r AS (SELECT cluster, term, tf, lift_ppm,
+           |        CAST(row_number() OVER (PARTITION BY cluster
+           |          ORDER BY lift_ppm DESC, term) AS INT) AS rank
+           |      FROM sc)
+           |SELECT cluster, term, tf, lift_ppm, rank FROM r
+           |WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin),
+
     // ── int8 scalar quantization + exact top-k under the quantized
     //    integer dot product (4× memory cut; ranking is pure integer
     //    arithmetic, zero float drift) ──

@@ -116,4 +116,45 @@ object Clustering {
       .select(col("id"), col("cid").as("cluster"),
         col("did").isNotNull.as("dropped"))
   }
+
+  /** BERTopic-style cluster labeling (c-TF-IDF, integer form): for each
+    * cluster, the topK terms with the highest LIFT — in-cluster term rate
+    * over corpus term rate, in exact integer ppm
+    * `(tf·n·1e6) DIV (a_c·f_t)` — so the "what is this cluster about"
+    * summary replays bit-for-bit in SQL (no log/libm).
+    *
+    * Plan shape: one (cluster, term)-grain count (map-combined), three
+    * cheap rollups of THAT summary (never the corpus again — the
+    * summary frame is lazily checkpointed and reused), a broadcast of
+    * the 1-row total, and a window partitioned BY CLUSTER for ranks.
+    * At 100 TB the only corpus-size shuffle is the first count.
+    *
+    * `minTf` drops rare terms whose lift is all noise (a term appearing
+    * once has maximal lift in whichever cluster holds it).
+    */
+  def clusterTopTerms(assign: DataFrame, docTerms: DataFrame,
+                      minTf: Long = 5, topK: Int = 5): DataFrame = {
+    val ct = docTerms.join(assign, Seq("doc_id"))
+      .groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    // rollups of ct share its lineage — rename join keys so the
+    // analyzer's ambiguous-self-join check can't trip
+    val ac = ct.groupBy(col("cluster").as("c2")).agg(sum(col("tf")).as("a_c"))
+    val ft = ct.groupBy(col("term").as("t2")).agg(sum(col("tf")).as("f_t"))
+    val nt = ct.agg(sum(col("tf")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    ct.filter(col("tf") >= minTf)
+      .join(ac, col("cluster") === col("c2"))
+      .join(ft, col("term") === col("t2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lift_ppm", expr("(tf * n * 1000000) DIV (a_c * f_t)"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("term"), col("tf"), col("lift_ppm"),
+        col("rank"))
+      .orderBy(col("cluster"), col("rank"))
+  }
 }

@@ -170,4 +170,30 @@ class ClusteringSpec extends SparkSpec {
     val jac = Dedup.jaccardPairs(docs, 3, 0.5).collect()
     assert(jac.isEmpty) // symmetric jaccard dilutes the same pair to ~0.01
   }
+
+  test("clusterTopTerms surfaces each cluster's distinctive vocabulary") {
+    // two synthetic clusters with disjoint signature terms on top of a
+    // shared background vocabulary; lift must rank the signatures first
+    val docs = (0L until 40L).map { i =>
+      val sig = if (i < 20) "quantum flux entangle" else "glacier moraine till"
+      (i, s"the of and $sig $sig the of and common words here")
+    }
+    val assign = docs.map { case (i, _) => (i, if (i < 20) 0L else 1L) }
+      .toDF("doc_id", "cluster")
+    val terms = docs.toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.text.TextAnalysis.tokens($"text")).as("term"))
+    val top = Clustering.clusterTopTerms(assign, terms, minTf = 5, topK = 3)
+      .collect()
+    val byCluster = top.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(4)).map(_.getString(1)).toSeq).toMap
+    assert(byCluster(0L).toSet == Set("quantum", "flux", "entangle"))
+    assert(byCluster(1L).toSet == Set("glacier", "moraine", "till"))
+    // signature terms: in-cluster rate = 2× corpus rate (each appears
+    // only in its half) → lift 2,000,000 ppm; background terms ≈ 1e6
+    top.foreach(r => assert(r.getLong(3) == 2000000L,
+      s"signature lift should be exactly 2x: $r"))
+    // ranks are 1..3 per cluster, deterministic ties by term
+    assert(byCluster(0L) == Seq("entangle", "flux", "quantum"))
+  }
 }
