@@ -188,12 +188,21 @@ private class ManifestTable(path: String)
     new ManifestWriteBuilder(path, info.schema())
 }
 
+/** Pushed-down aggregate shapes the manifest reader can serve directly. */
+private[sources] sealed trait ManifestAgg
+private[sources] case object MAggCountStar extends ManifestAgg
+private[sources] final case class MAggMin(column: String) extends ManifestAgg
+private[sources] final case class MAggMax(column: String) extends ManifestAgg
+
 private class ManifestScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = ManifestDataSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[ManifestAgg]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order for a deterministic row layout
     required = StructType(ManifestDataSource.schema.fields
@@ -206,16 +215,60 @@ private class ManifestScanBuilder(path: String)
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ManifestScan(path, required, pushed)
+
+  /** PARTIAL aggregate pushdown (SupportsPushDownAggregates with the
+    * default `supportCompletePushDown = false`): for ungrouped
+    * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) each file partition
+    * returns ONE pre-aggregated row and Spark's final aggregate merges
+    * the per-file partials — so a fleet-wide `count(*)` over thousands
+    * of side-file manifests ships one row per file instead of
+    * materializing an InternalRow per line. COUNT(col) maps to
+    * COUNT(*) because manifest columns are never null; DISTINCT and
+    * grouped shapes stay in Spark.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        ManifestDataSource.schema.fieldNames.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val mapped: Seq[Option[ManifestAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar               => Some(MAggCountStar)
+      case c: Count if !c.isDistinct  => colOf(c.column).map(_ => MAggCountStar)
+      case m: Min                     => colOf(m.column).map(MAggMin)
+      case m: Max                     => colOf(m.column).map(MAggMax)
+      case _                          => None
+    }
+    if (mapped.nonEmpty && mapped.forall(_.isDefined)) {
+      aggs = Some(mapped.flatten)
+      true
+    } else false
+  }
+
+  override def build(): Scan = new ManifestScan(path, aggs match {
+    case Some(a) => StructType(a.zipWithIndex.map {
+      case (MAggCountStar, i) =>
+        StructField(s"count_$i", org.apache.spark.sql.types.LongType,
+          nullable = false)
+      case (MAggMin(c), i) => StructField(s"min_${c}_$i", StringType)
+      case (MAggMax(c), i) => StructField(s"max_${c}_$i", StringType)
+    })
+    case None => required
+  }, pushed, aggs)
 }
 
 private class ManifestScan(path: String, required: StructType,
-                           pushed: Array[org.apache.spark.sql.sources.Filter])
+                           pushed: Array[org.apache.spark.sql.sources.Filter],
+                           aggs: Option[Seq[ManifestAgg]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -229,16 +282,24 @@ private class ManifestScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, pushed)
+    new ManifestReaderFactory(required, pushed, aggs)
 }
 
 private case class ManifestFilePartition(file: String) extends InputPartition
 
 private class ManifestReaderFactory(required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggs: Option[Seq[ManifestAgg]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
+    aggs match {
+      case Some(a) => new ManifestAggReader(file, pushed, a)
+      case None => createRowReader(file)
+    }
+  }
+
+  private def createRowReader(file: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
       private val in = p.getFileSystem(new Configuration()).open(p)
@@ -265,4 +326,73 @@ private class ManifestReaderFactory(required: StructType,
       override def close(): Unit = reader.close()
     }
   }
+}
+
+/** One pre-aggregated row per manifest file: folds COUNT/MIN/MAX over the
+  * (filter-surviving) lines without ever materializing a per-line
+  * InternalRow; Spark's final aggregate merges the per-file partials.
+  * MIN/MAX over zero surviving lines yield null, which the final
+  * aggregate ignores — the same null contract parquet's pushed
+  * aggregates follow.
+  */
+private class ManifestAggReader(file: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggs: Seq[ManifestAgg]) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    done = true
+    val p = new Path(file)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    var count = 0L
+    val mins = new Array[String](aggs.size)
+    val maxs = new Array[String](aggs.size)
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val checksum = line.take(64).toLowerCase(java.util.Locale.ROOT)
+          val f = line.drop(64).trim
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          if (pushed.forall(ManifestDataSource.evalFilter(_, checksum, f, base))) {
+            count += 1
+            var i = 0
+            while (i < aggs.size) {
+              aggs(i) match {
+                case MAggMin(c) =>
+                  val v = c match {
+                    case "checksum" => checksum
+                    case "file" => f
+                    case _ => base
+                  }
+                  if (mins(i) == null || v < mins(i)) mins(i) = v
+                case MAggMax(c) =>
+                  val v = c match {
+                    case "checksum" => checksum
+                    case "file" => f
+                    case _ => base
+                  }
+                  if (maxs(i) == null || v > maxs(i)) maxs(i) = v
+                case MAggCountStar => ()
+              }
+              i += 1
+            }
+          }
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    new GenericInternalRow(aggs.zipWithIndex.map {
+      case (MAggCountStar, _) => count: Any
+      case (MAggMin(_), i) =>
+        if (mins(i) == null) null else UTF8String.fromString(mins(i))
+      case (MAggMax(_), i) =>
+        if (maxs(i) == null) null else UTF8String.fromString(maxs(i))
+    }.toArray)
+  }
+
+  override def close(): Unit = ()
 }

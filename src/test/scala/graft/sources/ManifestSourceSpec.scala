@@ -97,4 +97,54 @@ class ManifestSourceSpec extends SparkSpec {
     assert(pruned.as[String].collect().sorted.toSeq ==
       Seq("a.docx", "b.docx", "c.json"))
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX serve one partial row per file") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    val agg = base.agg(
+      org.apache.spark.sql.functions.count("*").as("n"),
+      org.apache.spark.sql.functions.min($"basename").as("mn"),
+      org.apache.spark.sql.functions.max($"file").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    val row = agg.head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getString(1) == "a.docx")
+    assert(row.getString(2) == "data/dir/a.docx")
+    // count(col) maps to count(*) — manifest columns are never null
+    assert(base.agg(org.apache.spark.sql.functions.count($"checksum"))
+      .head().getLong(0) == 3L)
+  }
+
+  test("aggregate pushdown composes with pushed filters") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    val agg = base.filter($"file".startsWith("data/"))
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.max($"basename").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("StringStartsWith(file,data/)"), plan)
+    val row = agg.head()
+    assert(row.getLong(0) == 2L && row.getString(1) == "b.docx")
+    // a filter that leaves NO survivors in one file: its partial min/max
+    // are null and must not poison the merged result
+    val none = base.filter($"basename" === "c.json")
+      .agg(org.apache.spark.sql.functions.count("*"),
+        org.apache.spark.sql.functions.min($"file"))
+      .head()
+    assert(none.getLong(0) == 1L && none.getString(1) == "c.json")
+  }
+
+  test("aggregate pushdown declines grouped and distinct shapes") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    val grouped = base.groupBy($"basename")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(grouped.count() == 3)
+    val distinct = base.agg(
+      org.apache.spark.sql.functions.countDistinct($"basename"))
+    assert(!distinct.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(distinct.head().getLong(0) == 3L)
+  }
 }
