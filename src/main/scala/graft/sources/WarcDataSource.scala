@@ -131,12 +131,24 @@ private class WarcTable(path: String) extends Table with SupportsRead {
     new WarcScanBuilder(path)
 }
 
+/** Pushed-down aggregate shapes the WARC source can serve from the CDX
+  * sidecar alone (or a streaming record walk when a file has no sidecar).
+  */
+private[sources] sealed trait WarcAgg
+private[sources] case object WAggCount extends WarcAgg
+private[sources] case object WAggSumLen extends WarcAgg
+private[sources] final case class WAggMin(column: String) extends WarcAgg
+private[sources] final case class WAggMax(column: String) extends WarcAgg
+
 private class WarcScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = WarcDataSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[WarcAgg]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(WarcDataSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
@@ -146,7 +158,54 @@ private class WarcScanBuilder(path: String)
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new WarcScan(path, required, pushed)
+
+  /** PARTIAL aggregate pushdown over the INDEX-SERVABLE columns only:
+    * ungrouped COUNT(*) / COUNT(col) / MIN / MAX / SUM(payload_len) are
+    * answered from the CDX sidecar without ever opening an archive — at
+    * web-corpus scale "how many records / how many payload bytes match
+    * this uri prefix" reads kilobytes of index instead of terabytes of
+    * gzip. Files lacking a sidecar fall back to a streaming record walk
+    * that still returns one partial row. Aggregates touching
+    * archive-only columns (payload/date/record_id), DISTINCT, or GROUP
+    * BY stay in Spark.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        WarcDataSource.indexServable.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val mapped: Seq[Option[WarcAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar              => Some(WAggCount)
+      case c: Count if !c.isDistinct => colOf(c.column).map(_ => WAggCount)
+      case m: Min                    => colOf(m.column).map(WAggMin)
+      case m: Max                    => colOf(m.column).map(WAggMax)
+      case s: Sum if !s.isDistinct   =>
+        colOf(s.column).filter(_ == "payload_len").map(_ => WAggSumLen)
+      case _                         => None
+    }
+    if (mapped.nonEmpty && mapped.forall(_.isDefined)) {
+      aggs = Some(mapped.flatten)
+      true
+    } else false
+  }
+
+  private def aggField(a: WarcAgg, i: Int): StructField = a match {
+    case WAggCount  => StructField(s"count_$i", LongType, nullable = false)
+    case WAggSumLen => StructField(s"sum_payload_len_$i", LongType)
+    case WAggMin(c) => StructField(s"min_${c}_$i",
+      WarcDataSource.schema(c).dataType)
+    case WAggMax(c) => StructField(s"max_${c}_$i",
+      WarcDataSource.schema(c).dataType)
+  }
+
+  override def build(): Scan = new WarcScan(path, aggs match {
+    case Some(a) => StructType(a.zipWithIndex.map((aggField _).tupled))
+    case None    => required
+  }, pushed, aggs)
 }
 
 private sealed trait WarcPartition extends InputPartition
@@ -156,17 +215,22 @@ private case class WarcFetchPartition(dir: String, file: String,
                                       entries: Seq[CdxEntry]) extends WarcPartition
 
 private class WarcScan(path: String, required: StructType,
-                       pushed: Array[org.apache.spark.sql.sources.Filter])
+                       pushed: Array[org.apache.spark.sql.sources.Filter],
+                       aggs: Option[Seq[WarcAgg]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"WarcScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
-  // payload/date/record_id live only inside the archive members
+  // payload/date/record_id live only inside the archive members; pushed
+  // aggregates are restricted to index-servable columns, so agg mode
+  // never opens an archive that has a sidecar
   private def needsArchive: Boolean =
-    required.fieldNames.exists(f => !WarcDataSource.indexServable.contains(f))
+    aggs.isEmpty &&
+      required.fieldNames.exists(f => !WarcDataSource.indexServable.contains(f))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -196,11 +260,12 @@ private class WarcScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed)
+    new WarcReaderFactory(required, pushed, aggs)
 }
 
 private class WarcReaderFactory(required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggs: Option[Seq[WarcAgg]] = None)
     extends PartitionReaderFactory {
 
   // recordId/date/sha/payload are by-name: only evaluated when the column
@@ -226,6 +291,12 @@ private class WarcReaderFactory(required: StructType,
       .digest(bytes).map("%02x".format(_)).mkString
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    aggs match {
+      case Some(a) => new WarcAggReader(partition, pushed, a)
+      case None    => createRowReader(partition)
+    }
+
+  private def createRowReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case WarcIndexPartition(entries) =>
         // archive never opened: rows come straight from the CDX
@@ -287,4 +358,96 @@ private class WarcReaderFactory(required: StructType,
           override def close(): Unit = ()
         }
     }
+}
+
+/** One pre-aggregated row per partition. Index partitions fold the CDX
+  * entries (archive never opened — planning already applied the pushed
+  * filters); sidecar-less files stream their records once. MIN/MAX/SUM
+  * over zero surviving records are null partials, which the final merge
+  * ignores.
+  */
+private class WarcAggReader(partition: InputPartition,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggs: Seq[WarcAgg]) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done
+
+  private def needsSha: Boolean = aggs.exists {
+    case WAggMin("payload_sha256") | WAggMax("payload_sha256") => true
+    case _ => false
+  }
+
+  override def get(): InternalRow = {
+    done = true
+    var count = 0L
+    var sum = 0L
+    val minV = new Array[Any](aggs.size)
+    val maxV = new Array[Any](aggs.size)
+
+    def fold(file: String, uri: String, plen: Long, sha: => String): Unit = {
+      count += 1
+      sum += plen
+      var i = 0
+      while (i < aggs.size) {
+        def value(c: String): Any = c match {
+          case "warc_file"      => file
+          case "uri"            => uri
+          case "payload_len"    => plen
+          case "payload_sha256" => sha
+          case other => throw new IllegalArgumentException(s"unknown $other")
+        }
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long)     => x < y
+          case (x: String, y: String) => x < y
+          case _                      => false
+        }
+        aggs(i) match {
+          case WAggMin(c) =>
+            val v = value(c)
+            if (minV(i) == null || lt(v, minV(i))) minV(i) = v
+          case WAggMax(c) =>
+            val v = value(c)
+            if (maxV(i) == null || lt(maxV(i), v)) maxV(i) = v
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+
+    partition match {
+      case WarcIndexPartition(entries) =>
+        entries.foreach(e => fold(e.warc_file, e.uri, e.payload_len, e.payload_sha256))
+      case WarcFetchPartition(_, _, entries) =>
+        // CDX entries carry every index-servable column — same fold
+        entries.foreach(e => fold(e.warc_file, e.uri, e.payload_len, e.payload_sha256))
+      case WarcFullScanPartition(file) =>
+        val hp = new Path(file)
+        val it = Warc.parseStream(hp.getName,
+          new GZIPInputStream(hp.getFileSystem(new Configuration()).open(hp)))
+        val sha = needsSha
+        while (it.hasNext) {
+          val r = it.next()
+          val plen = r.payload.length.toLong
+          if (pushed.forall(WarcDataSource.evalFilter(_, r.warc_file, r.uri, plen)))
+            fold(r.warc_file, r.uri, plen,
+              if (sha) java.security.MessageDigest.getInstance("SHA-256")
+                .digest(r.payload).map("%02x".format(_)).mkString
+              else "")
+        }
+    }
+
+    def out(v: Any): Any = v match {
+      case null      => null
+      case s: String => UTF8String.fromString(s)
+      case l: Long   => l
+    }
+    new GenericInternalRow(aggs.zipWithIndex.map {
+      case (WAggCount, _)  => count: Any
+      case (WAggSumLen, _) => if (count == 0) null else (sum: Any)
+      case (WAggMin(_), i) => out(minV(i))
+      case (WAggMax(_), i) => out(maxV(i))
+    }.toArray)
+  }
+
+  override def close(): Unit = ()
 }

@@ -96,4 +96,59 @@ class WarcSourceSpec extends SparkSpec {
       .select($"uri").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: [uri]"))
   }
+
+  test("aggregate pushdown serves COUNT/MIN/MAX/SUM from the CDX index alone") {
+    val dir = writtenDir()
+    // archives gone: only the sidecars can answer — index-only aggregates
+    Files.delete(dir.resolve("crawl-a.warc.gz"))
+    Files.delete(dir.resolve("crawl-b.warc.gz"))
+    val agg = spark.read.format(fmt).load(dir.toString)
+      .agg(count("*").as("n"), min($"uri").as("mn"), max($"uri").as("mx"),
+        sum($"payload_len").as("bytes"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    val r = agg.head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == "https://corpus.invalid/crawl-a/1")
+    assert(r.getString(2) == "https://corpus.invalid/crawl-b/10")
+    val wantBytes = Seq("hello world", "second record body", "b-side payload ✓")
+      .map(_.getBytes("UTF-8").length.toLong).sum
+    assert(r.getLong(3) == wantBytes)
+    // composes with pushed filters: per-file pruning still applies
+    val filtered = spark.read.format(fmt).load(dir.toString)
+      .filter($"uri".startsWith("https://corpus.invalid/crawl-b/"))
+      .agg(count("*"), sum($"payload_len")).head()
+    assert(filtered.getLong(0) == 1L)
+    assert(filtered.getLong(1) ==
+      "b-side payload ✓".getBytes("UTF-8").length.toLong)
+  }
+
+  test("aggregate pushdown falls back to a record walk without sidecars") {
+    val dir = writtenDir()
+    Files.delete(dir.resolve("crawl-a.warc.cdx"))
+    Files.delete(dir.resolve("crawl-b.warc.cdx"))
+    val agg = spark.read.format(fmt).load(dir.toString)
+      .filter($"payload_len" > 11L)
+      .agg(count("*").as("n"), max($"payload_len").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val r = agg.head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == "second record body".getBytes("UTF-8").length.toLong)
+  }
+
+  test("aggregate pushdown declines archive-only columns, DISTINCT, GROUP BY") {
+    val dir = writtenDir()
+    // min(date) needs the archive record — must NOT push, must still answer
+    val dated = spark.read.format(fmt).load(dir.toString).agg(min($"date"))
+    assert(!dated.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(dated.head().getString(0) != null)
+    val grouped = spark.read.format(fmt).load(dir.toString)
+      .groupBy($"warc_file").agg(count("*"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(grouped.count() == 2L)
+    val dist = spark.read.format(fmt).load(dir.toString)
+      .agg(countDistinct($"uri"))
+    assert(!dist.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(dist.head().getLong(0) == 3L)
+  }
 }
