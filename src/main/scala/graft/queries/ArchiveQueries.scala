@@ -124,6 +124,34 @@ object ArchiveQueries {
       """SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
         |  sha256(text) AS payload_sha256,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len
-        |FROM documents WHERE doc_id % 17 = 0 ORDER BY uri""".stripMargin)
+        |FROM documents WHERE doc_id % 17 = 0 ORDER BY uri""".stripMargin),
+
+    // ── WARC connector, pushed aggregation: the whole-crawl audit row
+    //    (records, bytes, uri range, largest record) folds from the CDX
+    //    sidecars — PushedAggregation in the scan, archives never
+    //    opened, one partial row per index group shipped to the final
+    //    merge ──
+    "s_warc_index_stats" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/agg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        spark.read.format("graft.sources.WarcDataSource").load(tmp)
+          .agg(count("*").as("n_records"),
+            sum(col("payload_len")).as("total_bytes"),
+            min(col("uri")).as("first_uri"),
+            max(col("uri")).as("last_uri"),
+            max(col("payload_len")).as("max_record"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  min('https://corpus.invalid/' || source || '/' || doc_id) AS first_uri,
+        |  max('https://corpus.invalid/' || source || '/' || doc_id) AS last_uri,
+        |  CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_record
+        |FROM documents""".stripMargin)
   )
 }
