@@ -786,6 +786,56 @@ object EventQueries {
           .orderBy(col("route")),
       """SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 5 >= 3
         |         THEN 'fail' ELSE 'retry' END AS route, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY route""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY route""".stripMargin),
+
+    // ── integer EWMA anomaly detection per user (α = 1/4, value cents):
+    //    a sequential recurrence with a per-step floor, so NOT a window
+    //    sum — both engines fold the identically-ordered per-user list
+    //    with one packed-BIGINT accumulator (ewma·2^20 + anomaly count;
+    //    cents ≤ 49k and events/user ≪ 2^20, so the fields never
+    //    collide). Shuffle is user-grain; the fold is per-group local ──
+    "ev_ewma_anomaly" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(
+              struct(col("ts_ns"), col("event_id"), col("cents")))).as("seq"))
+          .withColumn("vals",
+            expr("transform(seq, s -> s.cents * 1048576)"))
+          .withColumn("acc", expr(
+            """aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),
+              |  element_at(vals, 1),
+              |  (acc, x) ->
+              |    ((3 * (acc DIV 1048576) + x DIV 1048576) DIV 4) * 1048576
+              |    + acc % 1048576
+              |    + CASE WHEN abs(x DIV 1048576 - acc DIV 1048576) > 5000
+              |           THEN 1 ELSE 0 END)""".stripMargin))
+          .select(col("user_id"), col("n_events"),
+            expr("acc DIV 1048576").as("ewma_cents"),
+            expr("acc % 1048576").as("n_anomalies"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) * 1048576 AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    list(v ORDER BY ts, event_id) AS vals
+        |  FROM e GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(vals, (acc, x) ->
+        |      ((3 * (acc // 1048576) + x // 1048576) // 4) * 1048576
+        |      + acc % 1048576
+        |      + CASE WHEN abs(x // 1048576 - acc // 1048576) > 5000
+        |             THEN 1 ELSE 0 END) AS acc
+        |  FROM g)
+        |SELECT user_id, n_events, acc // 1048576 AS ewma_cents,
+        |  acc % 1048576 AS n_anomalies
+        |FROM f ORDER BY user_id""".stripMargin)
   )
 }
