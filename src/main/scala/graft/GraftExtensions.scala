@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by", "bounded-heap top-k aggregate: array<struct<nid,sim,rank>>"),
       (args: Seq[Expression]) => TopKByDescExpr(args(0), args(1),
         intArg(args(2), "k")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "Misra-Gries frequent-items candidates: array<struct<item,est>>"),
+      (args: Seq[Expression]) => MisraGriesAgg(args(0),
+        intArg(args(1), "k")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "content-defined chunk spans (md5-window boundary rule)"),
+      (args: Seq[Expression]) => CdcChunksExpr(args(0), intArg(args(1), "w"))))
     // optimizer rewrite: un-thresholded levenshtein comparisons in
     // Filter/Join conditions take the banded early-abandon form
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
@@ -88,7 +97,10 @@ object GraftExtensions {
         lit(args(2), "planes"), lit(args(3), "dims"))),
       "nfc_normalize" -> (args => NfcNormalizeExpr(args.head)),
       "topk_by" -> (args => TopKByDescExpr(args(0), args(1),
-        lit(args(2), "k")).toAggregateExpression()))
+        lit(args(2), "k")).toAggregateExpression()),
+      "misra_gries" -> (args => MisraGriesAgg(args(0),
+        lit(args(1), "k")).toAggregateExpression()),
+      "cdc_chunks" -> (args => CdcChunksExpr(args(0), lit(args(1), "w"))))
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }

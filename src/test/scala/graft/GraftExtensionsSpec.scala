@@ -43,4 +43,17 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.register(s2)
     assert(s2.sql("SELECT percent_encode('a b')").head().getString(0) == "a%20b")
   }
+
+  test("misra_gries and cdc_chunks are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val mg = spark.sql(
+      """SELECT misra_gries(item, 2) AS sk
+        |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS v(item)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.head.getString(0) == "a") // majority item survives
+    val chunks = spark.sql(
+      "SELECT cdc_chunks('the quick brown fox jumps over the lazy dog', 8) AS c")
+      .head().getSeq[String](0)
+    assert(chunks.mkString == "the quick brown fox jumps over the lazy dog")
+  }
 }
