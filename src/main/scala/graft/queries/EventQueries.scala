@@ -788,6 +788,41 @@ object EventQueries {
         |         THEN 'fail' ELSE 'retry' END AS route, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY route""".stripMargin),
 
+    // ── out-of-order audit (the watermark-sizing question): per user,
+    //    arrival order = event_id; an event is late by (running max of
+    //    earlier-arrived event times − its own time). The minute-bucket
+    //    histogram + cumulative mass says exactly what watermark delay
+    //    captures which share of events. user-partitioned running max;
+    //    the only ordered window runs over ≤ 11 bucket rows ──
+    "ev_out_of_order" -> QueryDef(
+      (spark, dir) => {
+        val byArrival = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val l = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("runmax", max(col("ts_us")).over(byArrival))
+          .withColumn("late_us",
+            greatest(coalesce(col("runmax") - col("ts_us"), lit(0L)), lit(0L)))
+          .select(least(expr("late_us DIV 60000000"), lit(10L))
+            .cast("int").as("bucket"))
+        val c = l.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        c.withColumn("cum_n",
+          sum(col("n")).over(Window.orderBy(col("bucket"))))
+          .orderBy(col("bucket"))
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT user_id, ts_us,
+        |        max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |      FROM e),
+        |l AS (SELECT CAST(least(greatest(coalesce(runmax - ts_us, 0), 0)
+        |        // 60000000, 10) AS INT) AS bucket FROM r),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1)
+        |SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n
+        |FROM c ORDER BY bucket""".stripMargin),
+
     // ── integer EWMA anomaly detection per user (α = 1/4, value cents):
     //    a sequential recurrence with a per-step floor, so NOT a window
     //    sum — both engines fold the identically-ordered per-user list
