@@ -1,0 +1,45 @@
+package graft.core.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus ingest with a dead-letter channel — the standard shape
+  * for web-scale dumps where some fraction of lines is always truncated
+  * or malformed and a failed line must not poison the run (same
+  * bad-rows-routed-not-thrown policy as the streaming DLQ in
+  * graft.streaming.EventStream; reference analogue: the per-message
+  * error channel of tre_vb_validate_bagit).
+  *
+  * Deliberately a TEXT scan + `from_json`, not `spark.read.json`: the
+  * raw-file JSON scan disallows queries whose referenced columns are
+  * only the internal corrupt-record column (the parser prunes the data
+  * away), so a DLQ-only leg would throw at execution. Parsing per line
+  * with `from_json` keeps the verbatim line alongside the parse result —
+  * both legs ride one scan-local pass, no shuffle, and the DLQ keeps the
+  * EXACT input bytes for repair/audit.
+  */
+object Jsonl {
+
+  private val corruptCol = "_graft_corrupt"
+
+  /** (good, dlq): good = rows parsed to `schema` (a row is good only if
+    * the line is well-formed JSON matching the field types); dlq =
+    * (raw_line) verbatim.
+    */
+  def readWithDlq(spark: SparkSession, path: String,
+                  schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(corruptCol), s"$corruptCol is reserved")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corruptCol, StringType, nullable = true))
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+    val good = parsed.filter(col(s"j.$corruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toIndexedSeq: _*)
+    val dlq = parsed.filter(col(s"j.$corruptCol").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, dlq)
+  }
+}

@@ -152,6 +152,43 @@ object ArchiveQueries {
         |  min('https://corpus.invalid/' || source || '/' || doc_id) AS first_uri,
         |  max('https://corpus.invalid/' || source || '/' || doc_id) AS last_uri,
         |  CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_record
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // ── JSONL ingest with dead-letter routing: render the corpus as
+    //    JSONL, deterministically truncate every doc_id ≡ 0 (mod 37)
+    //    line mid-token, ingest with Jsonl.readWithDlq — good rows parse,
+    //    bad lines land verbatim in the DLQ, nothing throws. The id-sum
+    //    proves the good leg parsed VALUES, not just counted lines ──
+    "s_jsonl_dlq" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_jsonl/dlq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val js = to_json(struct(col("doc_id"), col("text")))
+        Tables.documents(spark, dir)
+          .select(when(col("doc_id") % 37 === 0, substring(js, 1, 10))
+            .otherwise(js).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val (good, dlq) = graft.core.io.Jsonl.readWithDlq(spark, tmp, schema)
+        val g = good.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+          .select(lit("ok").as("route"), col("n"), col("sum_ids"))
+        val d = dlq.agg(count(lit(1)).as("n"))
+          .select(lit("dlq").as("route"), col("n"),
+            lit(null).cast("long").as("sum_ids"))
+        d.unionAll(g).orderBy(col("route"))
+      },
+      """SELECT 'dlq' AS route, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(NULL AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id % 37 = 0
+        |UNION ALL
+        |SELECT 'ok', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 37 <> 0
+        |ORDER BY route""".stripMargin)
   )
 }
