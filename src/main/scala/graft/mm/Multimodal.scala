@@ -543,6 +543,125 @@ object Multimodal {
     }
   }
 
+  /** Minimal REAL JPEG stream: SOI → APP0/JFIF → DQT → SOF0 (baseline)
+    * or SOF2 (progressive) carrying the planted dimensions/components →
+    * SOS header + EOI. Marker grammar is exactly ITU-T T.81 §B: every
+    * non-standalone segment is FF <marker> <16-bit BE length incl. the
+    * length field>. A metadata scan never needs entropy-coded data, so
+    * the scan body is empty — but the byte layout up to SOS is what any
+    * conforming JPEG opens with. Fixture/ingest side of [[jpegMeta]].
+    */
+  def encodeJpegShell(width: Int, height: Int, components: Int,
+                      progressive: Boolean): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff)
+    require(components == 1 || components == 3)
+    val sofLen = 8 + 3 * components
+    val buf = java.nio.ByteBuffer.allocate(2 + 18 + 69 + (2 + sofLen) +
+      (2 + 6 + 2 * components) + 2).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def marker(m: Int): Unit = { buf.put(0xff.toByte); buf.put(m.toByte) }
+    marker(0xd8)                                          // SOI
+    marker(0xe0); buf.putShort(16)                        // APP0, len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte)                       // version 1.1
+    buf.put(0.toByte)                                     // aspect-ratio units
+    buf.putShort(1).putShort(1)                           // density 1:1
+    buf.put(0.toByte).put(0.toByte)                       // no thumbnail
+    marker(0xdb); buf.putShort(67); buf.put(0.toByte)     // DQT: table 0,
+    (0 until 64).foreach(_ => buf.put(16.toByte))         // flat 8-bit quants
+    marker(if (progressive) 0xc2 else 0xc0)               // SOF2 / SOF0
+    buf.putShort(sofLen.toShort)
+    buf.put(8.toByte)                                     // sample precision
+    buf.putShort(height.toShort).putShort(width.toShort)  // lines, samples
+    buf.put(components.toByte)
+    (1 to components).foreach { c =>
+      buf.put(c.toByte)                                   // component id
+      buf.put(0x11.toByte)                                // 1×1 sampling
+      buf.put(0.toByte)                                   // quant table 0
+    }
+    marker(0xda); buf.putShort((6 + 2 * components).toShort) // SOS header
+    buf.put(components.toByte)
+    (1 to components).foreach { c => buf.put(c.toByte); buf.put(0.toByte) }
+    buf.put(0.toByte).put(63.toByte).put(0.toByte)        // spectral select
+    marker(0xd9)                                          // EOI
+    buf.array()
+  }
+
+  /** JPEG marker walk (T.81 §B.1.1.2): skip FF fill bytes, step segments
+    * by their big-endian lengths past APPn/DQT/DHT/COM to the first SOFn
+    * (n ∈ 0..15 minus DHT/DAC/RST — i.e. the frame header, baseline or
+    * progressive), read (width, height, components, progressive). Stops
+    * at SOS/EOI without a frame header → None; standalone markers
+    * (TEM, RSTn) carry no length and are stepped over. None for
+    * non-JPEG bytes or any truncated segment — DLQ upstream.
+    */
+  def jpegMeta(content: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
+    def u8(i: Int): Int = content(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (content.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var off = 2
+    while (off + 1 < content.length) {
+      if (u8(off) != 0xff) return None
+      while (off + 1 < content.length && u8(off + 1) == 0xff) off += 1 // fill
+      if (off + 1 >= content.length) return None
+      val m = u8(off + 1)
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 }   // standalone
+      else if (m == 0xd9 || m == 0xda) return None              // EOI / SOS
+      else {
+        if (off + 4 > content.length) return None
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > content.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc                   // not DHT/JPG/DAC
+        if (isSof) {
+          if (len < 8) return None
+          return Some((u16(off + 7), u16(off + 5), u8(off + 9),
+            m == 0xc2 || m == 0xc6 || m == 0xca || m == 0xce))
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Encode (id, width, height, components, progressive) rows into JPEG
+    * shells — same mapPartitions batch shape as every codec stage.
+    */
+  def encodeJpegStage(df: DataFrame, idCol: String, widthCol: String,
+                      heightCol: String, componentsCol: String,
+                      progressiveCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+        col(heightCol).cast("int"), col(componentsCol).cast("int"),
+        col(progressiveCol).cast("boolean"))
+      .mapPartitions { it =>
+        it.map(r => Row(r.getLong(0),
+          encodeJpegShell(r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))))
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private val jpegMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("components", IntegerType),
+    StructField("progressive", BooleanType)))
+
+  /** Frame-header scan stage: JPEG bytes → (media_id, width, height,
+    * components, progressive). Unparseable rows are dropped — DLQ
+    * upstream.
+    */
+  def jpegMetaStage(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          jpegMeta(r.getAs[Array[Byte]](1)).map { case (w, h, c, p) =>
+            Row(r.getLong(0), w, h, c, p)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(jpegMetaSchema))
+
   /** Encode (id, timescale, duration) rows into MP4 shells — the
     * mapPartitions batch shape shared by every codec stage.
     */

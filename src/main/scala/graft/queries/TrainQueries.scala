@@ -1806,6 +1806,34 @@ object TrainQueries {
         |  ((doc_id % 7 + 1) * 600 * 1000) // ((doc_id % 3 + 1) * 1000) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── multimodal: JPEG frame-header scan — encode REAL JPEG shells
+    //    (T.81 marker grammar: SOI/APP0/DQT/SOF0-or-SOF2/SOS/EOI) with
+    //    planted dims, then recover them with the marker walk; the
+    //    oracle replays the planted arithmetic ──
+    "mm_jpeg_dims" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            (pmod(col("doc_id"), lit(640)) + 16).cast("int").as("w"),
+            (pmod(col("doc_id") * 3, lit(480)) + 16).cast("int").as("h"),
+            when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(3)
+              .cast("int").as("c"),
+            (pmod(col("doc_id"), lit(2)) === 0).as("p"))
+        val media = Multimodal.encodeJpegStage(docs, "doc_id", "w", "h", "c", "p")
+        Multimodal.jpegMetaStage(media)
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("components"), col("progressive"),
+            (col("width").cast("long") * col("height")).as("n_pixels"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(doc_id % 640 + 16 AS INT) AS width,
+        |  CAST((doc_id * 3) % 480 + 16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT) AS components,
+        |  doc_id % 2 = 0 AS progressive,
+        |  CAST((doc_id % 640 + 16) * ((doc_id * 3) % 480 + 16) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ── multimodal: frame sampling over byte windows (stride 50, ≤8) ──
     "mm_frame_sample" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

@@ -479,6 +479,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(bytes.take(30)).isEmpty) // truncated moov
   }
 
+  test("jpeg shell round-trips through the marker walk; edge shapes handled") {
+    val base = Multimodal.encodeJpegShell(640, 480, 3, progressive = false)
+    assert(Multimodal.jpegMeta(base).contains((640, 480, 3, false)))
+    assert(Multimodal.jpegMeta(
+      Multimodal.encodeJpegShell(33, 7, 1, progressive = true))
+      .contains((33, 7, 1, true)))
+    // javax.imageio agrees the shell IS a JPEG frame header: the JDK's
+    // own reader recovers the same dimensions from our bytes
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(base)))
+    assert((rd.getWidth(0), rd.getHeight(0)) == (640, 480))
+    // conforming readers step unknown APPn segments and FF fill bytes
+    val app1 = Array(0xff, 0xe1, 0x00, 0x06, 0x41, 0x42, 0x43, 0x44)
+      .map(_.toByte)
+    val withApp1 = base.take(2) ++ app1 ++ base.drop(2)
+    assert(Multimodal.jpegMeta(withApp1).contains((640, 480, 3, false)))
+    val withFill = base.take(2) ++ Array(0xff.toByte) ++ base.drop(2)
+    assert(Multimodal.jpegMeta(withFill).contains((640, 480, 3, false)))
+    // dimensions > 0x7fff survive the signed-short write path
+    assert(Multimodal.jpegMeta(
+      Multimodal.encodeJpegShell(40000, 50000, 3, progressive = false))
+      .contains((40000, 50000, 3, false)))
+    assert(Multimodal.jpegMeta("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegMeta(base.take(25)).isEmpty)      // truncated DQT
+    assert(Multimodal.jpegMeta(base.take(2)).isEmpty)       // SOI only
+    // SOS before any SOF (frame header missing) → None, not a bogus parse
+    val soi = base.take(2)
+    val sos = Array(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.jpegMeta(soi ++ sos).isEmpty)
+  }
+
   test("wavMeta parses a canonical hand-written 44.1kHz stereo header") {
     // ground truth, independent of wavHeader: RIFF....WAVEfmt <16,PCM>
     // channels=2 (0200), rate=44100 (44AC0000), byteRate, align, bits=16
