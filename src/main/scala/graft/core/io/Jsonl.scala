@@ -1,7 +1,8 @@
 package graft.core.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** JSONL corpus ingest with a dead-letter channel — the standard shape
@@ -23,16 +24,15 @@ object Jsonl {
 
   private val corruptCol = "_graft_corrupt"
 
-  /** (good, dlq): good = rows parsed to `schema` (a row is good only if
-    * the line is well-formed JSON matching the field types); dlq =
-    * (raw_line) verbatim.
+  /** Route a `value: string` frame of raw JSONL lines into (good, dlq)
+    * — the shared split of the batch and streaming ingest paths. Both
+    * legs are narrow projections of the input (no exchange).
     */
-  def readWithDlq(spark: SparkSession, path: String,
-                  schema: StructType): (DataFrame, DataFrame) = {
+  def split(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(corruptCol), s"$corruptCol is reserved")
     val withCorrupt = StructType(schema.fields :+
       StructField(corruptCol, StringType, nullable = true))
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
@@ -42,4 +42,35 @@ object Jsonl {
       .select(col("value").as("raw_line"))
     (good, dlq)
   }
+
+  /** (good, dlq): good = rows parsed to `schema` (a row is good only if
+    * the line is well-formed JSON matching the field types); dlq =
+    * (raw_line) verbatim.
+    */
+  def readWithDlq(spark: SparkSession, path: String,
+                  schema: StructType): (DataFrame, DataFrame) =
+    split(spark.read.text(path), schema)
+
+  /** Streaming JSONL ingest with the same dead-letter routing: watch
+    * `path` for new files, parse each micro-batch with [[split]], append
+    * good rows to `goodDir` (parquet) and bad lines byte-verbatim to
+    * `dlqDir` (text). One foreachBatch so both legs commit from the SAME
+    * micro-batch read — a line is never counted good in one leg and bad
+    * in the other across a restart. Per-batch work is one narrow pass
+    * over the new files; no stream state, so a 100 TB backlog drains at
+    * scan throughput.
+    */
+  def streamWithDlq(spark: SparkSession, path: String, schema: StructType,
+                    goodDir: String, dlqDir: String,
+                    checkpointDir: String): StreamingQuery =
+    spark.readStream.text(path).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val (good, dlq) = split(batch.toDF(), schema)
+        good.write.mode("append").parquet(goodDir)
+        dlq.write.mode("append").text(dlqDir)
+        ()
+      }
+      .start()
 }

@@ -30,6 +30,28 @@ class JsonlSpec extends SparkSpec {
       Seq("""{"id": 3, "body": "tru""", "not json at all").sorted)
   }
 
+  test("streaming ingest routes per micro-batch and resumes idempotently") {
+    val root = Files.createTempDirectory("jsonls")
+    val in = Files.createDirectory(root.resolve("in"))
+    val good = root.resolve("good").toString
+    val dlq = root.resolve("dlq").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.write(in.resolve("a.jsonl"),
+      "{\"id\": 1, \"body\": \"x\"}\nbroken line".getBytes("UTF-8"))
+    val q1 = Jsonl.streamWithDlq(spark, in.toString, schema, good, dlq, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the already-committed file must NOT
+    // re-ingest; only the new file's lines land
+    Files.write(in.resolve("b.jsonl"),
+      "{\"id\": 2, \"body\": \"y\"}\n{\"id\": 3".getBytes("UTF-8"))
+    val q2 = Jsonl.streamWithDlq(spark, in.toString, schema, good, dlq, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(good).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "x"), (2L, "y")))
+    assert(spark.read.text(dlq).as[String].collect().sorted.toSeq
+      == Seq("broken line", "{\"id\": 3"))
+  }
+
   test("both legs are scan-local: no exchange in either plan") {
     val d = Files.createTempDirectory("jsonl2")
     Files.write(d.resolve("a.jsonl"),
