@@ -30,6 +30,17 @@ class JsonlSpec extends SparkSpec {
       Seq("""{"id": 3, "body": "tru""", "not json at all").sorted)
   }
 
+  test("gzipped shards (.jsonl.gz) decompress transparently on the same path") {
+    val d = Files.createTempDirectory("jsonlgz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d.resolve("shard-0.jsonl.gz")))
+    out.write("{\"id\": 7, \"body\": \"zipped\"}\nnot json".getBytes("UTF-8"))
+    out.close()
+    val (good, dlq) = Jsonl.readWithDlq(spark, d.toString, schema)
+    assert(good.as[(Long, String)].collect().toSeq == Seq((7L, "zipped")))
+    assert(dlq.as[String].collect().toSeq == Seq("not json"))
+  }
+
   test("streaming ingest routes per micro-batch and resumes idempotently") {
     val root = Files.createTempDirectory("jsonls")
     val in = Files.createDirectory(root.resolve("in"))
