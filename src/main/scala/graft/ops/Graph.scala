@@ -312,13 +312,33 @@ object Graph {
     * `co·10⁶ DIV (deg_a + deg_b − co)`, and the per-item top-k goes
     * through the bounded-heap [[graft.functions.topk_by]] pushdown (≤k
     * rows per item per partition reach the shuffle). Candidate volume is
-    * Σ_groups C(|group|, 2) — the wedge mass — with the usual degree-cap
-    * escape hatch upstream if a pathological group appears.
+    * Σ_groups C(|group|, 2) — the wedge mass.
+    *
+    * `maxBasket` is the mega-basket guard (the same production hardening
+    * as `minhashLsh(maxBucket=…)`): pair generation is quadratic PER
+    * GROUP, and at corpus scale a pathological group — a bot user, a
+    * crawl domain, a catch-all session — holds millions of items, which
+    * is both one giant collect_set row and a k² explode. Groups with
+    * more than `maxBasket` rows are dropped BEFORE the set is collected;
+    * their items contribute neither co-occurrence nor degree (a basket
+    * that degenerate carries no preference signal — counting it would
+    * deflate every member's similarity instead). The row count shares
+    * the group-key partitioning the collect_set shuffle needs anyway —
+    * no extra exchange.
     */
   def cooccurrenceTopK(rows: DataFrame, grpCol: String, itemCol: String,
-                       k: Int, minCo: Long): DataFrame = {
-    val pairs = rows.groupBy(col(grpCol).as("g"))
-      .agg(sort_array(collect_set(col(itemCol))).as("xs"))
+                       k: Int, minCo: Long,
+                       maxBasket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = rows.select(col(grpCol).as("g"), col(itemCol).as("it"))
+    val kept =
+      if (maxBasket == Int.MaxValue) src
+      else src
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("bn") <= maxBasket).drop("bn")
+        .localCheckpoint(eager = false) // read by pairs AND degrees
+    val pairs = kept.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("it"))).as("xs"))
       .select(explode(expr(
         "flatten(transform(xs, (x, i) -> " +
           "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS a, y AS b))))"))
@@ -326,8 +346,8 @@ object Graph {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
-    val deg = rows.groupBy(col(itemCol).as("n"))
-      .agg(countDistinct(col(grpCol)).as("deg"))
+    val deg = kept.groupBy(col("it").as("n"))
+      .agg(countDistinct(col("g")).as("deg"))
       .localCheckpoint(eager = false) // reused by both sides of the pair
     val sym = pairs.select(col("a").as("i"), col("b").as("j"), col("co"))
       .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("co")))

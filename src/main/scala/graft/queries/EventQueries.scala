@@ -825,32 +825,19 @@ object EventQueries {
 
     // ── integer EWMA anomaly detection per user (α = 1/4, value cents):
     //    a sequential recurrence with a per-step floor, so NOT a window
-    //    sum — both engines fold the identically-ordered per-user list
-    //    with one packed-BIGINT accumulator (ewma·2^20 + anomaly count;
-    //    cents ≤ 49k and events/user ≪ 2^20, so the fields never
-    //    collide). Shuffle is user-grain; the fold is per-group local ──
+    //    sum. Engine side: graft.ops.Ewma's STREAMING per-key fold
+    //    (repartition + partition-local sort + mapPartitions, O(1) state
+    //    per key run — a bot-grade user never materializes as one array
+    //    row). Oracle side: the same fold over the identically-ordered
+    //    per-user list with one packed-BIGINT accumulator (ewma·2^20 +
+    //    anomaly count; cents ≤ 49k and events/user ≪ 2^20 at oracle
+    //    scale, so the fields never collide) ──
     "ev_ewma_anomaly" -> QueryDef(
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
           .select(col("user_id"), col("ts_ns"), col("event_id"),
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-        ev.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            sort_array(collect_list(
-              struct(col("ts_ns"), col("event_id"), col("cents")))).as("seq"))
-          .withColumn("vals",
-            expr("transform(seq, s -> s.cents * 1048576)"))
-          .withColumn("acc", expr(
-            """aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),
-              |  element_at(vals, 1),
-              |  (acc, x) ->
-              |    ((3 * (acc DIV 1048576) + x DIV 1048576) DIV 4) * 1048576
-              |    + acc % 1048576
-              |    + CASE WHEN abs(x DIV 1048576 - acc DIV 1048576) > 5000
-              |           THEN 1 ELSE 0 END)""".stripMargin))
-          .select(col("user_id"), col("n_events"),
-            expr("acc DIV 1048576").as("ewma_cents"),
-            expr("acc % 1048576").as("n_anomalies"))
+        graft.ops.Ewma.ewmaAnomaly(ev, "user_id", "ts_ns", "event_id", "cents")
           .orderBy(col("user_id"))
       },
       """WITH e AS (

@@ -30,28 +30,31 @@ object RefOpQueries {
         |  regexp_extract(trim(substring(line, 65)), '([^/]*)$', 1) AS basename
         |FROM lines ORDER BY checksum""".stripMargin),
 
-    // ── S1 via the DataSource V2 connector: write the same manifest
-    //    lines to real files, read them back through
-    //    format("graft.sources.ManifestDataSource") — the file-source
-    //    leg (file-grain partitions, pruning-capable scan) under the
-    //    same oracle as the columnar parse ──
+    // ── S1 via the DataSource V2 connector, WRITE side included: render
+    //    (checksum, file) rows and write them through the connector's own
+    //    BATCH_WRITE (distributed, one fixed-width .manifest file per
+    //    partition — no driver-side collect), then read them back through
+    //    the scan side — the full connector round-trip under the same
+    //    oracle as the columnar parse ──
     "s1_manifest_v2_source" -> QueryDef(
       (spark, dir) => {
         val out = new java.io.File(
           System.getProperty("java.io.tmpdir"),
           s"graft_manifest_v2_${dir.replaceAll("[^a-z0-9.]", "_")}")
-        out.mkdirs()
-        val lines = Tables.documents(spark, dir)
-          .select(col("source"),
-            concat(sha2(col("text"), 256), lit("  "),
-              lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
-              lit(".txt")).as("line"))
-          .collect().groupBy(_.getString(0))
-        lines.foreach { case (src, rows) =>
-          java.nio.file.Files.write(out.toPath.resolve(s"manifest-$src.txt"),
-            rows.map(_.getString(1)).sorted.mkString("", "\n", "\n")
-              .getBytes("UTF-8"))
-        }
+        // clean slate: the writer names files per partition, so a stale
+        // run with a different partitioning must not leave extras behind
+        val p = new org.apache.hadoop.fs.Path(out.toString)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        Tables.documents(spark, dir)
+          .select(sha2(col("text"), 256).as("checksum"),
+            concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
+              lit(".txt")).as("file"))
+          // side-file-sized shards, keyed like the reference's per-series
+          // manifests: one writer task per source bucket
+          .repartition(col("file"))
+          .write.format("graft.sources.ManifestDataSource")
+          .mode("append").save(out.toString)
         spark.read.format("graft.sources.ManifestDataSource")
           .load(out.toString)
           .orderBy(col("checksum"))

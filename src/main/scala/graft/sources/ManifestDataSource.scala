@@ -105,6 +105,15 @@ object ManifestDataSource {
     StructField("file", StringType),
     StructField("basename", StringType)))
 
+  /** Spark's StringType MIN/MAX order is UTF8String's UTF-8 BYTE order
+    * (code-point order), not Java String's UTF-16 code-unit order — the
+    * two disagree on supplementary-plane characters (surrogates sort
+    * high in UTF-16). Pushed partials must fold with the same comparator
+    * the un-pushed plan would use, or the two plans can disagree.
+    */
+  private[sources] def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
   import org.apache.spark.sql.sources._
 
   /** True when the source can evaluate the filter EXACTLY against a parsed
@@ -368,14 +377,14 @@ private class ManifestAggReader(file: String,
                     case "file" => f
                     case _ => base
                   }
-                  if (mins(i) == null || v < mins(i)) mins(i) = v
+                  if (mins(i) == null || ManifestDataSource.utf8Lt(v, mins(i))) mins(i) = v
                 case MAggMax(c) =>
                   val v = c match {
                     case "checksum" => checksum
                     case "file" => f
                     case _ => base
                   }
-                  if (maxs(i) == null || v > maxs(i)) maxs(i) = v
+                  if (maxs(i) == null || ManifestDataSource.utf8Lt(maxs(i), v)) maxs(i) = v
                 case MAggCountStar => ()
               }
               i += 1

@@ -398,7 +398,9 @@ private class WarcAggReader(partition: InputPartition,
         }
         def lt(a: Any, b: Any): Boolean = (a, b) match {
           case (x: Long, y: Long)     => x < y
-          case (x: String, y: String) => x < y
+          // UTF-8 byte order — the comparator Spark's own StringType
+          // Min/Max uses (see ManifestDataSource.utf8Lt)
+          case (x: String, y: String) => ManifestDataSource.utf8Lt(x, y)
           case _                      => false
         }
         aggs(i) match {

@@ -150,4 +150,34 @@ class GraphSpec extends SparkSpec {
     // item 4's only pair was pruned by minCo
     assert(!got.keySet.exists(_._1 == 4L))
   }
+
+  test("cooccurrenceTopK: maxBasket drops a planted mega-basket, small " +
+    "baskets keep their exact top-k") {
+    // a bot basket with 10⁴ items would explode ~5·10⁷ pairs; the cap
+    // drops the whole group before the set is collected
+    val mega = (1L to 10000L).map(i => (999L, i))
+    val small = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 1L), (102L, 2L),
+      (103L, 3L), (103L, 4L))
+    val rows = (small ++ mega).toDF("basket", "item")
+    val capped = Graph.cooccurrenceTopK(rows, "basket", "item",
+      k = 2, minCo = 2L, maxBasket = 100)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // identical to running on the small baskets alone: the mega-basket
+    // contributes neither co-occurrence nor degree
+    val smallOnly = Graph.cooccurrenceTopK(small.toDF("basket", "item"),
+      "basket", "item", k = 2, minCo = 2L, maxBasket = 100)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(capped == smallOnly && capped.nonEmpty)
+    // and with the cap lifted (smaller planted basket so the quadratic
+    // explode stays test-sized), the degrees shift — proving the cap is
+    // what isolated the small baskets from the bot basket
+    val rows300 = (small ++ (1L to 300L).map(i => (999L, i))).toDF("basket", "item")
+    val uncapped = Graph.cooccurrenceTopK(rows300, "basket", "item",
+      k = 2, minCo = 2L, maxBasket = Int.MaxValue)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(uncapped != capped)
+  }
 }
