@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cdc_chunks",
         "content-defined chunk spans (md5-window boundary rule)"),
       (args: Seq[Expression]) => CdcChunksExpr(args(0), intArg(args(1), "w"))))
+    ext.injectFunction((FunctionIdentifier("tar_explode"),
+      info("tar_explode",
+        "generator: one row (name, bytes, mtime, is_dir) per tar(.gz) entry"),
+      (args: Seq[Expression]) => TarExplodeExpr(args)))
     // optimizer rewrite: un-thresholded levenshtein comparisons in
     // Filter/Join conditions take the banded early-abandon form
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
@@ -100,7 +104,8 @@ object GraftExtensions {
         lit(args(2), "k")).toAggregateExpression()),
       "misra_gries" -> (args => MisraGriesAgg(args(0),
         lit(args(1), "k")).toAggregateExpression()),
-      "cdc_chunks" -> (args => CdcChunksExpr(args(0), lit(args(1), "w"))))
+      "cdc_chunks" -> (args => CdcChunksExpr(args(0), lit(args(1), "w"))),
+      "tar_explode" -> (args => TarExplodeExpr(args)))
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }

@@ -259,7 +259,35 @@ object Dedup {
     val raw = spread(docs)
       .select(col(idCol).as("id"),
         explode(graft.functions.dyadic_window_hashes(col(textCol), levels)).as("pk"))
-    spanProfileFromWindows(docs, raw, levels.min, idCol)
+    spanProfileFromWindows(docs, raw, levels.min, idCol, rawDistinct = true)
+  }
+
+  /** [[dyadicSpanProfile]] with winnowing-sampled coarse levels — the
+    * 100 TB path. Stride-1 windows at 4 levels push ~4n packed longs
+    * through the profile's one exchange (the measured 16.6× wall-clock
+    * at a 10× probe: shuffle VOLUME, not plan shape); here levels ≥
+    * `sampleFromLevel` keep only the winnow-selected ~2/(w+1) of
+    * positions — ~1.35n total at (16, w=16) — while the finest level
+    * stays stride-1, so `n_dup_min` is EXACT and only `max_dup_len`
+    * trades a ±(w−1) span-length slack (a shared run of ≥ L+w−1 code
+    * points is still guaranteed detected at level L; shorter shared runs
+    * are detected when their anchor wins a frame in both docs — which is
+    * deterministic and content-defined, so the DuckDB oracle replays the
+    * identical selection; see
+    * [[graft.functions.DyadicWindowHashesExpr]]).
+    */
+  def dyadicSpanProfileWinnowed(docs: DataFrame,
+                                levels: Seq[Int] = Seq(8, 16, 32, 64),
+                                sampleFromLevel: Int = 16, sampleWindow: Int = 16,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(levels.nonEmpty && levels == levels.sorted, "levels must be ascending")
+    require(levels.min < sampleFromLevel,
+      "finest level must stay stride-1 (it carries the exact n_dup_min)")
+    val raw = spread(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.dyadic_window_hashes_winnow(
+          col(textCol), levels, sampleFromLevel, sampleWindow)).as("pk"))
+    spanProfileFromWindows(docs, raw, levels.min, idCol, rawDistinct = true)
   }
 
   /** Declarative parity rendering of [[dyadicSpanProfile]]'s window frame
@@ -299,9 +327,14 @@ object Dedup {
     * the saved exchanges are the operator's entire cost structure.
     */
   private def spanProfileFromWindows(docs: DataFrame, raw: DataFrame,
-                                     minLevel: Int, idCol: String): DataFrame = {
-    val w = raw.repartition(col("pk"))
-      .dropDuplicates("id", "pk")
+                                     minLevel: Int, idCol: String,
+                                     rawDistinct: Boolean = false): DataFrame = {
+    val reparted = raw.repartition(col("pk"))
+    // the native expression dedups per doc at emission, and one doc = one
+    // expression call, so its (id, pk) frame is ALREADY globally distinct
+    // — skipping the post-shuffle dedup hash-agg; the declarative
+    // rendering still needs it
+    val w = (if (rawDistinct) reparted else reparted.dropDuplicates("id", "pk"))
       .localCheckpoint(eager = false)
     // (id, pk) is distinct ⇒ count(*) per pk counts docs
     val shared = w.groupBy(col("pk")).agg(count(lit(1)).as("ndocs"))

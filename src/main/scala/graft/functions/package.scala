@@ -71,6 +71,15 @@ package object functions {
   def dyadic_window_hashes(text: Column, levels: Seq[Int]): Column =
     graftbridge.column(DyadicWindowHashesExpr(graftbridge.expression(text), levels))
 
+  /** [[dyadic_window_hashes]] with winnowing sampling on levels ≥
+    * `fromLevel` (~2/(w+1) of stride-1 volume, SQL-replayable selection;
+    * see [[graft.functions.DyadicWindowHashesExpr]]).
+    */
+  def dyadic_window_hashes_winnow(text: Column, levels: Seq[Int],
+                                  fromLevel: Int, w: Int): Column =
+    graftbridge.column(DyadicWindowHashesExpr(
+      graftbridge.expression(text), levels, fromLevel, w))
+
   /** Viterbi unigram segmentation value (cost·16 + pieces; one HashMap
     * probe per span — the literal-map declarative DP scans all entries).
     */

@@ -154,6 +154,35 @@ object ArchiveQueries {
         |  CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_record
         |FROM documents""".stripMargin),
 
+    // ── WARC connector, pushed GROUPED aggregation: per-archive stats
+    //    (GROUP BY warc_file → COUNT/SUM/MIN/MAX) answered from the CDX
+    //    sidecars alone — PushedAggregation + PushedGroupBy in the scan,
+    //    one partial row per (file, group) to the final merge; at crawl
+    //    scale a per-file audit reads kilobytes of index, not the gzip ──
+    "s_warc_group_stats" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/grp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        spark.read.format("graft.sources.WarcDataSource").load(tmp)
+          .groupBy(col("warc_file"))
+          .agg(count("*").as("n_records"),
+            sum(col("payload_len")).as("total_bytes"),
+            min(col("uri")).as("first_uri"),
+            max(col("uri")).as("last_uri"))
+          .orderBy(col("warc_file"))
+      },
+      """SELECT source || '.warc.gz' AS warc_file,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  min('https://corpus.invalid/' || source || '/' || doc_id) AS first_uri,
+        |  max('https://corpus.invalid/' || source || '/' || doc_id) AS last_uri
+        |FROM documents GROUP BY source ORDER BY warc_file""".stripMargin),
+
     // ── JSONL ingest with dead-letter routing: render the corpus as
     //    JSONL, deterministically truncate every doc_id ≡ 0 (mod 37)
     //    line mid-token, ingest with Jsonl.readWithDlq — good rows parse,

@@ -2148,6 +2148,63 @@ object TrainQueries {
         |                 LEFT JOIN nd ON d.doc_id = nd.id
         |ORDER BY id""".stripMargin),
 
+    // ── winnowing-sampled dyadic span profile — the 100 TB path of
+    //    dedup_span_dyadic: levels ≥ 16 keep only winnow-selected
+    //    positions (~2/(w+1) density, anchor = Lehmer-mixed base-31 over
+    //    8 code points, rightmost-min per 16-frame — arithmetic chosen to
+    //    be EXACTLY replayable in SQL, which this oracle does, window
+    //    function and all), level 8 stays stride-1 so n_dup_min is exact ──
+    "dedup_span_winnow" -> QueryDef(
+      (spark, dir) => Dedup.dyadicSpanProfileWinnowed(Tables.documents(spark, dir))
+        .orderBy(col("id")),
+      """WITH lv AS (SELECT unnest([16, 32, 64]) AS lvl),
+        |pos AS (
+        |  SELECT d.doc_id AS id, lv.lvl, d.text,
+        |    unnest(generate_series(1, len(d.text) - lv.lvl + 1)) AS p
+        |  FROM documents d CROSS JOIN lv
+        |  WHERE len(d.text) >= lv.lvl),
+        |k AS (
+        |  SELECT id, lvl, text, p,
+        |    ((((CAST(unicode(substr(text, CAST(p AS INT), 1)) AS BIGINT) * 27512614111
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT) * 887503681
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 2, 1)) AS BIGINT) * 28629151
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 3, 1)) AS BIGINT) * 923521
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 4, 1)) AS BIGINT) * 29791
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 5, 1)) AS BIGINT) * 961
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 6, 1)) AS BIGINT) * 31
+        |      + CAST(unicode(substr(text, CAST(p AS INT) + 7, 1)) AS BIGINT))
+        |      % 2147483647) * 48271) % 2147483647) * 2097152
+        |      + (2097151 - p) AS key
+        |  FROM pos),
+        |sel AS (
+        |  SELECT DISTINCT id, lvl, text,
+        |    min(key) OVER (PARTITION BY id, lvl ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk
+        |  FROM k),
+        |wc AS (
+        |  SELECT DISTINCT id, lvl,
+        |    substr(text, CAST(2097151 - mk % 2097152 AS INT), lvl) AS h
+        |  FROM sel),
+        |pos8 AS (
+        |  SELECT d.doc_id AS id, d.text,
+        |    unnest(generate_series(1, len(d.text) - 7)) AS p
+        |  FROM documents d WHERE len(d.text) >= 8),
+        |w8 AS (SELECT DISTINCT id, 8 AS lvl, substr(text, CAST(p AS INT), 8) AS h
+        |       FROM pos8),
+        |w AS MATERIALIZED (SELECT * FROM w8 UNION ALL SELECT * FROM wc),
+        |shared AS (SELECT lvl, h FROM w GROUP BY lvl, h HAVING count(*) >= 2),
+        |hit AS MATERIALIZED (SELECT w.id, w.lvl FROM w JOIN shared USING (lvl, h)),
+        |mx AS (SELECT id, CAST(max(lvl) AS INT) AS max_dup_len
+        |       FROM hit GROUP BY id),
+        |nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_min
+        |       FROM hit WHERE lvl = 8 GROUP BY id)
+        |SELECT d.doc_id AS id,
+        |  coalesce(mx.max_dup_len, 0) AS max_dup_len,
+        |  coalesce(nd.n_dup_min, 0) AS n_dup_min
+        |FROM documents d LEFT JOIN mx ON d.doc_id = mx.id
+        |                 LEFT JOIN nd ON d.doc_id = nd.id
+        |ORDER BY id""".stripMargin),
+
     // ── corpus drift monitor: PSI + two-sample chi-squared per fixed
     //    60-char n_chars bucket between the even/odd doc_id snapshots,
     //    with a bucket=-1 summary row; Laplace-smoothed, round4 ──

@@ -212,6 +212,7 @@ private class ManifestScanBuilder(path: String)
   private var required: StructType = ManifestDataSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[ManifestAgg]] = None
+  private var groupCols: Seq[String] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order for a deterministic row layout
     required = StructType(ManifestDataSource.schema.fields
@@ -226,17 +227,17 @@ private class ManifestScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   /** PARTIAL aggregate pushdown (SupportsPushDownAggregates with the
-    * default `supportCompletePushDown = false`): for ungrouped
-    * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) each file partition
-    * returns ONE pre-aggregated row and Spark's final aggregate merges
-    * the per-file partials — so a fleet-wide `count(*)` over thousands
-    * of side-file manifests ships one row per file instead of
-    * materializing an InternalRow per line. COUNT(col) maps to
-    * COUNT(*) because manifest columns are never null; DISTINCT and
-    * grouped shapes stay in Spark.
+    * default `supportCompletePushDown = false`): COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col), ungrouped or GROUP BY source columns. Each
+    * file partition returns one pre-aggregated row PER GROUP (one row
+    * total when ungrouped) and Spark's final aggregate merges the
+    * per-file partials — a fleet-wide `count(*)` or a per-prefix
+    * `GROUP BY basename` tally over thousands of side-file manifests
+    * ships group summaries per file instead of materializing an
+    * InternalRow per line. COUNT(col) maps to COUNT(*) because manifest
+    * columns are never null; DISTINCT shapes stay in Spark.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 &&
@@ -244,6 +245,8 @@ private class ManifestScanBuilder(path: String)
         Some(r.fieldNames.head)
       case _ => None
     }
+    val gb = agg.groupByExpressions.toSeq.map(colOf)
+    if (!gb.forall(_.isDefined)) return false
     val mapped: Seq[Option[ManifestAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar               => Some(MAggCountStar)
       case c: Count if !c.isDistinct  => colOf(c.column).map(_ => MAggCountStar)
@@ -253,31 +256,37 @@ private class ManifestScanBuilder(path: String)
     }
     if (mapped.nonEmpty && mapped.forall(_.isDefined)) {
       aggs = Some(mapped.flatten)
+      groupCols = gb.flatten
       true
     } else false
   }
 
   override def build(): Scan = new ManifestScan(path, aggs match {
-    case Some(a) => StructType(a.zipWithIndex.map {
-      case (MAggCountStar, i) =>
-        StructField(s"count_$i", org.apache.spark.sql.types.LongType,
-          nullable = false)
-      case (MAggMin(c), i) => StructField(s"min_${c}_$i", StringType)
-      case (MAggMax(c), i) => StructField(s"max_${c}_$i", StringType)
-    })
+    case Some(a) => StructType(
+      groupCols.map(c => StructField(c, StringType)) ++
+        a.zipWithIndex.map {
+          case (MAggCountStar, i) =>
+            StructField(s"count_$i", org.apache.spark.sql.types.LongType,
+              nullable = false)
+          case (MAggMin(c), i) => StructField(s"min_${c}_$i", StringType)
+          case (MAggMax(c), i) => StructField(s"max_${c}_$i", StringType)
+        })
     case None => required
-  }, pushed, aggs)
+  }, pushed, aggs, groupCols)
 }
 
 private class ManifestScan(path: String, required: StructType,
                            pushed: Array[org.apache.spark.sql.sources.Filter],
-                           aggs: Option[Seq[ManifestAgg]] = None)
+                           aggs: Option[Seq[ManifestAgg]] = None,
+                           groupCols: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
+      (if (groupCols.isEmpty) ""
+       else s"PushedGroupBy: [${groupCols.mkString(", ")}], ") +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -291,19 +300,20 @@ private class ManifestScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, pushed, aggs)
+    new ManifestReaderFactory(required, pushed, aggs, groupCols)
 }
 
 private case class ManifestFilePartition(file: String) extends InputPartition
 
 private class ManifestReaderFactory(required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggs: Option[Seq[ManifestAgg]] = None)
+    aggs: Option[Seq[ManifestAgg]] = None,
+    groupCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
     aggs match {
-      case Some(a) => new ManifestAggReader(file, pushed, a)
+      case Some(a) => new ManifestAggReader(file, pushed, a, groupCols)
       case None => createRowReader(file)
     }
   }
@@ -337,28 +347,33 @@ private class ManifestReaderFactory(required: StructType,
   }
 }
 
-/** One pre-aggregated row per manifest file: folds COUNT/MIN/MAX over the
-  * (filter-surviving) lines without ever materializing a per-line
-  * InternalRow; Spark's final aggregate merges the per-file partials.
+/** Pre-aggregated partials per manifest file: folds COUNT/MIN/MAX over
+  * the (filter-surviving) lines without ever materializing a per-line
+  * InternalRow — ONE row per group the file contains (one uncondition-
+  * ally when ungrouped: the global-aggregate contract needs an empty
+  * partial). Spark's final aggregate merges the per-file partials.
   * MIN/MAX over zero surviving lines yield null, which the final
   * aggregate ignores — the same null contract parquet's pushed
   * aggregates follow.
   */
 private class ManifestAggReader(file: String,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggs: Seq[ManifestAgg]) extends PartitionReader[InternalRow] {
-  private var done = false
-  override def next(): Boolean = !done
+    aggs: Seq[ManifestAgg],
+    groupCols: Seq[String] = Nil) extends PartitionReader[InternalRow] {
 
-  override def get(): InternalRow = {
-    done = true
+  private final class Acc {
+    var count = 0L
+    val mins = new Array[String](aggs.size)
+    val maxs = new Array[String](aggs.size)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
     val p = new Path(file)
     val in = p.getFileSystem(new Configuration()).open(p)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, "UTF-8"))
-    var count = 0L
-    val mins = new Array[String](aggs.size)
-    val maxs = new Array[String](aggs.size)
+    val groups = new java.util.LinkedHashMap[Seq[String], Acc]()
+    if (groupCols.isEmpty) groups.put(Nil, new Acc) // ungrouped: always one partial
     try {
       var line = reader.readLine()
       while (line != null) {
@@ -366,25 +381,27 @@ private class ManifestAggReader(file: String,
           val checksum = line.take(64).toLowerCase(java.util.Locale.ROOT)
           val f = line.drop(64).trim
           val base = f.substring(f.lastIndexOf('/') + 1)
+          def value(c: String): String = c match {
+            case "checksum" => checksum
+            case "file"     => f
+            case _          => base
+          }
           if (pushed.forall(ManifestDataSource.evalFilter(_, checksum, f, base))) {
-            count += 1
+            val key = groupCols.map(value)
+            var acc = groups.get(key)
+            if (acc == null) { acc = new Acc; groups.put(key, acc) }
+            acc.count += 1
             var i = 0
             while (i < aggs.size) {
               aggs(i) match {
                 case MAggMin(c) =>
-                  val v = c match {
-                    case "checksum" => checksum
-                    case "file" => f
-                    case _ => base
-                  }
-                  if (mins(i) == null || ManifestDataSource.utf8Lt(v, mins(i))) mins(i) = v
+                  val v = value(c)
+                  if (acc.mins(i) == null || ManifestDataSource.utf8Lt(v, acc.mins(i)))
+                    acc.mins(i) = v
                 case MAggMax(c) =>
-                  val v = c match {
-                    case "checksum" => checksum
-                    case "file" => f
-                    case _ => base
-                  }
-                  if (maxs(i) == null || ManifestDataSource.utf8Lt(maxs(i), v)) maxs(i) = v
+                  val v = value(c)
+                  if (acc.maxs(i) == null || ManifestDataSource.utf8Lt(acc.maxs(i), v))
+                    acc.maxs(i) = v
                 case MAggCountStar => ()
               }
               i += 1
@@ -394,14 +411,26 @@ private class ManifestAggReader(file: String,
         line = reader.readLine()
       }
     } finally reader.close()
-    new GenericInternalRow(aggs.zipWithIndex.map {
-      case (MAggCountStar, _) => count: Any
-      case (MAggMin(_), i) =>
-        if (mins(i) == null) null else UTF8String.fromString(mins(i))
-      case (MAggMax(_), i) =>
-        if (maxs(i) == null) null else UTF8String.fromString(maxs(i))
-    }.toArray)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      groups.entrySet().iterator()).asScala.map { e =>
+      val key = e.getKey
+      val acc = e.getValue
+      val vals: Array[Any] =
+        key.map(v => UTF8String.fromString(v): Any).toArray ++
+          aggs.zipWithIndex.map {
+            case (MAggCountStar, _) => acc.count: Any
+            case (MAggMin(_), i) =>
+              if (acc.mins(i) == null) null else UTF8String.fromString(acc.mins(i))
+            case (MAggMax(_), i) =>
+              if (acc.maxs(i) == null) null else UTF8String.fromString(acc.maxs(i))
+          }
+      new GenericInternalRow(vals): InternalRow
+    }
   }
 
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
   override def close(): Unit = ()
 }

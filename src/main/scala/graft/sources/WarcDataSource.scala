@@ -149,6 +149,7 @@ private class WarcScanBuilder(path: String)
   private var required: StructType = WarcDataSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[WarcAgg]] = None
+  private var groupCols: Seq[String] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(WarcDataSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
@@ -160,17 +161,17 @@ private class WarcScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   /** PARTIAL aggregate pushdown over the INDEX-SERVABLE columns only:
-    * ungrouped COUNT(*) / COUNT(col) / MIN / MAX / SUM(payload_len) are
-    * answered from the CDX sidecar without ever opening an archive — at
-    * web-corpus scale "how many records / how many payload bytes match
-    * this uri prefix" reads kilobytes of index instead of terabytes of
-    * gzip. Files lacking a sidecar fall back to a streaming record walk
-    * that still returns one partial row. Aggregates touching
-    * archive-only columns (payload/date/record_id), DISTINCT, or GROUP
-    * BY stay in Spark.
+    * COUNT(*) / COUNT(col) / MIN / MAX / SUM(payload_len), ungrouped or
+    * GROUP BY index-servable columns, are answered from the CDX sidecar
+    * without ever opening an archive — at web-corpus scale "how many
+    * records / how many payload bytes, per warc file / uri prefix" reads
+    * kilobytes of index instead of terabytes of gzip, shipping one
+    * summary row per (partition, group). Files lacking a sidecar fall
+    * back to a streaming record walk that still returns only partials.
+    * Aggregates or group keys touching archive-only columns
+    * (payload/date/record_id) and DISTINCT shapes stay in Spark.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 &&
@@ -178,6 +179,8 @@ private class WarcScanBuilder(path: String)
         Some(r.fieldNames.head)
       case _ => None
     }
+    val gb = agg.groupByExpressions.toSeq.map(colOf)
+    if (!gb.forall(_.isDefined)) return false
     val mapped: Seq[Option[WarcAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar              => Some(WAggCount)
       case c: Count if !c.isDistinct => colOf(c.column).map(_ => WAggCount)
@@ -189,6 +192,7 @@ private class WarcScanBuilder(path: String)
     }
     if (mapped.nonEmpty && mapped.forall(_.isDefined)) {
       aggs = Some(mapped.flatten)
+      groupCols = gb.flatten
       true
     } else false
   }
@@ -203,9 +207,11 @@ private class WarcScanBuilder(path: String)
   }
 
   override def build(): Scan = new WarcScan(path, aggs match {
-    case Some(a) => StructType(a.zipWithIndex.map((aggField _).tupled))
+    case Some(a) => StructType(
+      groupCols.map(c => StructField(c, WarcDataSource.schema(c).dataType)) ++
+        a.zipWithIndex.map((aggField _).tupled))
     case None    => required
-  }, pushed, aggs)
+  }, pushed, aggs, groupCols)
 }
 
 private sealed trait WarcPartition extends InputPartition
@@ -216,13 +222,16 @@ private case class WarcFetchPartition(dir: String, file: String,
 
 private class WarcScan(path: String, required: StructType,
                        pushed: Array[org.apache.spark.sql.sources.Filter],
-                       aggs: Option[Seq[WarcAgg]] = None)
+                       aggs: Option[Seq[WarcAgg]] = None,
+                       groupCols: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"WarcScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
+      (if (groupCols.isEmpty) ""
+       else s"PushedGroupBy: [${groupCols.mkString(", ")}], ") +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
   // payload/date/record_id live only inside the archive members; pushed
@@ -260,12 +269,13 @@ private class WarcScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed, aggs)
+    new WarcReaderFactory(required, pushed, aggs, groupCols)
 }
 
 private class WarcReaderFactory(required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggs: Option[Seq[WarcAgg]] = None)
+    aggs: Option[Seq[WarcAgg]] = None,
+    groupCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
 
   // recordId/date/sha/payload are by-name: only evaluated when the column
@@ -292,7 +302,7 @@ private class WarcReaderFactory(required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     aggs match {
-      case Some(a) => new WarcAggReader(partition, pushed, a)
+      case Some(a) => new WarcAggReader(partition, pushed, a, groupCols)
       case None    => createRowReader(partition)
     }
 
@@ -360,56 +370,65 @@ private class WarcReaderFactory(required: StructType,
     }
 }
 
-/** One pre-aggregated row per partition. Index partitions fold the CDX
-  * entries (archive never opened — planning already applied the pushed
-  * filters); sidecar-less files stream their records once. MIN/MAX/SUM
-  * over zero surviving records are null partials, which the final merge
-  * ignores.
+/** Pre-aggregated partials per partition — one row per group the
+  * partition contains (one unconditionally when ungrouped: the
+  * global-aggregate contract needs an empty partial). Index partitions
+  * fold the CDX entries (archive never opened — planning already applied
+  * the pushed filters); sidecar-less files stream their records once.
+  * MIN/MAX/SUM over zero surviving records are null partials, which the
+  * final merge ignores.
   */
 private class WarcAggReader(partition: InputPartition,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggs: Seq[WarcAgg]) extends PartitionReader[InternalRow] {
-  private var done = false
-  override def next(): Boolean = !done
+    aggs: Seq[WarcAgg],
+    groupCols: Seq[String] = Nil) extends PartitionReader[InternalRow] {
 
-  private def needsSha: Boolean = aggs.exists {
-    case WAggMin("payload_sha256") | WAggMax("payload_sha256") => true
-    case _ => false
-  }
+  private def needsSha: Boolean = groupCols.contains("payload_sha256") ||
+    aggs.exists {
+      case WAggMin("payload_sha256") | WAggMax("payload_sha256") => true
+      case _ => false
+    }
 
-  override def get(): InternalRow = {
-    done = true
+  private final class Acc {
     var count = 0L
     var sum = 0L
     val minV = new Array[Any](aggs.size)
     val maxV = new Array[Any](aggs.size)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val groups = new java.util.LinkedHashMap[Seq[Any], Acc]()
+    if (groupCols.isEmpty) groups.put(Nil, new Acc)
 
     def fold(file: String, uri: String, plen: Long, sha: => String): Unit = {
-      count += 1
-      sum += plen
+      def value(c: String): Any = c match {
+        case "warc_file"      => file
+        case "uri"            => uri
+        case "payload_len"    => plen
+        case "payload_sha256" => sha
+        case other => throw new IllegalArgumentException(s"unknown $other")
+      }
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long)     => x < y
+        // UTF-8 byte order — the comparator Spark's own StringType
+        // Min/Max uses (see ManifestDataSource.utf8Lt)
+        case (x: String, y: String) => ManifestDataSource.utf8Lt(x, y)
+        case _                      => false
+      }
+      val key = groupCols.map(value)
+      var acc = groups.get(key)
+      if (acc == null) { acc = new Acc; groups.put(key, acc) }
+      acc.count += 1
+      acc.sum += plen
       var i = 0
       while (i < aggs.size) {
-        def value(c: String): Any = c match {
-          case "warc_file"      => file
-          case "uri"            => uri
-          case "payload_len"    => plen
-          case "payload_sha256" => sha
-          case other => throw new IllegalArgumentException(s"unknown $other")
-        }
-        def lt(a: Any, b: Any): Boolean = (a, b) match {
-          case (x: Long, y: Long)     => x < y
-          // UTF-8 byte order — the comparator Spark's own StringType
-          // Min/Max uses (see ManifestDataSource.utf8Lt)
-          case (x: String, y: String) => ManifestDataSource.utf8Lt(x, y)
-          case _                      => false
-        }
         aggs(i) match {
           case WAggMin(c) =>
             val v = value(c)
-            if (minV(i) == null || lt(v, minV(i))) minV(i) = v
+            if (acc.minV(i) == null || lt(v, acc.minV(i))) acc.minV(i) = v
           case WAggMax(c) =>
             val v = value(c)
-            if (maxV(i) == null || lt(maxV(i), v)) maxV(i) = v
+            if (acc.maxV(i) == null || lt(acc.maxV(i), v)) acc.maxV(i) = v
           case _ => ()
         }
         i += 1
@@ -443,13 +462,23 @@ private class WarcAggReader(partition: InputPartition,
       case s: String => UTF8String.fromString(s)
       case l: Long   => l
     }
-    new GenericInternalRow(aggs.zipWithIndex.map {
-      case (WAggCount, _)  => count: Any
-      case (WAggSumLen, _) => if (count == 0) null else (sum: Any)
-      case (WAggMin(_), i) => out(minV(i))
-      case (WAggMax(_), i) => out(maxV(i))
-    }.toArray)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      groups.entrySet().iterator()).asScala.map { e =>
+      val acc = e.getValue
+      val vals: Array[Any] = e.getKey.map(out).toArray ++
+        aggs.zipWithIndex.map {
+          case (WAggCount, _)  => acc.count: Any
+          case (WAggSumLen, _) => if (acc.count == 0) null else (acc.sum: Any)
+          case (WAggMin(_), i) => out(acc.minV(i))
+          case (WAggMax(_), i) => out(acc.maxV(i))
+        }
+      new GenericInternalRow(vals): InternalRow
+    }
   }
 
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
   override def close(): Unit = ()
 }

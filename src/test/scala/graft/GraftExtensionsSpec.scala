@@ -56,4 +56,35 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(chunks.mkString == "the quick brown fox jumps over the lazy dog")
   }
+
+  test("tar_explode generator matches Tar.entries from SQL") {
+    GraftExtensions.register(spark)
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val bos = new java.io.ByteArrayOutputStream()
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(bos))
+    def add(name: String, body: Array[Byte], mtimeSec: Long): Unit = {
+      val e = new TarArchiveEntry(name)
+      e.setSize(body.length); e.setModTime(mtimeSec * 1000L)
+      tar.putArchiveEntry(e); tar.write(body); tar.closeArchiveEntry()
+    }
+    add("bag/data/a.txt", "alpha".getBytes("UTF-8"), 1700000000L)
+    add("bag/manifest-sha256.txt", "x  data/a.txt\n".getBytes("UTF-8"), 1700000001L)
+    tar.close()
+    val bytes = bos.toByteArray
+    spark.createDataFrame(Seq(Tuple2("bag.tar.gz", bytes)))
+      .toDF("name", "content").createOrReplaceTempView("archives")
+    val got = spark.sql(
+      """SELECT te.name, te.bytes, te.mtime, te.is_dir
+        |FROM archives LATERAL VIEW tar_explode(name, content) te
+        |ORDER BY te.name""".stripMargin)
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        "UTF-8"), r.getLong(2), r.getBoolean(3))).toSeq
+    val direct = graft.core.archive.Tar.entries("bag.tar.gz", bytes)
+      .map(e => (e.name, new String(e.bytes, "UTF-8"), e.mtime, e.isDir))
+      .toSeq.sortBy(_._1)
+    assert(got == direct && got.map(_._1) ==
+      Seq("bag/data/a.txt", "bag/manifest-sha256.txt"))
+    assert(got.head._2 == "alpha" && got.head._3 == 1700000000L)
+  }
 }

@@ -134,13 +134,17 @@ class ManifestSourceSpec extends SparkSpec {
     assert(none.getLong(0) == 1L && none.getString(1) == "c.json")
   }
 
-  test("aggregate pushdown declines grouped and distinct shapes") {
+  test("grouped aggregates push down; DISTINCT stays in Spark") {
     val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
     val grouped = base.groupBy($"basename")
-      .agg(org.apache.spark.sql.functions.count("*").as("n"))
-    assert(!grouped.queryExecution.executedPlan.toString
-      .contains("PushedAggregation"))
-    assert(grouped.count() == 3)
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.max($"checksum").as("mx"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("PushedGroupBy"))
+    val rows = grouped.orderBy($"basename")
+      .as[(String, Long, String)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) ==
+      Seq(("a.docx", 1L), ("b.docx", 1L), ("c.json", 1L)))
     val distinct = base.agg(
       org.apache.spark.sql.functions.countDistinct($"basename"))
     assert(!distinct.queryExecution.executedPlan.toString

@@ -136,19 +136,40 @@ class WarcSourceSpec extends SparkSpec {
     assert(r.getLong(1) == "second record body".getBytes("UTF-8").length.toLong)
   }
 
-  test("aggregate pushdown declines archive-only columns, DISTINCT, GROUP BY") {
+  test("aggregate pushdown declines archive-only columns and DISTINCT") {
     val dir = writtenDir()
     // min(date) needs the archive record — must NOT push, must still answer
     val dated = spark.read.format(fmt).load(dir.toString).agg(min($"date"))
     assert(!dated.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     assert(dated.head().getString(0) != null)
-    val grouped = spark.read.format(fmt).load(dir.toString)
-      .groupBy($"warc_file").agg(count("*"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregation"))
-    assert(grouped.count() == 2L)
     val dist = spark.read.format(fmt).load(dir.toString)
       .agg(countDistinct($"uri"))
     assert(!dist.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     assert(dist.head().getLong(0) == 3L)
+    // group key on an archive-only column stays in Spark too
+    val byDate = spark.read.format(fmt).load(dir.toString)
+      .groupBy($"date").agg(count("*"))
+    assert(!byDate.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(byDate.count() >= 1L)
+  }
+
+  test("grouped aggregates over index-servable columns answer from the " +
+    "CDX alone — archives deleted") {
+    val dir = writtenDir()
+    Files.delete(dir.resolve("crawl-a.warc.gz"))
+    Files.delete(dir.resolve("crawl-b.warc.gz"))
+    val grouped = spark.read.format(fmt).load(dir.toString)
+      .groupBy($"warc_file")
+      .agg(count("*").as("n_records"), sum($"payload_len").as("total_bytes"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("PushedGroupBy"),
+      plan)
+    val rows = grouped.orderBy($"warc_file")
+      .as[(String, Long, Long)].collect().toSeq
+    val aBytes = Seq("hello world", "second record body")
+      .map(_.getBytes("UTF-8").length.toLong).sum
+    val bBytes = "b-side payload ✓".getBytes("UTF-8").length.toLong
+    assert(rows == Seq(("crawl-a.warc.gz", 2L, aBytes),
+      ("crawl-b.warc.gz", 1L, bBytes)))
   }
 }

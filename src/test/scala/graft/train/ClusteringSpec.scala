@@ -161,6 +161,53 @@ class ClusteringSpec extends SparkSpec {
     assert(p.forall(_._2 == 64), s"96-char identical docs certify at 64: ${p.toSeq}")
   }
 
+  test("dyadicSpanProfileWinnowed: cover guarantee at L+w-1, exact n_dup_min, " +
+    "reduced volume") {
+    // 31-char shared span = 16 + 16 - 1 → the winnow GUARANTEE applies at
+    // level 16 (a full 16-frame of level-16 anchors sits inside the run)
+    val span = "SHAREDSPANABCDEFGHIJKLMNOPQRSTU" // 31 chars
+    assert(span.length == 31)
+    val docs = Seq(
+      (1L, "a" * 40 + span + "b" * 40),
+      (2L, "c" * 40 + span + "d" * 40),
+      (3L, "e" * 90),
+      (4L, "the quick brown fox jumps over the lazy dog, twice over " + "x" * 40),
+      (5L, "the quick brown fox jumps over the lazy dog, twice over " + "x" * 40),
+      (6L, "😀abcdefgh😀abcdefgh😀abcdefgh min" + "g" * 40),
+      (7L, "tiny")
+    ).toDF("doc_id", "text")
+    val win = Dedup.dyadicSpanProfileWinnowed(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect().toSeq
+    val exact = Dedup.dyadicSpanProfile(docs)
+      .orderBy($"id").as[(Long, Int, Long)].collect().toSeq
+    assert(win(0)._2 >= 16 && win(1)._2 >= 16,
+      s"31-char planted span must survive winnowing at level 16: $win")
+    // identical docs: every selected window is shared → top level certifies
+    assert(win(3)._2 == 64 && win(4)._2 == 64)
+    // sampling only ever REMOVES coarse windows…
+    assert(win.zip(exact).forall { case (w, e) => w._2 <= e._2 })
+    // …and never touches level 8: n_dup_min is bit-identical to stride-1
+    assert(win.map(x => (x._1, x._3)) == exact.map(x => (x._1, x._3)))
+    // emitted-window volume on VARIED text (constant runs like "a"*40 tie
+    // every anchor, so each frame's rightmost-min is distinct — degenerate
+    // density ~1; their windows are also all content-identical, so the
+    // per-doc distinct collapses them anyway): sampled coarse levels must
+    // sit well under stride-1 — expected ≈ (n + 3n·2/(w+1))/4n ≈ 0.34
+    import org.apache.spark.sql.functions.{size => asize, sum => fsum}
+    val varied = Seq(
+      (1L, (0 until 600).map(i => ('a' + (i * 7 + i * i % 13) % 26).toChar).mkString),
+      (2L, (0 until 600).map(i => ('a' + (i * 11 + i * i % 17) % 26).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val full = varied.select(asize(graft.functions.dyadic_window_hashes(
+        $"text", Seq(8, 16, 32, 64))).cast("long").as("n"))
+      .agg(fsum($"n")).as[Long].head()
+    val sampled = varied.select(asize(graft.functions.dyadic_window_hashes_winnow(
+        $"text", Seq(8, 16, 32, 64), 16, 16)).cast("long").as("n"))
+      .agg(fsum($"n")).as[Long].head()
+    assert(sampled < full / 2,
+      s"winnowed volume $sampled should be well under stride-1 $full")
+  }
+
   test("containment catches subset docs that jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta"
     val big = small + " " + (1 to 200).map(i => s"filler$i word$i").mkString(" ")
