@@ -79,4 +79,70 @@ object Privacy {
           s"no rung of ${rungs.map(_.name)} reaches k=$k")
     }
   }
+
+  /** t-closeness profile (Li et al., ICDE 2007) — the third leg of the
+    * anonymity triad: a class can be k-anonymous AND l-diverse yet still
+    * leak because its sensitive-value DISTRIBUTION differs sharply from
+    * the table's. For an ORDERED sensitive attribute pre-bucketed into
+    * `bucket`, the class-vs-global distance is the Earth Mover's
+    * Distance, which on an ordered domain is the mean absolute gap of
+    * the cumulative shares:
+    *   EMD_c = Σ_k |cum_c(k)/n_c − cum(k)/n| / (m−1).
+    * Exact integers end to end: each gap is cross-multiplied to
+    * |cum_ck·n − cum_k·n_c| over the common denominator n_c·n, summed,
+    * and only the final ratio rounds (round4) — so results are
+    * partitioning-invariant and SQL-replayable. (Cross-multiplied terms
+    * are bounded by n_c·n; corpora beyond ~3·10⁹ rows per table should
+    * bucket-partition the audit first.)
+    *
+    * Scale shape: one (quasi, bucket) map-combined aggregate over the
+    * data, then all remaining work happens on the class × m grid (m =
+    * global bucket count, a constant ~10): global cumulatives via the
+    * triangular tiny-frame join (Drift.ksProfile's pattern — no global
+    * window), per-class cumulatives via a broadcast of that m-row spine.
+    * Output: one row per class — (quasi…, n_c, emd) with `max(emd)` the
+    * table's t.
+    */
+  def tClosenessProfile(df: DataFrame, quasi: Seq[(String, Column)],
+                        bucket: Column): DataFrame = {
+    val qNames = quasi.map(_._1)
+    val base = df.select(quasi.map { case (n, c) => c.as(n) } :+
+      bucket.cast("long").as("s"): _*)
+    // global bucket spine with exact cumulative counts (tiny frame)
+    val g = base.groupBy(col("s")).agg(count(lit(1)).as("n_k"))
+    val cumG = g.select(col("s").as("k"))
+      .join(g.select(col("s").as("s2"), col("n_k").as("c2")), col("s2") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("c2")).as("cum_k"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("s")).as("m"))
+    val spine = cumG.crossJoin(broadcast(tot)).localCheckpoint(eager = false)
+    // per-(class, bucket) counts, then the class × m grid
+    val cls = base.groupBy(qNames.map(col) :+ col("s"): _*)
+      .agg(count(lit(1)).as("n_cs"))
+      .localCheckpoint(eager = false)
+    val classes = cls.groupBy(qNames.map(col): _*)
+      .agg(sum(col("n_cs")).as("n_c"))
+    val grid = classes.crossJoin(broadcast(spine))
+    // cum_ck = Σ_{s ≤ k} n_cs — broadcasting the per-class counts would
+    // be wrong at scale (classes grow with the table); join keyed on the
+    // quasi columns instead, inequality on the constant bucket axis.
+    // Renamed projection of cls: grid derives from cls, and a two-sided
+    // op over shared lineage trips DetectAmbiguousSelfJoin otherwise.
+    val clsR = cls.select(qNames.map(n => col(n).as(s"r_$n")) :+
+      col("s").as("r_s") :+ col("n_cs").as("r_n_cs"): _*)
+    val cumC = grid.join(clsR,
+        qNames.map(n => grid(n) === clsR(s"r_$n")).reduce(_ && _) &&
+          clsR("r_s") <= grid("k"), "left")
+      .groupBy(qNames.map(grid(_)) :+ grid("k") :+ grid("n_c") :+
+        grid("cum_k") :+ grid("n") :+ grid("m"): _*)
+      .agg(coalesce(sum(col("r_n_cs")), lit(0L)).as("cum_ck"))
+    cumC
+      .withColumn("term", abs(col("cum_ck") * col("n") - col("cum_k") * col("n_c")))
+      .groupBy(qNames.map(col) :+ col("n_c") :+ col("n") :+ col("m"): _*)
+      .agg(sum(col("term")).as("num"))
+      .select(qNames.map(col) :+ col("n_c") :+
+        when(col("m") === 1, lit(0.0)) // one bucket: every class matches globally
+          .otherwise(graft.text.TextAnalysis.round4(
+            col("num") / ((col("m") - 1) * col("n_c") * col("n")))).as("emd"): _*)
+  }
 }

@@ -548,6 +548,50 @@ object AnalyticsQueries {
          |  CAST(sum(class_size) AS BIGINT) AS n_rows
          |FROM cls GROUP BY l ORDER BY l""".stripMargin),
 
+    // ── t-closeness (Li et al. 2007), the third leg of the anonymity
+    //    triad: per (nation, segment) class, the EMD between the class's
+    //    $1000-balance-bucket distribution and the global one — exact
+    //    integer cumulatives cross-multiplied over n_c·n, only the final
+    //    ratio rounds. Engine cumulative = triangular tiny-frame join
+    //    (no global window); class grid = broadcast of the m-row spine ──
+    "privacy_t_close" -> QueryDef(
+      (spark, dir) => {
+        val base = privacyBase(spark, dir)
+        graft.ops.Privacy.tClosenessProfile(base,
+          Seq("nat" -> col("nat"), "seg" -> col("seg")),
+          floor(col("cents") / lit(100000.0)).cast("long"))
+          .orderBy(col("nat"), col("seg"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |b AS (SELECT nat, seg, CAST(floor(cents / 100000.0) AS BIGINT) AS s
+         |      FROM base),
+         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n_k FROM b GROUP BY s),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |          CAST(count(DISTINCT s) AS BIGINT) AS m FROM b),
+         |spine AS (SELECT s AS k,
+         |            CAST(sum(n_k) OVER (ORDER BY s) AS BIGINT) AS cum_k
+         |          FROM g),
+         |cls AS (SELECT nat, seg, s, CAST(count(*) AS BIGINT) AS n_cs
+         |        FROM b GROUP BY 1, 2, 3),
+         |classes AS (SELECT nat, seg, CAST(sum(n_cs) AS BIGINT) AS n_c
+         |            FROM cls GROUP BY 1, 2),
+         |grid AS (SELECT c.nat, c.seg, c.n_c, sp.k, sp.cum_k
+         |         FROM classes c CROSS JOIN spine sp),
+         |cumc AS (SELECT gr.nat, gr.seg, gr.n_c, gr.k, gr.cum_k,
+         |           CAST(coalesce(sum(cl.n_cs), 0) AS BIGINT) AS cum_ck
+         |         FROM grid gr LEFT JOIN cls cl
+         |           ON cl.nat = gr.nat AND cl.seg = gr.seg AND cl.s <= gr.k
+         |         GROUP BY 1, 2, 3, 4, 5),
+         |agg AS (SELECT nat, seg, n_c,
+         |          CAST(sum(abs(cum_ck * t.n - cum_k * n_c)) AS BIGINT) AS num,
+         |          t.n AS n, t.m AS m
+         |        FROM cumc CROSS JOIN tot t GROUP BY 1, 2, 3, 5, 6)
+         |SELECT nat, seg, n_c,
+         |  CASE WHEN m = 1 THEN 0.0
+         |       ELSE floor(num / ((m - 1) * n_c * n) * 10000.0 + 0.5) / 10000.0
+         |  END AS emd
+         |FROM agg ORDER BY nat, seg""".stripMargin),
+
     // ── generalization ladder to k=10: coarsen the quasi-identifier set
     //    (nation→region, segment→any, balance buckets→sign→suppressed)
     //    until every class reaches k; emits the chosen rung's class table.

@@ -52,6 +52,49 @@ object CurationQueries {
       s"""SELECT doc_id, ${WebClean.canonicalizeUrlSql(rawUrlSql)} AS canon_url
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── link-graph extraction: plant deterministic anchors in each doc's
+    //    page, pull every href with ONE regexp_extract_all pass (no
+    //    per-link UDF), explode, roll up to the (src_domain, dst_domain)
+    //    edge grain with link + distinct-page counts — the hyperlink
+    //    authority signal of web-corpus curation. Scale: extraction is
+    //    scan-local; the single shuffle is the edge-grain rollup ──
+    "web_link_graph" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 7).as("src_domain"),
+          expr("concat('<html><body><p>', substring(text, 1, 40), " +
+            "'</p><a href=\"https://d', CAST(doc_id % 20 AS STRING), " +
+            "'.example/page/', CAST(doc_id AS STRING), '\">next</a>', " +
+            "CASE WHEN doc_id % 2 = 0 THEN concat('<a href=\"https://d', " +
+            "CAST(doc_id % 13 AS STRING), '.example/top\">up</a>') " +
+            "ELSE '' END, '</body></html>')").as("html"))
+        .select(col("doc_id"), col("src_domain"),
+          explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)"))
+            .as("url"))
+        .select(col("doc_id"), col("src_domain"),
+          regexp_extract(col("url"), "^https://([^/]+)/", 1).as("dst_domain"))
+        .groupBy(col("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_pages"))
+        .orderBy(col("src_domain"), col("dst_domain")),
+      """WITH pages AS (
+        |  SELECT doc_id, 'src' || CAST(doc_id % 7 AS VARCHAR) AS src_domain,
+        |    '<html><body><p>' || substring(text, 1, 40) ||
+        |    '</p><a href="https://d' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example/page/' || CAST(doc_id AS VARCHAR) || '">next</a>' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '<a href="https://d' ||
+        |      CAST(doc_id % 13 AS VARCHAR) || '.example/top">up</a>'
+        |    ELSE '' END || '</body></html>' AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT doc_id, src_domain,
+        |    regexp_extract(unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)),
+        |      '^https://([^/]+)/', 1) AS dst_domain
+        |  FROM pages)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM links GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin),
+
     // ── URL-level dedup: group by the canonical form — variants that
     //    differ only in case/port/tracking/fragment collapse to one
     //    representative (min doc_id), ONE hash shuffle at the URL grain ──

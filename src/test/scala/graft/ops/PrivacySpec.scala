@@ -51,4 +51,26 @@ class PrivacySpec extends SparkSpec {
       Privacy.generalizeToK(people, rungs, k = 4L)
     }
   }
+
+  test("tClosenessProfile: hand-computed ordered EMD per class") {
+    // global buckets: n0=6, n1=1, n2=5 (n=12, m=3) → cum 6, 7, 12
+    // class A (0,0,1,2): cum 2,3,4 → EMD = (|2/4−6/12|+|3/4−7/12|+0)/2 = 1/12
+    // class B (0,0,0,0): cum 4,4,4 → EMD = (1/2+5/12+0)/2 = 11/24
+    // class C (2,2,2,2): cum 0,0,4 → EMD = (1/2+7/12+0)/2 = 13/24
+    val rows = Seq(
+      ("A", 0L), ("A", 0L), ("A", 1L), ("A", 2L),
+      ("B", 0L), ("B", 0L), ("B", 0L), ("B", 0L),
+      ("C", 2L), ("C", 2L), ("C", 2L), ("C", 2L)
+    ).toDF("grp", "s")
+    val got = Privacy.tClosenessProfile(rows, Seq("q" -> $"grp"), $"s")
+      .orderBy($"q").as[(String, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got == Seq(("A", 4L, r4(1.0 / 12)), ("B", 4L, r4(11.0 / 24)),
+      ("C", 4L, r4(13.0 / 24))))
+    // single global bucket: every class trivially matches → EMD 0
+    val one = Seq(("A", 5L), ("B", 5L)).toDF("grp", "s")
+    val g1 = Privacy.tClosenessProfile(one, Seq("q" -> $"grp"), $"s")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(g1 == Seq(("A", 1L, 0.0), ("B", 1L, 0.0)))
+  }
 }
