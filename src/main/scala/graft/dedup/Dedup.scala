@@ -207,20 +207,20 @@ object Dedup {
         sequence(lit(0), floor((length(t) - lit(winLen)) / lit(stride)).cast("int")),
         i => md5(t.substr(i * stride + 1, lit(winLen)))))
       .otherwise(array().cast("array<string>"))
-    // distinct (doc, window-hash) pairs: set semantics per doc
+    // distinct (doc, window-hash) pairs with a SINGLE pass: repartition on
+    // the hash, dedup locally (h-partitioning co-locates (id, h)), then a
+    // h-partitioned window count IS the per-window doc count — the
+    // groupBy+filter+join-back shape read the big frame twice and paid a
+    // join; the window pays the same per-partition sort once, no join
     val w = spread(docs).select(col(idCol).as("id"), explode(windows).as("h"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    // a window is "shared" when ≥2 distinct docs contain it (pairs are
-    // already distinct, so count(*) counts docs)
-    val shared = w.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("h"))
-    val dup = w.join(shared, Seq("h"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
-    val tot = w.groupBy(col("id")).agg(count(lit(1)).as("n_win"))
+      .repartition(col("h"))
+      .dropDuplicates("id", "h")
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val prof = w.groupBy(col("id")).agg(
+      count(lit(1)).as("n_win"),
+      sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
     docs.select(col(idCol).as("id"))
-      .join(tot, Seq("id"), "left")
-      .join(dup, Seq("id"), "left")
+      .join(prof, Seq("id"), "left")
       .withColumn("n_win", coalesce(col("n_win"), lit(0L)))
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
       .withColumn("dup_frac",
@@ -333,27 +333,28 @@ object Dedup {
     // the native expression dedups per doc at emission, and one doc = one
     // expression call, so its (id, pk) frame is ALREADY globally distinct
     // — skipping the post-shuffle dedup hash-agg; the declarative
-    // rendering still needs it
-    val w = (if (rawDistinct) reparted else reparted.dropDuplicates("id", "pk"))
-      .localCheckpoint(eager = false)
-    // (id, pk) is distinct ⇒ count(*) per pk counts docs
-    val shared = w.groupBy(col("pk")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("pk"))
-    // merge hint: post-checkpoint stats are unknown, and left to itself
-    // Catalyst broadcasts `shared` — a frame that grows WITH the corpus
-    // (measured: 10× data → driver-side collect of ~15M keys, 18.7× time;
-    // with SMJ the join stays partition-local on the existing pk
-    // partitioning and the probe ratio drops to ~linear)
-    val hits = w.join(shared.hint("merge"), Seq("pk"))
+    // rendering still needs it (pk partitioning co-locates (id, pk), so
+    // the dedup aggregate inserts no further exchange)
+    val w = if (rawDistinct) reparted else reparted.dropDuplicates("id", "pk")
+    // (id, pk) distinct ⇒ a pk-partitioned window count IS the per-window
+    // doc count — one sorted pass over the already-pk-clustered frame.
+    // The earlier shape (groupBy(pk) → filter ≥2 → join back) read the
+    // big frame TWICE and paid an SMJ on top (its broadcast variant was
+    // worse still: `shared` grows with the corpus — measured 10× data →
+    // driver-side collect of ~15M keys, 18.7× time). The window needs
+    // the same per-partition sort the SMJ did, once, with no join after.
+    val hits = w
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("pk"))))
+      .filter(col("ndocs") >= 2)
       .select(col("id"), col("pk").bitwiseAND(lit(127L)).cast("int").as("lvl"))
-      .localCheckpoint(eager = false)
-    val mx = hits.select(col("id"), col("lvl")).distinct()
-      .groupBy(col("id")).agg(max(col("lvl")).cast("int").as("max_dup_len"))
-    val nd = hits.filter(col("lvl") === minLevel)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_min"))
+    // one id-grain aggregate: max(lvl) needs no distinct (duplicates of a
+    // level can't change the max), and (id, pk) distinctness makes the
+    // min-level row count exactly the distinct shared-window count
+    val prof = hits.groupBy(col("id")).agg(
+      max(col("lvl")).cast("int").as("max_dup_len"),
+      sum(when(col("lvl") === lit(minLevel), 1L).otherwise(0L)).as("n_dup_min"))
     docs.select(col(idCol).as("id"))
-      .join(mx, Seq("id"), "left")
-      .join(nd, Seq("id"), "left")
+      .join(prof, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("max_dup_len"), lit(0)).as("max_dup_len"),
         coalesce(col("n_dup_min"), lit(0L)).as("n_dup_min"))

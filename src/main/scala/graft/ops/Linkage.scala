@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy record linkage: match "dirty" entity strings against a clean
@@ -119,9 +120,22 @@ object Linkage {
     * shuffles on (len, k, segment) — candidate volume is Σ bucket
     * products over segment content, never |left| × |right|.
     */
+  /** `maxBucket` (default unlimited = exact): per-(clen, k, segment) key
+    * cap on EACH side of the candidate join. A corpus whose names share a
+    * popular prefix ("report of the …") puts a large slice of both sides
+    * into one segment bucket, and candidate volume is the bucket PRODUCT
+    * — the measured 100× probe wall (~350× time) is exactly this mass,
+    * with the verified output growing only linearly. Capping drops keys
+    * whose bucket exceeds the limit — far softer than an LSH bucket cap:
+    * a pair meets once per SHARED segment key among its (2d+1)²·(d+1)
+    * generated keys, so only pairs whose EVERY shared segment is
+    * degenerate are lost; a single rare aligned segment still recalls
+    * the pair. Production 100 TB runs should set a cap (10⁴-ish);
+    * the default keeps the completeness guarantee LinkageSpec proves.
+    */
   def fuzzyPairsSegment(left: DataFrame, leftId: String, leftName: String,
                         right: DataFrame, rightId: String, rightName: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     val d = maxDist
     val m = d + 1
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
@@ -155,7 +169,15 @@ object Linkage {
         col("s.st") + col("s.sl") - lit(1) <= col("dlen"))
       .select(col("i"), col("s.clen").as("clen"), col("s.k").as("k"),
         expr("substring(li, CAST(s.st AS INT), CAST(s.sl AS INT))").as("seg"))
-    val blocked = lsub.join(rseg.drop("rj"), Seq("clen", "k", "seg"))
+    // bucket caps share the join key's partitioning — window counts, no
+    // extra exchange grain (no-ops entirely at the default)
+    def capped(df: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) df
+      else df.withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("clen"), col("k"), col("seg"))))
+        .filter(col("bn") <= maxBucket).drop("bn")
+    val blocked = capped(lsub).join(capped(rseg.drop("rj")),
+        Seq("clen", "k", "seg"))
       .select(col("i"), col("j"))
     // short-right guard: < m chars can't fill m segments; partners sit
     // within d of that length, so both subsets are bounded

@@ -53,7 +53,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    synthesize(spark, base, out, k)
+    // SPARK_GRAFT_PROBE_REUSE=1: skip re-synthesis when the scaled dir is
+    // already on disk from a previous probe run (a 100× synthesis is
+    // minutes of write time; the data is deterministic given (base, k))
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()
+    if (!reuse) synthesize(spark, base, out, k)
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

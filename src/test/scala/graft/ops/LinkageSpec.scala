@@ -161,4 +161,28 @@ class LinkageSpec extends SparkSpec {
     val cand = lk.join(rk, lk("b") === rk("b")).select("did", "cid").distinct()
     assert(cand.count() <= dirty.size.toLong)
   }
+
+  test("fuzzyPairsSegment maxBucket prunes popular-prefix buckets, keeps " +
+    "rare-segment recall") {
+    // 40 catalog names share a popular TAIL ("report of the council") but
+    // have distinct heads; dirty copies delete one char inside the
+    // popular tail → the pigeonhole match goes through the RARE head
+    // segment, which survives even when the cap drops the tail buckets
+    val catalog = (0 until 40).map(i =>
+      (i.toLong, f"unit$i%02d division report of the council"))
+    val dirty = catalog.map { case (id, n) =>
+      (id + 100L, n.take(34) + n.drop(35)) } // delete one tail char
+    val exact = Linkage.fuzzyPairsSegment(
+      dirty.toDF("did", "dname"), "did", "dname",
+      catalog.toDF("cid", "name"), "cid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Linkage.fuzzyPairsSegment(
+      dirty.toDF("did", "dname"), "did", "dname",
+      catalog.toDF("cid", "name"), "cid", "name", maxDist = 2, maxBucket = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    // every true (i, i+100) pair survives the cap via its rare segment
+    val truth = (0 until 40).map(i => (i + 100L, i.toLong, 1)).toSet
+    assert(truth.subsetOf(exact), s"exact missing ${truth -- exact}")
+    assert(truth.subsetOf(capped), s"capped missing ${truth -- capped}")
+  }
 }
