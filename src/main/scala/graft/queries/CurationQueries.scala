@@ -307,6 +307,73 @@ object CurationQueries {
         |WHERE levenshtein(dname, name) <= 2
         |ORDER BY i, j""".stripMargin),
 
+    // ── the 100 TB path of the same linkage: maxBucket=4096 drops
+    //    degenerate segment buckets from BOTH join sides (popular name
+    //    prefixes make bucket PRODUCTS, the measured 100× wall); a pair
+    //    is lost only when its EVERY shared segment is degenerate. The
+    //    oracle replays the cap with the same window counts ──
+    "fuzzy_match_ed2_capped" -> QueryDef(
+      (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+        val clean = base.select(col("doc_id").as("cid"), col("name"))
+        val dirty = base
+          .withColumn("p1", expr("CAST(doc_id % 8 + 4 AS INT)"))
+          .withColumn("s1",
+            expr("concat(substring(name, 1, p1 - 1), substring(name, p1 + 1))"))
+          .withColumn("p2", expr("CAST(doc_id % 5 + 10 AS INT)"))
+          .select(col("doc_id").as("did"),
+            expr("concat(substring(s1, 1, p2 - 1), substring(s1, p2 + 1))").as("dname"))
+        Linkage.fuzzyPairsSegment(dirty, "did", "dname", clean, "cid", "name",
+            maxDist = 2, maxBucket = 4096)
+          .orderBy(col("i"), col("j"))
+      },
+      """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),
+        |d0 AS (SELECT doc_id, name, CAST(doc_id % 8 + 4 AS INT) AS p1,
+        |         CAST(doc_id % 5 + 10 AS INT) AS p2 FROM b),
+        |d AS (SELECT doc_id AS i,
+        |        substr(s1, 1, p2 - 1) || substr(s1, p2 + 1) AS dname
+        |      FROM (SELECT doc_id, p2,
+        |              substr(name, 1, p1 - 1) || substr(name, p1 + 1) AS s1
+        |            FROM d0)),
+        |c AS (SELECT doc_id AS j, name FROM b),
+        |cseg0 AS (SELECT j, clen, k,
+        |    substr(name,
+        |      CAST(1 + (k-1)*(clen//3) + greatest(0, k-1-(3 - clen%3)) AS INT),
+        |      CAST(clen//3 + CASE WHEN k > 3 - clen%3 THEN 1 ELSE 0 END AS INT))
+        |      AS seg
+        |  FROM (SELECT j, name, CAST(len(name) AS INT) AS clen FROM c),
+        |       (SELECT unnest([1, 2, 3]) AS k)
+        |  WHERE clen >= 3),
+        |cseg AS (SELECT j, clen, k, seg FROM (
+        |    SELECT j, clen, k, seg,
+        |      count(*) OVER (PARTITION BY clen, k, seg) AS bn FROM cseg0)
+        |  WHERE bn <= 4096),
+        |dsub0 AS (SELECT i, clen, k, substr(dname, st, sl) AS seg FROM (
+        |   SELECT i, dname, dlen, dlen + dl AS clen, k,
+        |     CAST(1 + (k-1)*((dlen+dl)//3)
+        |       + greatest(0, k-1-(3-(dlen+dl)%3)) + sh AS INT) AS st,
+        |     CAST((dlen+dl)//3
+        |       + CASE WHEN k > 3 - (dlen+dl)%3 THEN 1 ELSE 0 END AS INT) AS sl
+        |   FROM (SELECT i, dname, CAST(len(dname) AS INT) AS dlen FROM d),
+        |        (SELECT unnest(generate_series(-2, 2)) AS dl),
+        |        (SELECT unnest([1, 2, 3]) AS k),
+        |        (SELECT unnest(generate_series(-2, 2)) AS sh))
+        |  WHERE clen >= 3 AND st >= 1 AND st + sl - 1 <= dlen),
+        |dsub AS (SELECT i, clen, k, seg FROM (
+        |    SELECT i, clen, k, seg,
+        |      count(*) OVER (PARTITION BY clen, k, seg) AS bn FROM dsub0)
+        |  WHERE bn <= 4096),
+        |blk AS (SELECT i, j FROM dsub JOIN cseg USING (clen, k, seg)),
+        |sc AS (SELECT i, j FROM d, c
+        |       WHERE len(dname) <= 4 AND len(name) <= 2),
+        |cand AS (SELECT DISTINCT i, j FROM
+        |  (SELECT i, j FROM blk UNION ALL SELECT i, j FROM sc))
+        |SELECT i, j, CAST(levenshtein(dname, name) AS INT) AS dist
+        |FROM cand JOIN d USING (i) JOIN c USING (j)
+        |WHERE levenshtein(dname, name) <= 2
+        |ORDER BY i, j""".stripMargin),
+
     // ── linear interpolation over the gap-filled tick spine: missing
     //    (event_type, hour) averages lerp between the flanking known
     //    ticks — integer cents, floor() on ≤2^53-exact doubles so both
