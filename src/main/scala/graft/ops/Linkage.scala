@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy record linkage: match "dirty" entity strings against a clean
@@ -151,7 +150,7 @@ object Linkage {
             s"'k', k, " +
             s"'st', 1 + (k - 1) * (clen DIV $m) + greatest(0, k - 1 - ($m - clen % $m)), " +
             s"'sl', clen DIV $m + IF(k > $m - clen % $m, 1, 0)))")).as("s"))
-      .select(col("j"), col("clen"), col("s.k").as("k"),
+      .select(col("j"), col("rj"), col("clen"), col("s.k").as("k"),
         expr("substring(rj, CAST(s.st AS INT), CAST(s.sl AS INT))").as("seg"))
     // left side: for every plausible right length and slot, the slot's
     // window shifted ±d, clamped to real substrings
@@ -167,26 +166,43 @@ object Linkage {
             s"'sl', (dlen + dl) DIV $m + IF(k > $m - (dlen + dl) % $m, 1, 0)))))))")).as("s"))
       .filter(col("s.clen") >= m && col("s.st") >= 1 &&
         col("s.st") + col("s.sl") - lit(1) <= col("dlen"))
-      .select(col("i"), col("s.clen").as("clen"), col("s.k").as("k"),
+      .select(col("i"), col("li"), col("s.clen").as("clen"), col("s.k").as("k"),
         expr("substring(li, CAST(s.st AS INT), CAST(s.sl AS INT))").as("seg"))
-    // bucket caps share the join key's partitioning — window counts, no
-    // extra exchange grain (no-ops entirely at the default)
-    def capped(df: DataFrame): DataFrame =
-      if (maxBucket == Int.MaxValue) df
-      else df.withColumn("bn", count(lit(1)).over(
-          Window.partitionBy(col("clen"), col("k"), col("seg"))))
-        .filter(col("bn") <= maxBucket).drop("bn")
-    val blocked = capped(lsub).join(capped(rseg.drop("rj")),
-        Seq("clen", "k", "seg"))
-      .select(col("i"), col("j"))
+    // BUCKET-GRAIN candidate join (the 100× fix): grouping each side to
+    // one array row per (clen, k, seg) key makes the exchange volume the
+    // INPUT mass (enumeration rows), not the candidate-pair mass — the
+    // measured 100× probe spent its ~350× wall shuffling Σ bucket-product
+    // pair rows through the old pair-grain distinct + two name join-backs.
+    // Here the pairing double-explode and the banded verification run
+    // INSIDE the joined partition (whole-stage codegen streams the pairs;
+    // nothing pair-grain ever hits an exchange), so the only pair-grain
+    // shuffle left is the final distinct over VERIFIED matches — linear
+    // in the true output at any corpus size. The cap is now a plain
+    // size() filter on the grouped arrays (no window pass), which also
+    // bounds per-row memory: capped buckets are ≤ maxBucket·(id+name)
+    // bytes; the uncapped default is the exact audit path.
+    def bucket(df: DataFrame, idc: String, namec: String,
+               arr: String): DataFrame = {
+      val g = df.groupBy(col("clen"), col("k"), col("seg"))
+        .agg(collect_list(struct(col(idc), col(namec))).as(arr))
+      if (maxBucket == Int.MaxValue) g
+      else g.filter(size(col(arr)) <= maxBucket)
+    }
+    val blockedPairs = bucket(lsub, "i", "li", "ds")
+      .join(bucket(rseg, "j", "rj", "cs"), Seq("clen", "k", "seg"))
+      .select(explode(col("ds")).as("dl"), col("cs"))
+      .select(col("dl.i").as("i"), col("dl.li").as("li"),
+        explode(col("cs")).as("cl"))
+      .select(col("i"), col("cl.j").as("j"),
+        levenshtein(col("li"), col("cl.rj"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
     // short-right guard: < m chars can't fill m segments; partners sit
     // within d of that length, so both subsets are bounded
-    val shortPairs = l.filter(length(col("li")) <= m - 1 + d).select(col("i"))
-      .crossJoin(broadcast(r.filter(length(col("rj")) <= m - 1).select(col("j"))))
-    val cand = blocked.unionByName(shortPairs).distinct()
-    cand.join(l, Seq("i")).join(r, Seq("j"))
+    val shortPairs = l.filter(length(col("li")) <= m - 1 + d)
+      .crossJoin(broadcast(r.filter(length(col("rj")) <= m - 1)))
       .select(col("i"), col("j"),
         levenshtein(col("li"), col("rj"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
+    blockedPairs.unionByName(shortPairs).distinct()
   }
 }

@@ -145,4 +145,38 @@ object Privacy {
           .otherwise(graft.text.TextAnalysis.round4(
             col("num") / ((col("m") - 1) * col("n_c") * col("n")))).as("emd"): _*)
   }
+
+  /** Geometric-mechanism (discrete-Laplace) differentially-private counts
+    * (Ghosh–Roughgarden–Sundararajan 2009): per-group count plus integer
+    * noise X₁ − X₂, the Xᵢ independent Geometric(1/2) draws — the
+    * two-sided geometric with α = 1/2, an ε = ln 2 release for counting
+    * queries (sensitivity 1), clamped at 0 for publishable counts.
+    *
+    * Noise is inverse-CDF over md5-uniform bits: Geometric(1/2) is the
+    * leading-ones count of an independent 32-bit hash word, computed as
+    * 32 − length(bin(¬h)) — pure integer, engine-exact, no libm. Draws
+    * are seeded by (seed, group) so a release is reproducible for audit
+    * and SQL-replayable; a production release swaps the seed source for
+    * real entropy at publish time (the mechanism is unchanged). An
+    * actual export ships `dp_count` ONLY — `true_count`/`noise` ride
+    * along here because this is the mechanism's audit surface.
+    *
+    * Scale: one map-combined count aggregate; the noise is a per-GROUP
+    * scalar expression — no extra shuffle, no extra pass, at any size.
+    */
+  def dpGeometricCounts(df: DataFrame, groupCol: String,
+                        seed: String): DataFrame = {
+    def geo(salt: String): Column = {
+      val h = conv(substring(
+        md5(concat(lit(s"$seed|$salt|"), col("grp").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      val c = lit(4294967295L) - h // bitwise NOT within the 32-bit word
+      when(c === 0, lit(32)).otherwise(lit(32) - length(bin(c)))
+    }
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", (geo("a") - geo("b")).cast("long"))
+      .withColumn("dp_count",
+        greatest(lit(0L), col("true_count") + col("noise")))
+  }
 }

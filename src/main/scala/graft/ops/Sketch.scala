@@ -84,6 +84,39 @@ object Sketch {
           col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
   }
 
+  /** Deterministic KMV-sample quantiles: a bottom-k priority sample (the
+    * k rows with the smallest md5-prefix hash of a UNIQUE row key) is a
+    * uniform sample whose per-partition top-k partials merge exactly —
+    * the same bounded-heap mergeability as [[kmvDistinct]], so a 100 TB
+    * group ships ≤k (hash, value) pairs per partition and the estimate
+    * is independent of partitioning. Quantile p% is then the sample's
+    * order statistic at integer rank `(p·n + 99) div 100` (n = sample
+    * size), so the whole sketch — sampling AND rank arithmetic — replays
+    * bit-for-bit in any engine with md5, unlike GK/KLL whose state
+    * depends on merge order.
+    *
+    * `rowKeyCol` must be unique per row (hash ties across different
+    * values break deterministically toward the smaller value on both
+    * sides). `valueCol` must be integral (exact in long and double).
+    */
+  def kmvQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   rowKeyCol: org.apache.spark.sql.Column, k: Int,
+                   percents: Seq[Int]): DataFrame = {
+    val pr = hash32(rowKeyCol)
+    val n = size(col("top"))
+    val sample = array_sort(transform(col("top"), t => t.getField("nid")))
+    val qCols = percents.map { p =>
+      element_at(sample,
+        greatest(lit(1), floor((lit(p) * n + lit(99)) / lit(100)).cast("int")))
+        .as(s"p$p")
+    }
+    df.select(col(groupCol).as("grp"), col(valueCol).as("v"), pr.as("pr"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.topk_by((-col("pr")).cast("double"), col("v"), k)
+        .as("top"))
+      .select(col("grp") +: n.cast("long").as("n_sample") +: qCols: _*)
+  }
+
   /** Count-Min Sketch cell position for hash row `j`: md5-derived, so the
     * whole sketch is deterministic and SQL-replayable (same trick as
     * `hash32`).

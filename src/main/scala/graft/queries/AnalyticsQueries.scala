@@ -646,7 +646,42 @@ object AnalyticsQueries {
          |  UNION ALL SELECT 'region_seg_bal5000', * FROM r2 WHERE (SELECT i FROM ch) = 2
          |  UNION ALL SELECT 'region_any_sign', * FROM r3 WHERE (SELECT i FROM ch) = 3
          |  UNION ALL SELECT 'suppressed', * FROM r4 WHERE (SELECT i FROM ch) = 4)
-         |ORDER BY q_geo, q_seg, q_bal""".stripMargin)
+         |ORDER BY q_geo, q_seg, q_bal""".stripMargin),
+
+    // ── geometric-mechanism DP counts (discrete Laplace, ε = ln 2):
+    //    per-nation customer counts plus integer two-sided-geometric
+    //    noise drawn inverse-CDF from md5 bits (leading-ones count =
+    //    Geometric(1/2); 32 − length(bin(¬h)) is engine-exact integer
+    //    math), clamped at 0. Hash-seeded for audit replayability — a
+    //    real release swaps in entropy and exports dp_count only ──
+    "privacy_dp_counts" -> QueryDef(
+      (spark, dir) => {
+        val base = privacyBase(spark, dir).select(col("nat").as("grp"))
+        graft.ops.Privacy.dpGeometricCounts(base, "grp", "graftdp1")
+          .orderBy(col("grp"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |c AS (SELECT nat AS grp, CAST(count(*) AS BIGINT) AS true_count
+         |      FROM base GROUP BY 1),
+         |h AS (SELECT grp, true_count,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      i -> (strpos('0123456789abcdef',
+         |              substr(md5('graftdp1|a|' || grp), i, 1)) - 1)
+         |           * (16 ** (8 - i)))) AS BIGINT) AS ha,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      i -> (strpos('0123456789abcdef',
+         |              substr(md5('graftdp1|b|' || grp), i, 1)) - 1)
+         |           * (16 ** (8 - i)))) AS BIGINT) AS hb
+         |  FROM c),
+         |n AS (SELECT grp, true_count,
+         |    CAST((CASE WHEN 4294967295 - ha = 0 THEN 32
+         |          ELSE 32 - length(bin(4294967295 - ha)) END)
+         |       - (CASE WHEN 4294967295 - hb = 0 THEN 32
+         |          ELSE 32 - length(bin(4294967295 - hb)) END) AS BIGINT) AS noise
+         |  FROM h)
+         |SELECT grp, true_count, noise,
+         |  greatest(CAST(0 AS BIGINT), true_count + noise) AS dp_count
+         |FROM n ORDER BY grp""".stripMargin)
   )
 
   /** customer ⋈ broadcast(nation) ⋈ broadcast(region) with integer-cents

@@ -183,6 +183,37 @@ object ArchiveQueries {
         |  max('https://corpus.invalid/' || source || '/' || doc_id) AS last_uri
         |FROM documents GROUP BY source ORDER BY warc_file""".stripMargin),
 
+    // ── WARC connector, DISTINCT over the index-only scan: distinct
+    //    aggregates are NOT pushable as partials (Spark only allows
+    //    DISTINCT under complete pushdown, which would force one global
+    //    partition — wrong at crawl scale). The scale-correct plan is the
+    //    one below: column pruning keeps the scan in index-only mode
+    //    (sidecars only, archives never opened) and Spark runs the
+    //    distributed distinct over those index rows — per-file content
+    //    dedup audit of a 100 TB crawl reading kilobytes of CDX ──
+    "s_warc_distinct_stats" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/dst_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        spark.read.format("graft.sources.WarcDataSource").load(tmp)
+          .groupBy(col("warc_file"))
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct(col("payload_sha256")).as("n_unique_payloads"),
+            countDistinct(col("uri")).as("n_unique_uris"))
+          .orderBy(col("warc_file"))
+      },
+      """SELECT source || '.warc.gz' AS warc_file,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_payloads,
+        |  CAST(count(DISTINCT 'https://corpus.invalid/' || source || '/'
+        |    || doc_id) AS BIGINT) AS n_unique_uris
+        |FROM documents GROUP BY source ORDER BY warc_file""".stripMargin),
+
     // ── JSONL ingest with dead-letter routing: render the corpus as
     //    JSONL, deterministically truncate every doc_id ≡ 0 (mod 37)
     //    line mid-token, ingest with Jsonl.readWithDlq — good rows parse,

@@ -728,6 +728,70 @@ object EventQueries {
         |  exact_a + exact_b - exact_union AS exact_intersect
         |FROM p, x""".stripMargin),
 
+    // ── KMV-sample quantiles: bottom-k priority sample (k smallest md5
+    //    hashes of the UNIQUE event_id) per event_type, quantile p% =
+    //    sample order statistic at integer rank (p·n+99) div 100 — the
+    //    sample, rank arithmetic, and hash all replay bit-for-bit in the
+    //    oracle (GK/KLL state depends on merge order; this doesn't).
+    //    Exact p50 rides the same row from a cum-count over per-cents
+    //    tallies (distinct-value grain, not a full-partition sort) so
+    //    the sketch error is auditable under the gate. ──
+    "ev_kmv_quantile" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val sk = graft.ops.Sketch.kmvQuantiles(ev, "event_type", "cents",
+          col("event_id"), 64, Seq(25, 50, 75, 90, 99))
+        val counts = ev.groupBy(col("event_type").as("grp"), col("cents"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("grp")).orderBy(col("cents"))
+        val exact = counts
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("nn", sum(col("c")).over(Window.partitionBy(col("grp"))))
+          .filter(col("cum") >=
+            greatest(lit(1), floor((lit(50) * col("nn") + lit(99)) / lit(100))))
+          .groupBy(col("grp")).agg(min(col("cents")).as("exact_p50"))
+        sk.join(exact, Seq("grp")).orderBy(col("grp"))
+      },
+      """WITH e AS (SELECT event_type AS grp, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT grp, cents,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS pr
+        |  FROM e),
+        |r AS (SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY pr, cents) AS rn
+        |  FROM h),
+        |s AS (SELECT grp, cents, rn FROM r WHERE rn <= 64),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sample FROM s GROUP BY 1),
+        |o AS (SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents, rn) AS vr
+        |  FROM s),
+        |q AS (SELECT o.grp, n_sample,
+        |    max(CASE WHEN vr = greatest(1, (25 * n_sample + 99) // 100)
+        |        THEN cents END) AS p25,
+        |    max(CASE WHEN vr = greatest(1, (50 * n_sample + 99) // 100)
+        |        THEN cents END) AS p50,
+        |    max(CASE WHEN vr = greatest(1, (75 * n_sample + 99) // 100)
+        |        THEN cents END) AS p75,
+        |    max(CASE WHEN vr = greatest(1, (90 * n_sample + 99) // 100)
+        |        THEN cents END) AS p90,
+        |    max(CASE WHEN vr = greatest(1, (99 * n_sample + 99) // 100)
+        |        THEN cents END) AS p99
+        |  FROM o JOIN n ON o.grp = n.grp GROUP BY 1, 2),
+        |cnt AS (SELECT grp, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, cents,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS nn
+        |  FROM cnt),
+        |ex AS (SELECT grp, min(cents) AS exact_p50 FROM cum
+        |  WHERE cum >= greatest(1, (50 * nn + 99) // 100) GROUP BY 1)
+        |SELECT q.grp, n_sample, p25, p50, p75, p90, p99, exact_p50
+        |FROM q JOIN ex ON q.grp = ex.grp ORDER BY q.grp""".stripMargin),
+
     // ── editorial retry protocol (RetryHandler,
     //    tre_editorial_integration.py:432-542): per-consignment sequential
     //    state machine — incoming must be last-accepted+1, limit 3 hard-

@@ -73,4 +73,32 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(g1 == Seq(("A", 1L, 0.0), ("B", 1L, 0.0)))
   }
+
+  test("dpGeometricCounts: integer discrete-Laplace noise, clamped, " +
+    "deterministic, distribution sane over many groups") {
+    val rows = (0 until 200).flatMap(g => Seq.fill(g % 7 + 1)(s"g$g"))
+      .toDF("grp")
+    val got = Privacy.dpGeometricCounts(rows, "grp", "seed1")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.size == 200)
+    got.foreach { case (g, tc, noise, dp) =>
+      assert(dp >= 0L, s"$g clamp")
+      assert(dp == math.max(0L, tc + noise))
+      assert(noise >= -32L && noise <= 32L)
+    }
+    // two-sided geometric(α=1/2): mean 0, E|X| = 4/3·α/(1−α²)… loosely —
+    // over 200 md5-seeded draws the sum concentrates near 0 and most
+    // draws are small; these are pins (deterministic), not flaky samples
+    val noises = got.map(_._3)
+    assert(math.abs(noises.sum) <= 40L, s"sum=${noises.sum}")
+    assert(noises.count(n => math.abs(n) <= 3) >= 180)
+    // deterministic replay: same seed ⇒ identical release
+    val again = Privacy.dpGeometricCounts(rows.repartition(7), "grp", "seed1")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == got.sortBy(_._1))
+    // different seed ⇒ a different (but equally valid) noise draw
+    val other = Privacy.dpGeometricCounts(rows, "grp", "seed2")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(other.map(_._3) != again.map(_._3))
+  }
 }

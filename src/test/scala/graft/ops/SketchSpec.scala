@@ -119,4 +119,43 @@ class SketchSpec extends SparkSpec {
     assert(e._1 == 0L && e._4 == 0L)
     assert(e._3 == e._2) // union of (∅, B) sketches == B's sketch
   }
+
+  test("kmvQuantiles: sample quantiles track exact quantiles and are " +
+    "partitioning-invariant") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val sk = Sketch.kmvQuantiles(ev, "event_type", "cents",
+      $"event_id", 64, Seq(25, 50, 75))
+    // exact quantiles per group (test-scale sort is fine here)
+    val exact = ev.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        val v = rows.map(_._3).sorted
+        def q(p: Int) = v(math.max(1, (p * v.length + 99) / 100) - 1)
+        g -> (q(25), q(50), q(75), v.length)
+      }
+    val got = sk.select($"grp", $"p25", $"p50", $"p75", $"n_sample")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (g, p25, p50, p75, n) =>
+      val (e25, e50, e75, total) = exact(g)
+      assert(n == math.min(64, total).toLong)
+      assert(p25 <= p50 && p50 <= p75)
+      // deterministic md5 sample ⇒ these are pins, not flaky bounds:
+      // with n=64 the sample median's rank concentrates near the true
+      // median; allow a generous band around the exact values
+      def near(got: Long, ex: Long): Boolean = {
+        val spread = (e75 - e25).max(1L)
+        (got - ex).abs <= 2L * spread
+      }
+      assert(near(p50, e50), s"$g: p50=$p50 exact=$e50")
+      assert(near(p25, e25) && near(p75, e75), s"$g: $p25/$p75 vs $e25/$e75")
+    }
+    // mergeable bounded state: result independent of partitioning
+    val b = Sketch.kmvQuantiles(ev.repartition(13).toDF(), "event_type",
+      "cents", $"event_id", 64, Seq(25, 50, 75))
+      .orderBy($"grp").collect().toSeq
+    val a = sk.orderBy($"grp").collect().toSeq
+    assert(a == b)
+  }
 }

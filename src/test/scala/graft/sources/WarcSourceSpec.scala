@@ -172,4 +172,23 @@ class WarcSourceSpec extends SparkSpec {
     assert(rows == Seq(("crawl-a.warc.gz", 2L, aBytes),
       ("crawl-b.warc.gz", 1L, bBytes)))
   }
+
+  test("COUNT(DISTINCT) over index-servable columns rides the index-only " +
+    "scan — archives deleted, distinct runs distributed in Spark") {
+    // DISTINCT can't push as a partial (Spark would need complete
+    // pushdown = one global partition — wrong at crawl scale); the
+    // scale-correct plan is index-only row service + Spark's distinct
+    val dir = writtenDir()
+    Files.delete(dir.resolve("crawl-a.warc.gz"))
+    Files.delete(dir.resolve("crawl-b.warc.gz"))
+    val q = spark.read.format(fmt).load(dir.toString)
+      .groupBy($"warc_file")
+      .agg(countDistinct($"payload_sha256").as("n_unique"),
+        countDistinct($"uri").as("n_uris"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), plan)
+    // archives are gone: this only completes if the scan stayed index-only
+    val rows = q.orderBy($"warc_file").as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("crawl-a.warc.gz", 2L, 2L), ("crawl-b.warc.gz", 1L, 1L)))
+  }
 }
