@@ -51,41 +51,63 @@ object Linkage {
     * nothing. For maxDist > 1 the blocking is recall-bounded like any
     * LSH — keep the exact path as the audit oracle.
     */
+  /** `maxBucket` (default unlimited = exact): per-(tag, key) cap on each
+    * side of the bucket-grain candidate join, the same production knob as
+    * [[fuzzyPairsSegment]] — in-partition verification CPU is Σ bucket
+    * PRODUCTS, and a corpus whose names share a popular 6-char prefix
+    * ("report of the …") grows that mass quadratically while the true
+    * match output stays linear. Softer than an LSH cap: a pair meets on
+    * its prefix AND its suffix key, so only pairs degenerate at BOTH ends
+    * are lost. The short-string exact leg is never capped.
+    */
   def fuzzyPairs(left: DataFrame, leftId: String, leftName: String,
                  right: DataFrame, rightId: String, rightName: String,
-                 maxDist: Int, blockLen: Int = 6): DataFrame = {
-    // build-side bound for the block-key join: 2 keys × (id + blockLen
-    // chars + tag) per row ≈ the input's own (id, name) bytes — gate on
-    // the pre-checkpoint estimates of both sides, ×2 safety because the
-    // proxy understates when names are shorter than the two block keys
-    val lBytes = graft.ops.Hints.estimatedBytes(
-      left.select(col(leftId), col(leftName))) * 2
-    val rBytes = graft.ops.Hints.estimatedBytes(
-      right.select(col(rightId), col(rightName))) * 2
+                 maxDist: Int, blockLen: Int = 6,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
       .localCheckpoint(eager = false)
     val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
       .localCheckpoint(eager = false)
-    val lk = l.select(col("i"), explode(blockKeys(col("li"), blockLen)).as("b"))
-      .select(col("i"), col("b.tag").as("tag"), col("b.key").as("key"))
-    val rk = r.select(col("j"), explode(blockKeys(col("rj"), blockLen)).as("b"))
-      .select(col("j"), col("b.tag").as("tag"), col("b.key").as("key"))
-    val blocked = graft.ops.Hints.shuffleHashIfFits(lk, lBytes)
-      .join(graft.ops.Hints.shuffleHashIfFits(rk, rBytes), Seq("tag", "key"))
-      .select(col("i"), col("j"))
+    // BUCKET-GRAIN candidate join (same 100× fix as fuzzyPairsSegment):
+    // one array row per (tag, key) on each side, pair enumeration +
+    // banded verification INSIDE the joined partition, and only VERIFIED
+    // matches reach the final distinct. The old key-grain join shuffled
+    // the candidate-pair mass three times (pair distinct + two name
+    // join-backs) — at the 100× probe the copy-invariant prefix-6
+    // buckets grow ~k, bucket PRODUCTS ~k², and that pair mass is the
+    // whole wall. Both grouped frames are exchange outputs, so AQE sizes
+    // the (tag, key) join from runtime stats, never a stale broadcast.
+    def capped(df: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) df
+      else df.filter(size(col(df.columns.last)) <= maxBucket)
+    val lb = capped(l
+      .select(col("i"), col("li"),
+        explode(blockKeys(col("li"), blockLen)).as("b"))
+      .groupBy(col("b.tag").as("tag"), col("b.key").as("key"))
+      .agg(collect_list(struct(col("i"), col("li"))).as("ds")))
+    val rb = capped(r
+      .select(col("j"), col("rj"),
+        explode(blockKeys(col("rj"), blockLen)).as("b"))
+      .groupBy(col("b.tag").as("tag"), col("b.key").as("key"))
+      .agg(collect_list(struct(col("j"), col("rj"))).as("cs")))
+    val blockedPairs = lb.join(rb, Seq("tag", "key"))
+      .select(explode(col("ds")).as("dl"), col("cs"))
+      .select(col("dl.i").as("i"), col("dl.li").as("li"),
+        explode(col("cs")).as("cl"))
+      .select(col("i"), col("cl.j").as("j"),
+        levenshtein(col("li"), col("cl.rj"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
     // short-string completeness guard (see Scaladoc): exact cross-match
     // of the ≤ 2·blockLen+1-char subsets. Deliberate broadcast
-    // nested-loop over rows of ≤ 13 bytes of key each — the short mass
+    // nested-loop over rows of ≤ 13 chars of name each — the short mass
     // is its own bound, never |left|×|right|.
     val maxShort = 2 * blockLen + 1
-    val shortPairs = l.filter(length(col("li")) <= maxShort).select(col("i"))
-      .crossJoin(broadcast(
-        r.filter(length(col("rj")) <= maxShort).select(col("j"))))
-    val cand = blocked.unionByName(shortPairs).distinct()
-    cand.join(l, Seq("i")).join(r, Seq("j"))
+    val shortPairs = l.filter(length(col("li")) <= maxShort)
+      .crossJoin(broadcast(r.filter(length(col("rj")) <= maxShort)))
       .select(col("i"), col("j"),
         levenshtein(col("li"), col("rj"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
+    blockedPairs.unionByName(shortPairs).distinct()
   }
 
   /** General-distance edit join via PASS-JOIN segment blocking (Li, Deng

@@ -185,4 +185,32 @@ class LinkageSpec extends SparkSpec {
     assert(truth.subsetOf(exact), s"exact missing ${truth -- exact}")
     assert(truth.subsetOf(capped), s"capped missing ${truth -- capped}")
   }
+
+  test("fuzzyPairs maxBucket prunes a boilerplate block bucket; " +
+    "distinctive pairs and the short leg are untouched") {
+    // 50 catalog names share BOTH block keys (prefix-6 "common", suffix-6
+    // "suffix") — a boilerplate bucket whose pair products the cap must
+    // bound. A mid-string edit keeps the dirty copy in those same buckets,
+    // so under cap 8 the boilerplate pair is DROPPED (both its buckets
+    // are degenerate), while a distinctive pair (buckets of size 1) and a
+    // short-string pair (exact leg, never capped) still match.
+    val boiler = (0 until 50).map(k => (k.toLong, f"common $k%03d suffix"))
+    val cat = boiler ++ Seq(900L -> "graft analytics engine", 901L -> "spark")
+    val dirty = Seq(
+      100L -> "common 0#1 suffix", // ED1 of ids 1,11,21,31,41 (boilerplate)
+      190L -> "graft analytics enginX",          // ED1 of id 900
+      191L -> "sparks")                          // ED1 of id 901, short leg
+    val boilerMatches = Seq(1L, 11L, 21L, 31L, 41L)
+      .map(j => (100L, j, 1)).toSet
+    val uncapped = Linkage.fuzzyPairs(dirty.toDF("did", "dname"), "did",
+        "dname", cat.toDF("cid", "name"), "cid", "name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped ==
+      boilerMatches ++ Set((190L, 900L, 1), (191L, 901L, 1)))
+    val capped = Linkage.fuzzyPairs(dirty.toDF("did", "dname"), "did",
+        "dname", cat.toDF("cid", "name"), "cid", "name", maxDist = 1,
+        maxBucket = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped == Set((190L, 900L, 1), (191L, 901L, 1)))
+  }
 }
