@@ -97,9 +97,12 @@ object ScaleProbe {
     val copies = spark.range(k).toDF("cp")
     def withCopies(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
 
+    // (graph mode leaves documents 1× — the graph family never reads it,
+    // and the token-suffix transform is the synthesis' expensive leg)
+    val skipDocs = sys.env.get("SPARK_GRAFT_PROBE_GRAPH").contains("1")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-    withCopies(docs)
+    (if (skipDocs) docs.withColumn("cp", lit(0L)) else withCopies(docs))
       .select((col("doc_id") + col("cp") * docOff).as("doc_id"),
         when(col("cp") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
@@ -108,14 +111,33 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // SPARK_GRAFT_PROBE_GRAPH=1: graph-growth mode — ALSO offset the
+    // entity keys the graph family builds edges from (part for the
+    // co-purchase graph, supplier/customer for the bipartite one), so
+    // nodes AND edges scale k× instead of the default's copy-invariant
+    // edge set. Models organic growth by new users/products (each copy
+    // its own community; real graphs grow by new nodes, not by k×
+    // densification of the same nodes). Dimension JOINS to part/supplier
+    // /customer are broken by design in this mode — use it only for the
+    // graph probes, and write it to its own out dir.
+    val graphMode = sys.env.get("SPARK_GRAFT_PROBE_GRAPH").contains("1")
     val orders = spark.read.parquet(s"$base/orders.parquet")
     val ordOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val custOff = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    def offsetIf(on: Boolean, c: String, off: Long)(df: DataFrame) =
+      if (on) df.withColumn(c, col(c) + col("cp") * off) else df
     withCopies(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ordOff)
+      .transform(offsetIf(graphMode, "o_custkey", custOff))
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    withCopies(spark.read.parquet(s"$base/lineitem.parquet"))
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val partOff = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val suppOff = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    withCopies(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ordOff)
+      .transform(offsetIf(graphMode, "l_partkey", partOff))
+      .transform(offsetIf(graphMode, "l_suppkey", suppOff))
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
