@@ -31,7 +31,7 @@ object Dedup {
                                   maxPartBytes: Long): Boolean =
     nFiles > 0 && nFiles < target && bytes < BigInt(maxPartBytes) * target
 
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // file-count guard: metadata-only, unlike df.rdd.getNumPartitions which
     // forces plan→RDD conversion outside Catalyst and defeats AQE reuse
@@ -88,7 +88,7 @@ object Dedup {
     * 1; P ≈ n²/2^61 — negligible below ~10⁹ distinct shingles per corpus
     * slice, and any collision only perturbs one pair's ratio.
     */
-  private def shingleKey(shingle: org.apache.spark.sql.Column) =
+  private[graft] def shingleKey(shingle: org.apache.spark.sql.Column) =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,

@@ -197,6 +197,28 @@ object TrainQueries {
         .orderBy(col("i"), col("j")),
       jaccardSql("0.10") + "\nORDER BY i, j"),
 
+    // ── APSS: EXACT thresholded cosine pairs via Bayardo/PPJoin prefix
+    //    filtering (Apss.cosinePairs) — candidates meet only on each
+    //    doc's rarest ~36% of shingles (t=4/5 ⇒ π = n−⌈16n/25⌉+1),
+    //    then exact verification on the full sets; integer acceptance
+    //    test ov²·25 ≥ 16·na·nb, so the oracle's exhaustive all-pairs
+    //    answer matches bit-exactly ──
+    "dedup_apss_cosine" -> QueryDef(
+      (spark, dir) => graft.text.Apss
+        .cosinePairs(Tables.documents(spark, dir), n = 3, tNum = 4, tDen = 5)
+        .orderBy(col("aid"), col("bid")),
+      s"""WITH tt AS ($shinglesSql),
+         |e AS (SELECT id, unnest(sh) AS s FROM tt),
+         |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+         |c AS (SELECT a.id AS aid, b.id AS bid, CAST(count(*) AS BIGINT) AS ov
+         |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+         |SELECT c.aid, c.bid, c.ov, sa.n AS na, sb.n AS nb,
+         |  floor(c.ov / sqrt(CAST(sa.n * sb.n AS DOUBLE)) * 10000.0 + 0.5)
+         |    / 10000.0 AS cos_sim
+         |FROM c JOIN sz sa ON c.aid = sa.id JOIN sz sb ON c.bid = sb.id
+         |WHERE c.ov * c.ov * 25 >= 16 * sa.n * sb.n
+         |ORDER BY aid, bid""".stripMargin),
+
     // ── MinHash + LSH banding, (bands, rows) derived from the target
     //    threshold via the S-curve (Dedup.lshParams): t=0.10 → 12×1,
     //    t=0.5 → 6×2 — two parameterizations under the gate, same k=12
