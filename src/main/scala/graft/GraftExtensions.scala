@@ -25,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  private def stringsArg(e: Expression, what: String): Seq[String] = e match {
+    case a if a.foldable &&
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      a.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a foldable string array, got $other")
+  }
+
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -78,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("tar_explode",
         "generator: one row (name, bytes, mtime, is_dir) per tar(.gz) entry"),
       (args: Seq[Expression]) => TarExplodeExpr(args)))
+    ext.injectFunction((FunctionIdentifier("ac_counts"),
+      info("ac_counts",
+        "Aho-Corasick multi-pattern occurrence counts: array<long>"),
+      (args: Seq[Expression]) => AhoCorasickCountExpr(args(0),
+        stringsArg(args(1), "patterns"))))
     // optimizer rewrite: un-thresholded levenshtein comparisons in
     // Filter/Join conditions take the banded early-abandon form
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
@@ -105,7 +120,9 @@ object GraftExtensions {
       "misra_gries" -> (args => MisraGriesAgg(args(0),
         lit(args(1), "k")).toAggregateExpression()),
       "cdc_chunks" -> (args => CdcChunksExpr(args(0), lit(args(1), "w"))),
-      "tar_explode" -> (args => TarExplodeExpr(args)))
+      "tar_explode" -> (args => TarExplodeExpr(args)),
+      "ac_counts" -> (args => AhoCorasickCountExpr(args(0),
+        stringsLit(args(1)))))
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
@@ -117,5 +134,15 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def stringsLit(e: Expression): Seq[String] = e match {
+    case a if a.foldable &&
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      a.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"patterns must be a foldable string array, got $other")
   }
 }

@@ -39,7 +39,35 @@ object CurationQueries {
       "|| '&utm_campaign=a' ELSE '?id=' || CAST(doc_id % 20 AS VARCHAR) END || " +
       "CASE WHEN doc_id % 6 < 3 THEN '#sec' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END)"
 
+  // blocklist phrases for text_blocklist_scan: first word ≠ last word in
+  // every pattern ⇒ border-free ⇒ the automaton's all-occurrence count
+  // equals the oracle's replace-scan (non-overlapping) count exactly.
+  private val blockPats = Seq(
+    "fast key", "hash scan join", "merge part window", "order batch",
+    "stream spark")
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ── blocklist scan: per-doc occurrence counts for a phrase
+    //    dictionary in ONE Aho-Corasick pass (native expression) — the
+    //    k-pattern scan costs one text traversal instead of k; scan-local,
+    //    zero shuffles before the final order ──
+    "text_blocklist_scan" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(graft.text.Blocklist.counts(col("text"), blockPats))
+            .as(Seq("pos", "hits")))
+        .select(col("doc_id"),
+          element_at(array(blockPats.map(lit): _*), col("pos") + 1)
+            .as("pattern"),
+          col("hits"))
+        .orderBy(col("doc_id"), col("pattern")),
+      s"""WITH pats(pat) AS (VALUES ${blockPats.map(p => s"('$p')").mkString(", ")})
+         |SELECT d.doc_id, p.pat AS pattern,
+         |  CAST((len(d.text) - len(replace(d.text, p.pat, ''))) // len(p.pat)
+         |    AS BIGINT) AS hits
+         |FROM documents d CROSS JOIN pats p
+         |ORDER BY doc_id, pattern""".stripMargin),
 
     // ── URL canonicalization (row-level): fragment / case / default
     //    port / utm params / trailing slash — the normalize-before-dedup
