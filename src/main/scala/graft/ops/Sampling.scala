@@ -153,4 +153,31 @@ object Sampling {
         graft.text.TextAnalysis.round4(greatest(col("w").cast("double"), col("tau")))
           .as("w_hat"))
   }
+
+  /** Deterministic per-stratum reservoir: an exact-k uniform(-by-hash)
+    * sample WITHOUT replacement from every group — the "k examples per
+    * domain/language" inspection draw. The classic reservoir is a
+    * sequential algorithm; its distributed equivalent is order-by-random-
+    * key-take-k, which here rides the bounded-heap `topk_by` aggregate:
+    * map-side partials keep ≤ k rows per partition per stratum on the
+    * wire, no stratum-wide sort, no window — O(k) state per group at any
+    * corpus size (vs. a `row_number` window that sorts whole strata).
+    * The priority is the first 8 md5 hex digits of the key (u32 — exact
+    * in the heap's Double), ties by smaller id; the same md5 family as
+    * [[stratified]]/[[prioritySample]], so draws are reproducible and
+    * SQL-replayable in any engine.
+    */
+  def reservoirPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                          k: Int): DataFrame = {
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(col(stratumCol).as("stratum"), col(keyCol).cast("long").as("id"),
+        hv.as("hv"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.topk_by((-col("hv")).cast("double"), col("id"), k)
+        .as("top"))
+      .select(col("stratum"), explode(col("top")).as("t"))
+      .select(col("stratum"), col("t.rank").as("rank"), col("t.nid").as("id"),
+        (-col("t.sim")).cast("long").as("hv"))
+  }
 }

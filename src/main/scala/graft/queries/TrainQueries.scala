@@ -1502,6 +1502,26 @@ object TrainQueries {
         |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END) * 65536 AS INT)
         |GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ── per-stratum reservoir: exact-k md5-priority sample per language
+    //    via the bounded-heap topk_by aggregate (map-side partials carry
+    //    ≤ k rows per partition per stratum — no stratum-wide sort or
+    //    window at any corpus size) ──
+    "sample_reservoir" -> QueryDef(
+      (spark, dir) => graft.ops.Sampling
+        .reservoirPerStratum(Tables.documents(spark, dir), "doc_id", "lang", 25)
+        .orderBy(col("stratum"), col("rank")),
+      """WITH h AS (SELECT lang AS stratum, doc_id AS id,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT stratum, id, hv,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY hv, id) AS rnk
+        |      FROM h)
+        |SELECT stratum, CAST(rnk AS INT) AS rank, id, hv
+        |FROM r WHERE rnk <= 25 ORDER BY stratum, rank""".stripMargin),
+
     // ── benchmark decontamination: docs sharing ≥2 distinct trigram
     //    shingles with the eval slice (doc_id % 97 = 0) are flagged;
     //    the eval shingle set rides a broadcast ──

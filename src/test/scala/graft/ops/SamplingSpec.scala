@@ -76,4 +76,34 @@ class SamplingSpec extends SparkSpec {
       .orderBy($"rank").collect().toSeq
     assert(a == b && a.size == 20)
   }
+
+  test("reservoir: exact k per big stratum, all rows when stratum < k, matches window ref") {
+    // stratum 'big' has 60 members, 'small' has 3
+    val df = spark.range(63)
+      .select($"id", when($"id" < 60, "big").otherwise("small").as("s"))
+    val got = Sampling.reservoirPerStratum(df, "id", "s", k = 5)
+      .orderBy($"stratum", $"rank")
+      .select($"stratum", $"rank", $"id").as[(String, Int, Long)].collect().toSeq
+    assert(got.count(_._1 == "big") == 5)
+    assert(got.count(_._1 == "small") == 3)
+    // reference: row_number over (hv, id) per stratum
+    val hv = conv(substring(md5($"id".cast("string")), 1, 8), 16, 10).cast("long")
+    val ref = df.select($"s", $"id", hv.as("hv"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"s")
+          .orderBy($"hv", $"id")))
+      .filter($"rnk" <= 5)
+      .select($"s", $"rnk", $"id").as[(String, Int, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == ref)
+  }
+
+  test("reservoir is partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sampling.reservoirPerStratum(docs, "doc_id", "lang", 10)
+      .orderBy($"stratum", $"rank").collect().toSeq
+    val b = Sampling.reservoirPerStratum(docs.repartition(17), "doc_id", "lang", 10)
+      .orderBy($"stratum", $"rank").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
