@@ -69,6 +69,43 @@ object CurationQueries {
          |FROM documents d CROSS JOIN pats p
          |ORDER BY doc_id, pattern""".stripMargin),
 
+    // ── registrable-domain (eTLD+1) extraction: PSL longest-rule match
+    //    over the host's label-suffixes, fully scan-local (rule table is
+    //    a plan literal; no join, no shuffle) — the domain grouping key
+    //    for per-site curation. Hosts planted with single- and
+    //    multi-label suffixes, www subdomains, and an unmatched TLD ──
+    "web_domain_registrable" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr("concat(IF(doc_id % 5 = 0, 'www.', ''), 'site', " +
+            "CAST(doc_id % 9 AS STRING), '.', " +
+            "element_at(array('com','org','io','co.uk','gov.uk','com.au'," +
+            "'co.jp','xyz'), CAST(doc_id % 8 AS INT) + 1))").as("host"))
+        .withColumn("r", graft.text.Domains.registrable(col("host")))
+        .select(col("doc_id"), col("host"), col("r.etld").as("etld"),
+          col("r.reg_domain").as("reg_domain"))
+        .orderBy(col("doc_id")),
+      s"""WITH hosts AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END || 'site' ||
+         |   CAST(doc_id % 9 AS VARCHAR) || '.' ||
+         |   (['com','org','io','co.uk','gov.uk','com.au','co.jp','xyz'])
+         |     [CAST(doc_id % 8 AS INT) + 1]) AS host
+         |  FROM documents),
+         |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+         |m AS (SELECT doc_id, host, ls,
+         |        list_filter(list_transform(generate_series(1, least(4, len(ls))),
+         |          g -> array_to_string(ls[len(ls)-g+1:len(ls)], '.')),
+         |          c -> list_contains(${graft.text.Domains.rulesSqlArray()}, c)) AS mm
+         |      FROM lab)
+         |SELECT doc_id, host,
+         |  CASE WHEN len(mm) > 0 THEN mm[len(mm)] END AS etld,
+         |  CASE WHEN len(mm) > 0
+         |    AND len(ls) > len(string_split(mm[len(mm)], '.'))
+         |    THEN ls[len(ls) - len(string_split(mm[len(mm)], '.'))]
+         |         || '.' || mm[len(mm)]
+         |  END AS reg_domain
+         |FROM m ORDER BY doc_id""".stripMargin),
+
     // ── URL canonicalization (row-level): fragment / case / default
     //    port / utm params / trailing slash — the normalize-before-dedup
     //    key derivation of a crawl pipeline ──

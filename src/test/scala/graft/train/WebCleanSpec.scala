@@ -81,4 +81,19 @@ class WebCleanSpec extends SparkSpec {
       "SELECT nfc_normalize('Cafe\u0301') AS n").as[String].head()
     assert(viaSql == "Caf\u00e9")
   }
+
+  test("registrable domain: longest PSL rule wins, bare rules and misses null out") {
+    val cases = Seq(
+      "www.example.co.uk" -> (("co.uk", "example.co.uk")), // multi-label beats 'uk'-less
+      "a.b.example.com" -> (("com", "example.com")),       // deep subdomain
+      "example.io" -> (("io", "example.io")),
+      "co.uk" -> (("co.uk", null)),                        // host IS the rule
+      "example.unknown" -> ((null, null)))                 // no rule matches
+    val got = cases.map(_._1).toDF("host")
+      .withColumn("r", graft.text.Domains.registrable($"host"))
+      .select($"host", $"r.etld", $"r.reg_domain")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
+  }
 }
