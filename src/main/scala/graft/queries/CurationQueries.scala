@@ -75,15 +75,15 @@ object CurationQueries {
     //    for per-site curation. Hosts planted with single- and
     //    multi-label suffixes, www subdomains, and an unmatched TLD ──
     "web_domain_registrable" -> QueryDef(
-      (spark, dir) => Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          expr("concat(IF(doc_id % 5 = 0, 'www.', ''), 'site', " +
-            "CAST(doc_id % 9 AS STRING), '.', " +
-            "element_at(array('com','org','io','co.uk','gov.uk','com.au'," +
-            "'co.jp','xyz'), CAST(doc_id % 8 AS INT) + 1))").as("host"))
-        .withColumn("r", graft.text.Domains.registrable(col("host")))
-        .select(col("doc_id"), col("host"), col("r.etld").as("etld"),
-          col("r.reg_domain").as("reg_domain"))
+      (spark, dir) => graft.text.Domains.withRegistrable(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"),
+              expr("concat(IF(doc_id % 5 = 0, 'www.', ''), 'site', " +
+                "CAST(doc_id % 9 AS STRING), '.', " +
+                "element_at(array('com','org','io','co.uk','gov.uk','com.au'," +
+                "'co.jp','xyz'), CAST(doc_id % 8 AS INT) + 1))").as("host")),
+          col("host"))
+        .select(col("doc_id"), col("host"), col("etld"), col("reg_domain"))
         .orderBy(col("doc_id")),
       s"""WITH hosts AS (SELECT doc_id,
          |  (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END || 'site' ||

@@ -29,24 +29,35 @@ object Domains {
     "com", "org", "net", "io", "dev", "co.uk", "gov.uk", "ac.uk", "org.uk",
     "com.au", "net.au", "co.jp", "com.br")
 
-  /** `struct<etld, reg_domain>`: longest matching rule and rule+1 label;
-    * both null when no rule matches, `reg_domain` null when the host IS
-    * a bare rule.
+  /** Adds `etld` and `reg_domain` columns: longest matching rule and
+    * rule+1 label; both null when no rule matches, `reg_domain` null
+    * when the host IS a bare rule.
+    *
+    * DataFrame-level on purpose: each stage (labels → matches → etld →
+    * reg) lands as a NAMED attribute, so the non-cheap HOF subtrees are
+    * evaluated once per row — a single-Column rendering duplicates the
+    * `filter(transform(...))` tree ~6× in the CASE arms (Catalyst does
+    * not CSE interpreted HOFs, and CollapseProject declines to inline a
+    * non-cheap expression referenced more than once, which is exactly
+    * the behavior this shape leans on).
     */
-  def registrable(host: Column, rules: Seq[String] = defaultRules): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val cands = transform(sequence(lit(1), least(lit(4), n)),
-      g => array_join(slice(labels, n - g + lit(1), g), "."))
-    val matched = filter(cands,
-      c => array_contains(array(rules.map(lit): _*), c))
-    // candidates ascend in label count → longest match is the LAST one;
-    // empty → null (try_element_at: ANSI element_at throws on empties)
-    val etld = try_element_at(matched, lit(-1))
-    val gsel = size(split(etld, "\\."))
-    val reg = when(etld.isNotNull && n > gsel,
-      concat(element_at(labels, n - gsel), lit("."), etld))
-    struct(etld.as("etld"), reg.as("reg_domain"))
+  def withRegistrable(df: org.apache.spark.sql.DataFrame, host: Column,
+                      rules: Seq[String] = defaultRules): org.apache.spark.sql.DataFrame = {
+    val ls = col("_dom_ls")
+    val n = size(ls)
+    df.withColumn("_dom_ls", split(host, "\\."))
+      .withColumn("_dom_mm", filter(
+        transform(sequence(lit(1), least(lit(4), n)),
+          g => array_join(slice(ls, n - g + lit(1), g), ".")),
+        c => array_contains(array(rules.map(lit): _*), c)))
+      // candidates ascend in label count → longest match is the LAST one;
+      // empty → null (try_element_at: ANSI element_at throws on empties)
+      .withColumn("etld", try_element_at(col("_dom_mm"), lit(-1)))
+      .withColumn("_dom_gs", size(split(col("etld"), "\\.")))
+      .withColumn("reg_domain",
+        when(col("etld").isNotNull && n > col("_dom_gs"),
+          concat(element_at(ls, n - col("_dom_gs")), lit("."), col("etld"))))
+      .drop("_dom_ls", "_dom_mm", "_dom_gs")
   }
 
   /** The rule table as a DuckDB array literal (for oracle renderings). */

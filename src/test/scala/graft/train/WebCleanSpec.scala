@@ -89,9 +89,9 @@ class WebCleanSpec extends SparkSpec {
       "example.io" -> (("io", "example.io")),
       "co.uk" -> (("co.uk", null)),                        // host IS the rule
       "example.unknown" -> ((null, null)))                 // no rule matches
-    val got = cases.map(_._1).toDF("host")
-      .withColumn("r", graft.text.Domains.registrable($"host"))
-      .select($"host", $"r.etld", $"r.reg_domain")
+    val got = graft.text.Domains
+      .withRegistrable(cases.map(_._1).toDF("host"), $"host")
+      .select($"host", $"etld", $"reg_domain")
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
       .toMap
     cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
