@@ -106,6 +106,79 @@ object CurationQueries {
          |  END AS reg_domain
          |FROM m ORDER BY doc_id""".stripMargin),
 
+    // ── robots.txt REP gate (RFC 9309): per-domain robots bodies parsed
+    //    columnar into rule arrays, URLs joined at DOMAIN grain (the only
+    //    exchange — broadcast here, domain-grain shuffle at crawl scale),
+    //    longest-prefix-match verdict with Allow winning ties evaluated
+    //    scan-local over the joined array. Planted paths hit every
+    //    branch: longer-Allow override, prefix-extends-Disallow, junk /
+    //    comment / User-agent lines dropped, equal-length tie → Allow ──
+    "web_robots_policy" -> QueryDef(
+      (spark, dir) => {
+        val host = (c: org.apache.spark.sql.Column) =>
+          concat(lit("site"), (c % 9).cast("string"), lit(".com"))
+        val urls = Tables.documents(spark, dir).select(col("doc_id"),
+          host(col("doc_id")).as("host"),
+          when(col("doc_id") % 11 === 0,
+              concat(lit("/tmp/f"), (col("doc_id") % 25).cast("string")))
+            .when(col("doc_id") % 13 === 0, lit("/dup"))
+            .otherwise(concat(lit("/items/"),
+              (col("doc_id") % 25).cast("string"),
+              when(col("doc_id") % 4 === 0, lit("/pub")).otherwise(lit(""))))
+            .as("path"))
+        val robots = Tables.documents(spark, dir)
+          .select(host(col("doc_id")).as("rhost")).distinct()
+          .withColumn("d", (substring(col("rhost"), 5, 1).cast("int") % 5)
+            .cast("string"))
+          .select(col("rhost"), graft.text.Robots.rules(concat(
+            lit("# crawl policy\nUser-agent: *\nCrawl-delay: 5\nDisallow: /items/"),
+            col("d"), lit("\nAllow: /items/"), col("d"),
+            lit("/pub\nDisallow: /tmp/\nAllow: /dup\nDisallow: /dup\nAllow: /")))
+            .as("rules"))
+        urls.join(robots, col("host") === col("rhost"))
+          .select(col("doc_id"), col("host"), col("path"),
+            graft.text.Robots.bestMatch(col("rules"), col("path"), allow = true)
+              .as("best_allow"),
+            graft.text.Robots.bestMatch(col("rules"), col("path"), allow = false)
+              .as("best_disallow"),
+            graft.text.Robots.allowed(col("rules"), col("path")).as("allowed"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH urls AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host,
+        |    CASE WHEN doc_id % 11 = 0 THEN '/tmp/f' || CAST(doc_id % 25 AS VARCHAR)
+        |         WHEN doc_id % 13 = 0 THEN '/dup'
+        |         ELSE '/items/' || CAST(doc_id % 25 AS VARCHAR) ||
+        |              CASE WHEN doc_id % 4 = 0 THEN '/pub' ELSE '' END END AS path
+        |  FROM documents),
+        |hosts AS (SELECT DISTINCT host,
+        |    CAST(CAST(substr(host, 5, 1) AS INT) % 5 AS VARCHAR) AS d FROM urls),
+        |robots AS (SELECT host,
+        |    '# crawl policy' || chr(10) || 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 5' || chr(10) || 'Disallow: /items/' || d || chr(10) ||
+        |    'Allow: /items/' || d || '/pub' || chr(10) || 'Disallow: /tmp/' ||
+        |    chr(10) || 'Allow: /dup' || chr(10) || 'Disallow: /dup' || chr(10) ||
+        |    'Allow: /' AS txt
+        |  FROM hosts),
+        |rl AS (SELECT host, list_transform(
+        |    list_filter(string_split(txt, chr(10)),
+        |      l -> starts_with(l, 'Allow: /') OR starts_with(l, 'Disallow: /')),
+        |    l -> struct_pack(allow := starts_with(l, 'Allow: '),
+        |                     rpath := regexp_extract(l, '^(?:Allow|Disallow): (.*)$', 1)))
+        |    AS rules
+        |  FROM robots),
+        |ev AS (SELECT u.doc_id, u.host, u.path,
+        |    CAST(coalesce(list_max(list_transform(
+        |      list_filter(rl.rules, x -> x.allow AND starts_with(u.path, x.rpath)),
+        |      x -> len(x.rpath))), -1) AS INT) AS best_allow,
+        |    CAST(coalesce(list_max(list_transform(
+        |      list_filter(rl.rules, x -> NOT x.allow AND starts_with(u.path, x.rpath)),
+        |      x -> len(x.rpath))), -1) AS INT) AS best_disallow
+        |  FROM urls u JOIN rl ON u.host = rl.host)
+        |SELECT doc_id, host, path, best_allow, best_disallow,
+        |  best_allow >= best_disallow AS allowed
+        |FROM ev ORDER BY doc_id""".stripMargin),
+
     // ── URL canonicalization (row-level): fragment / case / default
     //    port / utm params / trailing slash — the normalize-before-dedup
     //    key derivation of a crawl pipeline ──
