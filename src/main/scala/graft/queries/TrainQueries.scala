@@ -733,6 +733,76 @@ object TrainQueries {
          |         + ar * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // ── Gopher-style quality rule set (Rae et al. 2021 §A1.1, token-
+    //    grain variants): per-rule boolean flags + the conjunctive keep
+    //    verdict, all EXACT integer arithmetic (ratio thresholds as
+    //    cross-multiplied comparisons — no fp division anywhere). Symbol
+    //    / ellipsis / digit-token mass is planted per doc_id so every
+    //    rule fails on a deterministic subset. Scan-local: zero shuffles
+    //    before the final order ──
+    "text_gopher_rules" -> QueryDef(
+      (spark, dir) => {
+        val gt = expr("concat(text, repeat(' #', CAST(doc_id % 12 AS INT)), " +
+          "repeat(' ...', CAST(doc_id % 7 AS INT)), " +
+          "repeat(' 12345', CAST(doc_id % 5 AS INT)))")
+        val toks = regexp_extract_all(lower(gt), lit("[a-z0-9]+"), lit(0))
+        // Gopher's published list is (the, be, to, of, and, that, have,
+        // with); the fixture swaps in the corpus's actual function words
+        // so the rule discriminates — the rule SHAPE (≥2 distinct required
+        // words present) is what's under test.
+        val stops = Seq("the", "a", "dup", "be", "of", "and", "have", "with")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(toks).as("wc"),
+            length(array_join(toks, "")).as("charsum"),
+            (length(gt) - length(replace(gt, lit("#"), lit("")))).as("n_hash"),
+            ((length(gt) - length(replace(gt, lit("..."), lit("")))) / 3)
+              .cast("int").as("n_ell"),
+            stops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+              .as("n_stop"),
+            size(filter(toks, x => x.rlike("[a-z]"))).as("n_alpha"))
+          .select(col("doc_id"), col("wc"), col("n_hash"), col("n_ell"),
+            col("n_stop"), col("n_alpha"),
+            col("wc").between(50, 100000).as("f_words"),
+            (col("charsum") >= col("wc") * 3 && col("charsum") <= col("wc") * 10)
+              .as("f_mwl"),
+            (col("n_hash") * 10 <= col("wc")).as("f_symbol"),
+            (col("n_ell") * 20 <= col("wc")).as("f_ellipsis"),
+            (col("n_stop") >= 2).as("f_stop"),
+            (col("n_alpha") * 5 >= col("wc") * 4).as("f_alpha"))
+          .withColumn("keep", col("f_words") && col("f_mwl") && col("f_symbol")
+            && col("f_ellipsis") && col("f_stop") && col("f_alpha"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |    text || repeat(' #', CAST(doc_id % 12 AS INT)) ||
+        |    repeat(' ...', CAST(doc_id % 7 AS INT)) ||
+        |    repeat(' 12345', CAST(doc_id % 5 AS INT)) AS gt
+        |  FROM documents),
+        |t AS (SELECT doc_id, gt,
+        |    regexp_extract_all(lower(gt), '[a-z0-9]+') AS toks FROM g),
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS wc,
+        |    CAST(len(array_to_string(toks, '')) AS INT) AS charsum,
+        |    CAST(len(gt) - len(replace(gt, '#', '')) AS INT) AS n_hash,
+        |    CAST((len(gt) - len(replace(gt, '...', ''))) // 3 AS INT) AS n_ell,
+        |    CAST(len(list_filter(['the','a','dup','be','of','and','have','with'],
+        |      w -> list_contains(toks, w))) AS INT) AS n_stop,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS INT)
+        |      AS n_alpha
+        |  FROM t)
+        |SELECT doc_id, wc, n_hash, n_ell, n_stop, n_alpha,
+        |  wc BETWEEN 50 AND 100000 AS f_words,
+        |  charsum >= wc * 3 AND charsum <= wc * 10 AS f_mwl,
+        |  n_hash * 10 <= wc AS f_symbol,
+        |  n_ell * 20 <= wc AS f_ellipsis,
+        |  n_stop >= 2 AS f_stop,
+        |  n_alpha * 5 >= wc * 4 AS f_alpha,
+        |  (wc BETWEEN 50 AND 100000) AND (charsum >= wc * 3 AND charsum <= wc * 10)
+        |    AND n_hash * 10 <= wc AND n_ell * 20 <= wc AND n_stop >= 2
+        |    AND n_alpha * 5 >= wc * 4 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin),
+
     // ── document fingerprint (normalized-token md5) ──
     "text_fingerprint" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
