@@ -190,6 +190,71 @@ object CurationQueries {
       s"""SELECT doc_id, ${WebClean.canonicalizeUrlSql(rawUrlSql)} AS canon_url
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── C4-style line-grain cleaning (Raffel et al. 2020 §2.2): lines
+    //    are kept only if they end in terminal punctuation, have ≥ 3
+    //    words, and don't mention javascript; pages drop when fewer than
+    //    5 lines survive or any line carries a curly brace (code smell).
+    //    Lines + rule triggers are planted per (doc_id, line) so every
+    //    rule fires on a deterministic subset. Per-doc line structs ride
+    //    ONE transform over the token array — scan-local, no explode, no
+    //    shuffle; the (doc, line) grain never hits an exchange even
+    //    though the verdicts are line-level ──
+    "text_c4_lines" -> QueryDef(
+      (spark, dir) => {
+        val toksC = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), toksC.as("toks"))
+          .withColumn("wc", size(col("toks")))
+          .withColumn("lines", transform(
+            sequence(lit(0), ((col("wc") - 1) / 8).cast("int")),
+            i => {
+              val nw = least(lit(8), col("wc") - i * 8)
+              val base = array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")
+              val js = (col("doc_id") * 3 + i) % 17 === 0
+              val brace = (col("doc_id") + i) % 19 === 0
+              val punct = (col("doc_id") + i) % 3 =!= 0
+              val line = concat(base,
+                when(js, lit(" javascript")).otherwise(lit("")),
+                when(brace, lit(" {")).otherwise(lit("")),
+                when(punct, lit(".")).otherwise(lit("")))
+              struct(length(line).as("len"), brace.as("brace"),
+                (nw >= 3 && punct && !js).as("kept"))
+            }))
+          .select(col("doc_id"),
+            size(col("lines")).as("n_lines"),
+            size(filter(col("lines"), l => l.getField("kept"))).as("kept_lines"),
+            aggregate(col("lines"), lit(0),
+              (acc, l) => acc + when(l.getField("kept"), l.getField("len"))
+                .otherwise(lit(0))).as("cleaned_len"),
+            exists(col("lines"), l => l.getField("brace")).as("has_brace"))
+          .withColumn("page_keep", col("kept_lines") >= 5 && !col("has_brace"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS wc FROM t),
+        |ln AS (SELECT doc_id, list_transform(
+        |    generate_series(0, (wc - 1) // 8),
+        |    i -> struct_pack(
+        |      ln := CAST(len(array_to_string(toks[i*8+1:i*8+8], ' ')
+        |        || CASE WHEN (doc_id*3 + i) % 17 = 0 THEN ' javascript' ELSE '' END
+        |        || CASE WHEN (doc_id + i) % 19 = 0 THEN ' {' ELSE '' END
+        |        || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS INT),
+        |      brace := (doc_id + i) % 19 = 0,
+        |      kept := least(8, wc - i*8) >= 3 AND (doc_id + i) % 3 <> 0
+        |              AND (doc_id*3 + i) % 17 <> 0)) AS lines
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(list_filter(lines, l -> l.kept)) AS INT) AS kept_lines,
+        |  CAST(coalesce(list_sum(list_transform(lines,
+        |    l -> CASE WHEN l.kept THEN l.ln ELSE 0 END)), 0) AS INT) AS cleaned_len,
+        |  len(list_filter(lines, l -> l.brace)) > 0 AS has_brace,
+        |  CAST(len(list_filter(lines, l -> l.kept)) AS INT) >= 5
+        |    AND NOT len(list_filter(lines, l -> l.brace)) > 0 AS page_keep
+        |FROM ln ORDER BY doc_id""".stripMargin),
+
     // ── link-graph extraction: plant deterministic anchors in each doc's
     //    page, pull every href with ONE regexp_extract_all pass (no
     //    per-link UDF), explode, roll up to the (src_domain, dst_domain)
