@@ -74,8 +74,8 @@ object Multimodal {
     * real codec (not in this container) behind the same columnar
     * contract: binary/key in, fixed-size numeric feature array out.
     */
-  def fakePixels(cls: Column, noisePos: Column): Column =
-    transform(sequence(lit(0), lit(63)), p =>
+  def fakePixels(cls: Column, noisePos: Column, n: Int = 64): Column =
+    transform(sequence(lit(0), lit(n - 1)), p =>
       pmod(
         conv(substring(md5(concat(cls.cast("string"), lit(":"),
           p.cast("string"))), 1, 2), 16, 10).cast("int") +
@@ -100,6 +100,27 @@ object Multimodal {
       .groupBy(col("mid"), col("band"))
       .agg(sum(col("w")).cast("int").as("bv"))
   }
+
+  /** Difference-hash (dHash) band table from an (id, 72-pixel array =
+    * 9×8 row-major raster) frame: bit q of the 64-bit hash is
+    * [px(r,c) > px(r,c+1)] for r = q DIV 8, c = q MOD 8 — the horizontal
+    * GRADIENT sign, which (unlike aHash's global-mean threshold) is
+    * invariant to brightness/contrast shifts. No mean pass exists, so
+    * the whole hash is scan-local per row (one aggregate over 16 bits
+    * per band inside the projection — zero shuffles, vs aHash's
+    * explode + mean join); output shares aHash's (mid, band, bv) band
+    * shape so [[aHashNearDups]]'s pigeonhole-complete candidate join
+    * applies unchanged.
+    */
+  def dHashBands(df: DataFrame, idCol: String, pixelsCol: String): DataFrame =
+    df.select(col(idCol).as("mid"), col(pixelsCol).as("_px"))
+      .select(col("mid"), posexplode(expr(
+        """transform(sequence(0, 3), k ->
+          |  aggregate(sequence(0, 15), 0, (acc, b) ->
+          |    acc + shiftleft(IF(
+          |      element_at(_px, CAST(((k*16 + b) DIV 8) * 9 + (k*16 + b) % 8 + 1 AS INT)) >
+          |      element_at(_px, CAST(((k*16 + b) DIV 8) * 9 + (k*16 + b) % 8 + 2 AS INT)),
+          |      1, 0), b)))""".stripMargin)).as(Seq("band", "bv")))
 
   /** Near-duplicate pairs by banded aHash: equal-band candidate join
     * (each bucket holds items sharing one 16-bit band — the duplicated

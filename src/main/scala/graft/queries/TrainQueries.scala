@@ -2007,6 +2007,47 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
+    // ── multimodal near-dup, gradient variant: fake decode of a 9×8
+    //    raster → 64-bit dHash (horizontal gradient signs — brightness/
+    //    contrast invariant, and scan-local: no mean pass, zero shuffles
+    //    to hash) → the same pigeonhole-complete banded join + exact
+    //    hamming ≤ 3 verify; oracle brute-forces all pairs ──
+    "mm_dhash_neardup" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val px = docs.select(col("doc_id"),
+          Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
+            pmod(col("doc_id"), lit(64)), n = 72).as("px"))
+        val bands = Multimodal.dHashBands(px, "doc_id", "px")
+        Multimodal.aHashNearDups(bands, maxHamming = 3)
+          .orderBy(col("i"), col("j")).limit(200)
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 2, 1)) - 1))"
+        s"""WITH px AS (SELECT doc_id, p,
+           |    ($hv + CASE WHEN p = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS v
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p)),
+           |arr AS (SELECT doc_id, list(v ORDER BY p) AS pxl FROM px GROUP BY 1),
+           |h AS (SELECT doc_id,
+           |    list_transform(generate_series(0, 3), k ->
+           |      list_sum(list_transform(generate_series(0, 15), b ->
+           |        CASE WHEN pxl[((k*16 + b) // 8) * 9 + (k*16 + b) % 8 + 1] >
+           |                  pxl[((k*16 + b) // 8) * 9 + (k*16 + b) % 8 + 2]
+           |             THEN 1 << b ELSE 0 END))) AS bands
+           |  FROM arr)
+           |SELECT i, j, CAST(hamming AS INT) AS hamming FROM (
+           |  SELECT x.doc_id AS i, y.doc_id AS j,
+           |    bit_count(xor(x.bands[1], y.bands[1])) +
+           |    bit_count(xor(x.bands[2], y.bands[2])) +
+           |    bit_count(xor(x.bands[3], y.bands[3])) +
+           |    bit_count(xor(x.bands[4], y.bands[4])) AS hamming
+           |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+           |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
+      }),
+
     // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over a
     //    REAL codec round-trip — deterministic pixels are encoded into
     //    actual PNGs (javax.imageio) and decoded back to rasters before

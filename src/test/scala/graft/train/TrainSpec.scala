@@ -715,6 +715,27 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)
     assert(near.map(p => (p._1, p._2)).toSet == brute.toSet)
   }
+
+  test("dHash: brightness-shift invariant, spike moves ≤ 2 bits, no pre-band shuffle") {
+    import spark.implicits._
+    // base raster + globally brightened copy (+40, no wraparound by
+    // construction: values are scaled into 0..199) + one-pixel spike
+    val base = (0 until 72).map(p => (p * 37) % 200)
+    val items = Seq(
+      (0L, base), (1L, base.map(_ + 40)),
+      (2L, base.updated(10, (base(10) + 128) % 256)))
+      .toDF("id", "px")
+    val bands = Multimodal.dHashBands(items, "id", "px")
+    val hs = bands.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // gradient signs ignore the +40 brightness shift entirely
+    (0 to 3).foreach(k => assert(hs((0L, k)) == hs((1L, k)), s"band $k"))
+    // a single-pixel spike flips at most its two adjacent gradient bits
+    val d = (0 to 3).map(k => Integer.bitCount(hs((0L, k)) ^ hs((2L, k)))).sum
+    assert(d >= 1 && d <= 2, s"spike moved $d bits")
+    // scan-local claim: hashing adds no exchange (aHash needs a mean pass)
+    val plan = bands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "dHashBands plan should be shuffle-free")
+  }
 }
 
 class UnigramSpec extends SparkSpec {
