@@ -179,6 +179,53 @@ object CurationQueries {
         |  best_allow >= best_disallow AS allowed
         |FROM ev ORDER BY doc_id""".stripMargin),
 
+    // ── crawl-budget apportionment: split a fixed fetch budget across
+    //    domains proportionally to document mass with LARGEST-REMAINDER
+    //    rounding (Hamilton's method — Σ quota == budget exactly, no fp).
+    //    Scale shape: everything is domain-grain (one groupBy shuffle);
+    //    the order statistic the method needs is a DISTRIBUTED
+    //    TakeOrderedAndProject top-R (per-partition top-R + merge, R <
+    //    budget, a constant) — never a single-partition global window —
+    //    and the two driver scalars (total mass, leftover R) are 1-row
+    //    collects ──
+    "web_crawl_budget" -> QueryDef(
+      (spark, dir) => {
+        val budget = 97L
+        val host = concat(lit("site"), (col("doc_id") % 9).cast("string"),
+          lit(".com"))
+        val d = Tables.documents(spark, dir).select(host.as("host"))
+          .groupBy("host").agg(count(lit(1)).as("docs"))
+          .localCheckpoint(false)
+        val tot = d.agg(sum(col("docs"))).head().getLong(0)
+        val f = d.select(col("host"), col("docs"),
+            expr(s"$budget * docs DIV $tot").as("floor_q"),
+            expr(s"($budget * docs) % $tot").as("rem"))
+          .localCheckpoint(false)
+        val extra = (budget - f.agg(sum(col("floor_q"))).head().getLong(0)).toInt
+        val plus = f.orderBy(col("rem").desc, col("host")).limit(extra)
+          .select(col("host").as("phost"))
+        f.join(plus, col("host") === col("phost"), "left")
+          .select(col("host"), col("docs"), col("floor_q"), col("rem"),
+            (col("floor_q") + when(col("phost").isNotNull, 1L).otherwise(0L))
+              .as("quota"))
+          .orderBy(col("host"))
+      },
+      """WITH d AS (SELECT 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host,
+        |    CAST(count(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(docs) AS BIGINT) AS tot FROM d),
+        |f AS (SELECT host, docs,
+        |    CAST((97 * docs) // tot AS BIGINT) AS floor_q,
+        |    CAST((97 * docs) % tot AS BIGINT) AS rem
+        |  FROM d, t),
+        |r AS (SELECT CAST(97 - sum(floor_q) AS BIGINT) AS extra FROM f),
+        |rk AS (SELECT host, row_number() OVER (ORDER BY rem DESC, host) AS rn
+        |  FROM f)
+        |SELECT f.host, f.docs, f.floor_q, f.rem,
+        |  f.floor_q + CASE WHEN rk.rn <= r.extra THEN 1 ELSE 0 END AS quota
+        |FROM f JOIN rk ON f.host = rk.host, r
+        |ORDER BY f.host""".stripMargin),
+
     // ── URL canonicalization (row-level): fragment / case / default
     //    port / utm params / trailing slash — the normalize-before-dedup
     //    key derivation of a crawl pipeline ──

@@ -803,6 +803,73 @@ object TrainQueries {
         |    AND n_alpha * 5 >= wc * 4 AS keep
         |FROM f ORDER BY doc_id""".stripMargin),
 
+    // ── Flesch-Kincaid grade level in exact fixed point: syllables =
+    //    vowel groups, sentences = the planted 8-word lines (shared with
+    //    text_c4_lines), grade×100 as ONE integer floor-division
+    //    (39w² + 1180·syl·s − 1559·w·s) div (w·s) — no fp anywhere; both
+    //    engines' integer division truncates toward zero (Spark DIV,
+    //    DuckDB //), so the formula's negative values agree. Scan-local ──
+    "text_readability" -> QueryDef(
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+            .as("words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+            .as("syllables"))
+        .withColumn("sentences",
+          expr("CAST((greatest(words, 1) - 1) DIV 8 + 1 AS INT)"))
+        .withColumn("num",
+          expr("39 * CAST(greatest(words, 1) AS BIGINT) * greatest(words, 1) " +
+            "+ 1180 * CAST(syllables AS BIGINT) * sentences " +
+            "- 1559 * CAST(greatest(words, 1) AS BIGINT) * sentences"))
+        .withColumn("den",
+          expr("CAST(greatest(words, 1) AS BIGINT) * sentences"))
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          expr("num DIV den").as("fk100"))
+        .orderBy(col("doc_id")),
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS INT) AS syllables
+        |  FROM documents),
+        |s AS (SELECT doc_id, words, syllables,
+        |    CAST((greatest(words, 1) - 1) // 8 + 1 AS INT) AS sentences FROM f)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CAST((39 * CAST(greatest(words, 1) AS BIGINT) * greatest(words, 1)
+        |      + 1180 * CAST(syllables AS BIGINT) * sentences
+        |      - 1559 * CAST(greatest(words, 1) AS BIGINT) * sentences)
+        |    // (CAST(greatest(words, 1) AS BIGINT) * sentences) AS BIGINT) AS fk100
+        |FROM s ORDER BY doc_id""".stripMargin),
+
+    // ── encoding audit: mojibake marker scan — the classic UTF-8-read-
+    //    as-Latin-1 sequences (Ã©, â€™) counted per doc with the SAME
+    //    native Aho-Corasick expression as text_blocklist_scan (one text
+    //    traversal for the whole dictionary, non-ASCII patterns included);
+    //    markers planted per doc_id. Scan-local ──
+    "text_mojibake_scan" -> QueryDef(
+      (spark, dir) => {
+        val mt = expr("concat(text, repeat(' Ã©', CAST(doc_id % 6 AS INT)), " +
+          "repeat(' â€™', CAST(doc_id % 4 AS INT)))")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            graft.text.Blocklist.counts(mt, Seq("Ã©", "â€™")).as("c"))
+          .select(col("doc_id"),
+            element_at(col("c"), 1).as("n_e_acute"),
+            element_at(col("c"), 2).as("n_smart_quote"))
+          .withColumn("is_mojibake",
+            col("n_e_acute") + col("n_smart_quote") > 0)
+          .orderBy(col("doc_id"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |    text || repeat(' Ã©', CAST(doc_id % 6 AS INT)) ||
+        |    repeat(' â€™', CAST(doc_id % 4 AS INT)) AS mt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((len(mt) - len(replace(mt, 'Ã©', ''))) // 2 AS BIGINT) AS n_e_acute,
+        |  CAST((len(mt) - len(replace(mt, 'â€™', ''))) // 3 AS BIGINT) AS n_smart_quote,
+        |  (len(mt) - len(replace(mt, 'Ã©', ''))) // 2 +
+        |    (len(mt) - len(replace(mt, 'â€™', ''))) // 3 > 0 AS is_mojibake
+        |FROM g ORDER BY doc_id""".stripMargin),
+
     // ── document fingerprint (normalized-token md5) ──
     "text_fingerprint" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
