@@ -81,6 +81,73 @@ object Pq {
         .as("cw"))
       .withColumn("norm2", graft.functions.dot_product(col("cw"), col("cw")))
 
+  /** IVF-ADC (the IVFADC composition of Jégou et al. 2011 §IV): a coarse
+    * inverted file restricts WHICH neighbours are scored — each query
+    * probes its `nprobe` best coarse cells and only meets vectors whose
+    * home cell (best coarse centroid, rank 1) is probed — and PQ-ADC
+    * decides HOW each survivor is scored (m table lookups, never a d-dim
+    * dot). This is the production memory-scale ANN shape: candidate
+    * volume = Σ probed-cell sizes (cell-id shuffle), scoring cost = m
+    * lookups per candidate against a broadcast-size LUT. Codes quantize
+    * the RAW vectors against the seeded codebook (`lloydIters = 0`
+    * equivalent); the residual refinement (codes on vector − coarse
+    * centroid) keys the LUT by (query, cell) instead of (query) — same
+    * plan shape, nprobe× more LUT rows — and slots in here without
+    * changing callers. Coarse assignment maximizes the exact integer
+    * micro-unit dot (unit-norm corpus ⇒ cosine order), so the oracle
+    * replays every tie bit-for-bit.
+    */
+  def ivfPqTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, dims: Int,
+                m: Int, k: Int, topK: Int, queryMod: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+
+    // coarse quantizer: every centroidMod-th vector; n×(n/centroidMod)
+    // assignment via ONE broadcast (the deliberate BNLJ-cross of ivfTopK)
+    val cents = micro.filter(pmod(col("id"), lit(centroidMod)) === 0)
+      .select(col("id").as("ccid"), col("vu").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cd").desc, col("ccid"))
+    val pruned = micro.crossJoin(broadcast(cents))
+      .withColumn("cd", graft.functions.dot_product(col("vu"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= math.max(nprobe, 1))
+      .select(col("id"), col("ccid"), col("rnk"))
+      .localCheckpoint(eager = false)
+    val cells = pruned.filter(col("rnk") === 1)
+      .select(col("id").as("nid"), col("ccid"))
+    val probes = pruned
+      .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
+      .select(col("id").as("qid"), col("ccid"))
+
+    val cb = codebook(micro, m, subDim, k).localCheckpoint(eager = false)
+    val sub = subvectors(micro, m, subDim).localCheckpoint(eager = false)
+    val enc = assign(sub, cb).select(col("id").as("nid"), col("s"), col("cid"))
+    val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
+      .join(broadcast(cb), Seq("s"))
+      .select(col("id").as("qid"), col("s"), col("cid"),
+        (graft.functions.dot_product(col("sub"), col("sub"))
+          - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+          + col("norm2")).as("d"))
+
+    // a neighbour lives in exactly one cell (rnk = 1), so probe-cell
+    // candidates are already pair-distinct — no dedup pass
+    probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .join(enc, Seq("nid"))
+      .join(lut, Seq("qid", "s", "cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_by(-col("adc"), col("nid"), topK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (-col("t.sim")).cast("long").as("adc"), col("t.rank").as("rank"))
+  }
+
   /** PQ-ADC top-k for every `queryMod`-th vector: (qid, nid, adc, rank),
     * adc = Σ_s ‖q_s − codeword(code_s(n))‖² — exact integers, ties on
     * neighbour id. `lloydIters` Lloyd rounds refine the seeded codebooks
