@@ -803,6 +803,49 @@ object TrainQueries {
         |    AND n_alpha * 5 >= wc * 4 AS keep
         |FROM f ORDER BY doc_id""".stripMargin),
 
+    // ── rendezvous (HRW) shard assignment: shard(doc) = argmax_s
+    //    md5(doc:s) — the stateless consistent-sharding rule whose point
+    //    is the RESHARD property: growing 8 → 9 shards moves only the
+    //    docs whose new shard-9 hash beats all eight old ones (≈ 1/9 of
+    //    the corpus), vs ~8/9 under mod hashing. Both assignments and
+    //    the moved flag are computed scan-local from the md5 family both
+    //    engines share; distinct md5 values make the argmax tie-free ──
+    "train_shard_rendezvous" -> QueryDef(
+      (spark, dir) => {
+        // hash arrays land as NAMED columns so each md5 is computed once
+        // (a lambda referencing the transform subtree re-evaluates it per
+        // element — the interpreted-HOF trap Domains.withRegistrable
+        // documents)
+        def hs(n: Int) = transform(sequence(lit(0), lit(n - 1)), s =>
+          md5(concat(col("doc_id").cast("string"), lit(":"), s.cast("string"))))
+        def argmax(hcol: String, n: Int) =
+          element_at(filter(sequence(lit(0), lit(n - 1)),
+            s => element_at(col(hcol), s + 1) === col(hcol + "_mx")), 1)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), hs(8).as("h8"), hs(9).as("h9"))
+          .withColumn("h8_mx", array_max(col("h8")))
+          .withColumn("h9_mx", array_max(col("h9")))
+          .select(col("doc_id"),
+            argmax("h8", 8).as("shard8"), argmax("h9", 9).as("shard9"))
+          .withColumn("moved", col("shard8") =!= col("shard9"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH a AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 7),
+        |      s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS h8,
+        |    list_transform(generate_series(0, 8),
+        |      s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS h9
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_filter(generate_series(0, 7),
+        |    s -> h8[s + 1] = list_max(h8))[1] AS INT) AS shard8,
+        |  CAST(list_filter(generate_series(0, 8),
+        |    s -> h9[s + 1] = list_max(h9))[1] AS INT) AS shard9,
+        |  list_filter(generate_series(0, 7), s -> h8[s + 1] = list_max(h8))[1]
+        |    <> list_filter(generate_series(0, 8), s -> h9[s + 1] = list_max(h9))[1]
+        |    AS moved
+        |FROM a ORDER BY doc_id""".stripMargin),
+
     // ── Flesch-Kincaid grade level in exact fixed point: syllables =
     //    vowel groups, sentences = the planted 8-word lines (shared with
     //    text_c4_lines), grade×100 as ONE integer floor-division
