@@ -2158,6 +2158,56 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
+    // ── the production 100 TB variant of the dHash near-dup: band
+    //    buckets beyond maxBucket=256 drop whole BEFORE pair enumeration
+    //    (the mega-cluster guard — a meme reposted millions of times is
+    //    k² candidate pairs from one asset without it); a pair survives
+    //    if ANY of its 4 bands stays under the cap. Oracle replays the
+    //    bucket-size filter on the same band table ──
+    "mm_dhash_capped" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val px = docs.select(col("doc_id"),
+          Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
+            pmod(col("doc_id"), lit(64)), n = 72).as("px"))
+        val bands = Multimodal.dHashBands(px, "doc_id", "px")
+        Multimodal.aHashNearDups(bands, maxHamming = 3, maxBucket = 256)
+          .orderBy(col("i"), col("j")).limit(200)
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 2, 1)) - 1))"
+        s"""WITH px AS (SELECT doc_id, p,
+           |    ($hv + CASE WHEN p = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS v
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p)),
+           |arr AS (SELECT doc_id, list(v ORDER BY p) AS pxl FROM px GROUP BY 1),
+           |h AS (SELECT doc_id,
+           |    list_transform(generate_series(0, 3), k ->
+           |      list_sum(list_transform(generate_series(0, 15), b ->
+           |        CASE WHEN pxl[((k*16 + b) // 8) * 9 + (k*16 + b) % 8 + 1] >
+           |                  pxl[((k*16 + b) // 8) * 9 + (k*16 + b) % 8 + 2]
+           |             THEN 1 << b ELSE 0 END))) AS bands
+           |  FROM arr),
+           |bx AS (SELECT doc_id, k, bands[k + 1] AS bv
+           |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+           |bsz AS (SELECT k, bv FROM bx GROUP BY 1, 2
+           |        HAVING count(*) BETWEEN 2 AND 256),
+           |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+           |         FROM bx x JOIN bsz s ON x.k = s.k AND x.bv = s.bv
+           |           JOIN bx y ON y.k = x.k AND y.bv = x.bv
+           |         WHERE x.doc_id < y.doc_id)
+           |SELECT i, j, CAST(hamming AS INT) AS hamming FROM (
+           |  SELECT c.i, c.j,
+           |    bit_count(xor(hx.bands[1], hy.bands[1])) +
+           |    bit_count(xor(hx.bands[2], hy.bands[2])) +
+           |    bit_count(xor(hx.bands[3], hy.bands[3])) +
+           |    bit_count(xor(hx.bands[4], hy.bands[4])) AS hamming
+           |  FROM cand c JOIN h hx ON c.i = hx.doc_id JOIN h hy ON c.j = hy.doc_id)
+           |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
+      }),
+
     // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over a
     //    REAL codec round-trip — deterministic pixels are encoded into
     //    actual PNGs (javax.imageio) and decoded back to rasters before

@@ -736,6 +736,24 @@ class MultimodalSpec extends SparkSpec {
     val plan = bands.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "dHashBands plan should be shuffle-free")
   }
+
+  test("banded near-dup maxBucket drops a mega-cluster, keeps small clusters") {
+    import spark.implicits._
+    // one asset "reposted" 10⁴ times (all four bands identical) + two
+    // 3-item exact clusters — without the cap the mega-cluster alone is
+    // ~5·10⁷ candidate pairs
+    val rows =
+      (0L until 10000L).flatMap(id => (0 to 3).map(k => (id, k.toLong, 7))) ++
+      (20000L to 20002L).flatMap(id => (0 to 3).map(k => (id, k.toLong, 100 + k))) ++
+      (30000L to 30002L).flatMap(id => (0 to 3).map(k => (id, k.toLong, 200 + k)))
+    val bands = rows.toDF("mid", "band", "bv")
+    val got = Multimodal.aHashNearDups(bands, maxHamming = 3, maxBucket = 100)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val want = (for { a <- 20000L to 20002L; b <- 20000L to 20002L if a < b }
+      yield (a, b)).toSet ++
+      (for { a <- 30000L to 30002L; b <- 30000L to 30002L if a < b } yield (a, b))
+    assert(got == want, s"got $got")
+  }
 }
 
 class UnigramSpec extends SparkSpec {
