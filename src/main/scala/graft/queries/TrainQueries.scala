@@ -803,6 +803,51 @@ object TrainQueries {
         |    AND n_alpha * 5 >= wc * 4 AS keep
         |FROM f ORDER BY doc_id""".stripMargin),
 
+    // ── Heaps-law vocabulary growth: cumulative distinct vocab vs
+    //    cumulative token mass over ingestion-order deciles — the curve
+    //    that says whether a corpus is still contributing new types or
+    //    only repeating itself (dedup/mixture planning input). A token's
+    //    decile of FIRST occurrence is one hash agg (min decile per
+    //    token); cumulatives run over the ≤10-row decile frame via the
+    //    triangular tiny-frame join (drift_ks pattern) — no global
+    //    window, nothing beyond token-grain shuffles ──
+    "text_heaps_growth" -> QueryDef(
+      (spark, dir) => {
+        val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+        val toksC = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val tok = Tables.documents(spark, dir)
+          .crossJoin(broadcast(n))
+          .select(expr("CAST(least(doc_id DIV ((n + 9) DIV 10), 9) AS INT)")
+            .as("dec"), explode(toksC).as("w"))
+          .localCheckpoint(false)
+        val occ = tok.groupBy(col("dec")).agg(count(lit(1)).as("occ"))
+        val nv = tok.groupBy(col("w")).agg(min(col("dec")).as("fdec"))
+          .groupBy(col("fdec")).agg(count(lit(1)).as("nv"))
+        def spine() = spark.range(10).select(col("id").cast("int").as("decile"))
+        spine()
+          .join(occ, col("dec") <= col("decile"))
+          .groupBy(col("decile")).agg(sum(col("occ")).as("tokens_cum"))
+          .join(spine().join(nv, col("fdec") <= col("decile"))
+            .groupBy(col("decile")).agg(sum(col("nv")).as("vocab_cum")),
+            Seq("decile"))
+          .orderBy(col("decile"))
+      },
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT least(CAST(doc_id // ((n.n + 9) // 10) AS INT), 9) AS dec,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents, n),
+        |tok AS (SELECT dec, unnest(toks) AS w FROM d),
+        |occ AS (SELECT dec, count(*) AS occ FROM tok GROUP BY 1),
+        |fv AS (SELECT w, min(dec) AS fdec FROM tok GROUP BY 1),
+        |nv AS (SELECT fdec, count(*) AS nv FROM fv GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(0, 9)) AS decile)
+        |SELECT CAST(sp.decile AS INT) AS decile,
+        |  CAST((SELECT sum(occ) FROM occ WHERE occ.dec <= sp.decile) AS BIGINT)
+        |    AS tokens_cum,
+        |  CAST((SELECT sum(nv) FROM nv WHERE nv.fdec <= sp.decile) AS BIGINT)
+        |    AS vocab_cum
+        |FROM sp ORDER BY decile""".stripMargin),
+
     // ── rendezvous (HRW) shard assignment: shard(doc) = argmax_s
     //    md5(doc:s) — the stateless consistent-sharding rule whose point
     //    is the RESHARD property: growing 8 → 9 shards moves only the
