@@ -123,30 +123,40 @@ object Multimodal {
           |      1, 0), b)))""".stripMargin)).as(Seq("band", "bv")))
 
   /** Near-duplicate pairs by banded aHash/dHash: equal-band candidate
-    * join at BUCKET grain — one array row per (band, value) bucket, pair
-    * enumeration in-partition after the single bucket-key shuffle (the
-    * linkage bucket-grain shape), exact hamming over the four bands
-    * filtered to ≤ maxHamming. Returns (i, j, hamming), i < j.
+    * join (each bucket holds items sharing one 16-bit band — the
+    * duplicated mass, never all pairs), then exact hamming over the four
+    * bands filtered to ≤ maxHamming. Returns (i, j, hamming), i < j.
     *
     * `maxBucket` is the mega-cluster guard: a crawl-scale corpus holds
     * images reposted millions of times, and every such clone lands in
     * the SAME four band buckets — k² candidate pairs from one asset.
-    * Buckets beyond the cap are dropped whole (the `minhashLsh
-    * (maxBucket)` / `fuzzyPairs(maxBucket)` hardening at this grain; a
-    * pair survives if ANY of its 4 bands stays under the cap, so only
-    * clusters degenerate in every band are lost — measured 15.7× → ~1×
-    * at the 10× cloned-image probe). Default ∞ keeps the exact audit.
+    * Band rows whose (band, value) bucket exceeds the cap are dropped
+    * BEFORE the pair join (a count at bucket grain + one filtering
+    * join — the `minhashLsh(maxBucket)` / `fuzzyPairs(maxBucket)`
+    * hardening); a pair survives if ANY of its 4 bands stays under the
+    * cap, so only clusters degenerate in every band are lost — measured
+    * 15.7× → ~2.6× at the 10× cloned-image probe. The pair join itself
+    * stays a streamed equi-join: a collect_list/double-explode variant
+    * measured 17× slower at sf0.1 (each pair row dragged the whole
+    * bucket array through the Generate). Default ∞ keeps the exact
+    * audit and adds no bucket-count pass.
     */
   def aHashNearDups(bands: DataFrame, maxHamming: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = bands.localCheckpoint(eager = false)
-    val cand = b.groupBy(col("band"), col("bv"))
-      .agg(collect_list(col("mid")).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-      .select(explode(col("ms")).as("i"), col("ms"))
-      .select(col("i"), explode(col("ms")).as("j"))
-      .filter(col("i") < col("j"))
-      .distinct()
+    val kept =
+      if (maxBucket == Int.MaxValue) b
+      else b.join(
+        b.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket)
+          .select(col("band").as("kb"), col("bv").as("kv")),
+        col("band") === col("kb") && col("bv") === col("kv"))
+        .select(col("mid"), col("band"), col("bv"))
+    val x = kept.select(col("mid").as("i"), col("band").as("bx"), col("bv").as("vx"))
+    val y = kept.select(col("mid").as("j"), col("band").as("by"), col("bv").as("vy"))
+    val cand = x.join(y, col("bx") === col("by") && col("vx") === col("vy") &&
+        col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
     val packed = (0 to 3).map(k => max(when(col("band") === k, col("bv"))).as(s"b$k"))
     val h = b.groupBy(col("mid")).agg(packed.head, packed.tail: _*)
     val hi = h.select(col("mid").as("ii"), col("b0").as("x0"), col("b1").as("x1"),
