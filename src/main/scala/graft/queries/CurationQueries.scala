@@ -133,7 +133,8 @@ object CurationQueries {
           .select(col("rhost"), graft.text.Robots.rules(concat(
             lit("# crawl policy\nUser-agent: *\nCrawl-delay: 5\nDisallow: /items/"),
             col("d"), lit("\nAllow: /items/"), col("d"),
-            lit("/pub\nDisallow: /tmp/\nAllow: /dup\nDisallow: /dup\nAllow: /")))
+            lit("/pub\nDisallow: /tmp/\nAllow: /dup\nDisallow: /dup\n" +
+              "Disallow: /*/pub\nAllow: /tmp/f1$\nAllow: /")))
             .as("rules"))
         urls.join(robots, col("host") === col("rhost"))
           .select(col("doc_id"), col("host"), col("path"),
@@ -144,7 +145,19 @@ object CurationQueries {
             graft.text.Robots.allowed(col("rules"), col("path")).as("allowed"))
           .orderBy(col("doc_id"))
       },
-      """WITH urls AS (SELECT doc_id,
+      {
+        // the oracle derives each wildcard rule's regex with the SAME
+        // escape chain (same characters, same order) as Robots.rules —
+        // generated from Robots.regexMetas so the two can't drift
+        val rp = "regexp_extract(l, '^(?:Allow|Disallow): (.*)$', 1)"
+        val anch = "ends_with(" + rp + ", '$')"
+        val body = "CASE WHEN " + anch + " THEN substr(" + rp +
+          ", 1, len(" + rp + ")-1) ELSE " + rp + " END"
+        val esc = graft.text.Robots.regexMetas.foldLeft(body)((acc, m) =>
+          "replace(" + acc + ", '" + m + "', '" + "\\" + m + "')")
+        val rx = "'^' || replace(" + esc + ", '*', '.*') || CASE WHEN " +
+          anch + " THEN '$' ELSE '' END"
+        """WITH urls AS (SELECT doc_id,
         |    'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host,
         |    CASE WHEN doc_id % 11 = 0 THEN '/tmp/f' || CAST(doc_id % 25 AS VARCHAR)
         |         WHEN doc_id % 13 = 0 THEN '/dup'
@@ -158,26 +171,35 @@ object CurationQueries {
         |    'Crawl-delay: 5' || chr(10) || 'Disallow: /items/' || d || chr(10) ||
         |    'Allow: /items/' || d || '/pub' || chr(10) || 'Disallow: /tmp/' ||
         |    chr(10) || 'Allow: /dup' || chr(10) || 'Disallow: /dup' || chr(10) ||
+        |    'Disallow: /*/pub' || chr(10) || 'Allow: /tmp/f1$' || chr(10) ||
         |    'Allow: /' AS txt
         |  FROM hosts),
         |rl AS (SELECT host, list_transform(
         |    list_filter(string_split(txt, chr(10)),
         |      l -> starts_with(l, 'Allow: /') OR starts_with(l, 'Disallow: /')),
         |    l -> struct_pack(allow := starts_with(l, 'Allow: '),
-        |                     rpath := regexp_extract(l, '^(?:Allow|Disallow): (.*)$', 1)))
+        |                     rpath := RPEXPR,
+        |                     wild := contains(RPEXPR, '*') OR ANCHEXPR,
+        |                     rx := RXEXPR))
         |    AS rules
         |  FROM robots),
         |ev AS (SELECT u.doc_id, u.host, u.path,
         |    CAST(coalesce(list_max(list_transform(
-        |      list_filter(rl.rules, x -> x.allow AND starts_with(u.path, x.rpath)),
+        |      list_filter(rl.rules, x -> x.allow AND
+        |        (CASE WHEN x.wild THEN regexp_matches(u.path, x.rx)
+        |              ELSE starts_with(u.path, x.rpath) END)),
         |      x -> len(x.rpath))), -1) AS INT) AS best_allow,
         |    CAST(coalesce(list_max(list_transform(
-        |      list_filter(rl.rules, x -> NOT x.allow AND starts_with(u.path, x.rpath)),
+        |      list_filter(rl.rules, x -> NOT x.allow AND
+        |        (CASE WHEN x.wild THEN regexp_matches(u.path, x.rx)
+        |              ELSE starts_with(u.path, x.rpath) END)),
         |      x -> len(x.rpath))), -1) AS INT) AS best_disallow
         |  FROM urls u JOIN rl ON u.host = rl.host)
         |SELECT doc_id, host, path, best_allow, best_disallow,
         |  best_allow >= best_disallow AS allowed
-        |FROM ev ORDER BY doc_id""".stripMargin),
+        |FROM ev ORDER BY doc_id""".stripMargin
+          .replace("RPEXPR", rp).replace("ANCHEXPR", anch).replace("RXEXPR", rx)
+      }),
 
     // ── crawl-budget apportionment: split a fixed fetch budget across
     //    domains proportionally to document mass with LARGEST-REMAINDER

@@ -16,16 +16,21 @@ class RobotsSpec extends SparkSpec {
       |Disallow: /tmp/
       |Allow: /dup
       |Disallow: /dup
+      |Disallow: /*/x
+      |Disallow: /end
+      |Allow: /end$
       |Allow: /""".stripMargin
 
   test("parser keeps only Allow/Disallow directive lines, in order") {
     val rules = Seq(body).toDF("txt")
       .select(explode(Robots.rules($"txt")).as("r"))
-      .select($"r.allow", $"r.path")
-      .collect().map(r => (r.getBoolean(0), r.getString(1)))
+      .select($"r.allow", $"r.path", $"r.wild")
+      .collect().map(r => (r.getBoolean(0), r.getString(1), r.getBoolean(2)))
     assert(rules.toSeq == Seq(
-      (false, "/private"), (true, "/private/pub"), (false, "/tmp/"),
-      (true, "/dup"), (false, "/dup"), (true, "/")))
+      (false, "/private", false), (true, "/private/pub", false),
+      (false, "/tmp/", false), (true, "/dup", false), (false, "/dup", false),
+      (false, "/*/x", true), (false, "/end", false), (true, "/end$", true),
+      (true, "/", false)))
   }
 
   test("RFC 9309 precedence: longest match wins, ties allow, no match allows") {
@@ -35,6 +40,9 @@ class RobotsSpec extends SparkSpec {
       "/privateer"      -> false, // byte-prefix semantics: /private matches
       "/tmp/f1"         -> false,
       "/dup"            -> true,  // equal-length tie resolves to Allow
+      "/a/x"            -> false, // wildcard Disallow /*/x (4) beats Allow / (1)
+      "/end"            -> true,  // anchored Allow /end$ (5) beats Disallow /end (4)
+      "/endx"           -> false, // anchor does NOT match /endx; Disallow /end does
       "/other"          -> true)  // only Allow: / matches
     val got = cases.map(_._1).toDF("path")
       .withColumn("rules", Robots.rules(lit(body)))
