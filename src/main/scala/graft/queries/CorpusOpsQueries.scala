@@ -626,6 +626,70 @@ object CorpusOpsQueries {
         |      FROM p)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── residual IVF-ADC (the paper's full IVFADC): codes quantize
+    //    vu − cv(home cell) — exact micro-unit subtraction — and each
+    //    query prices survivors against a per-(query, probed-cell) LUT
+    //    built from ITS residual in that cell; same candidate gating,
+    //    nprobe× more LUT rows (still broadcast-size) ──
+    "ann_ivfpq_residual" -> QueryDef(
+      (spark, dir) => graft.sim.Pq
+        .ivfPqTopK(Tables.embeddings(spark, dir), centroidMod = 37,
+          nprobe = 2, dims = 64, m = 16, k = 16, topK = 5, queryMod = 50,
+          residual = true)
+        .orderBy(col("qid"), col("rank")),
+      """WITH micro AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |cents AS (SELECT vec_id AS ccid, vu AS cv FROM micro WHERE vec_id % 37 = 0),
+        |coarse AS (SELECT m.vec_id AS id, c.ccid,
+        |    row_number() OVER (PARTITION BY m.vec_id
+        |      ORDER BY list_inner_product(m.vu, c.cv) DESC, c.ccid) AS rnk
+        |  FROM micro m CROSS JOIN cents c),
+        |cells AS (SELECT id AS nid, ccid FROM coarse WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, ccid FROM coarse WHERE rnk <= 2 AND id % 50 = 0),
+        |res AS (SELECT cl.nid AS vec_id,
+        |    list_transform(generate_series(1, 64), i -> m.vu[i] - ct.cv[i]) AS vu
+        |  FROM cells cl JOIN micro m ON m.vec_id = cl.nid
+        |    JOIN cents ct ON ct.ccid = cl.ccid),
+        |seeds AS (SELECT vec_id FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb0 AS (SELECT ss.s, r.vec_id AS cid, r.vu[ss.s*4+1 : ss.s*4+4] AS cw
+        |        FROM res r JOIN seeds sd ON r.vec_id = sd.vec_id CROSS JOIN ss),
+        |cb0n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb0),
+        |sub AS (SELECT vec_id, ss.s, vu[ss.s*4+1 : ss.s*4+4] AS sub
+        |        FROM res CROSS JOIN ss),
+        |enc AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb0n c ON sub.s = c.s) WHERE rnk = 1),
+        |qres AS (SELECT p.qid, p.ccid,
+        |    list_transform(generate_series(1, 64), i -> m.vu[i] - ct.cv[i]) AS vu
+        |  FROM probes p JOIN micro m ON m.vec_id = p.qid
+        |    JOIN cents ct ON ct.ccid = p.ccid),
+        |qsub AS (SELECT qid, ccid, ss.s, vu[ss.s*4+1 : ss.s*4+4] AS sub
+        |         FROM qres CROSS JOIN ss),
+        |lut AS (SELECT q.qid, q.ccid, c.s, c.cid,
+        |          list_inner_product(q.sub, q.sub)
+        |            - 2.0 * list_inner_product(q.sub, c.cw) + c.norm2 AS d
+        |        FROM qsub q JOIN cb0n c ON q.s = c.s),
+        |cand AS (SELECT p.qid, c.nid, c.ccid
+        |         FROM probes p JOIN cells c ON p.ccid = c.ccid
+        |         WHERE c.nid <> p.qid),
+        |p AS (SELECT cand.qid, cand.nid, sum(l.d) AS adc
+        |      FROM cand JOIN enc e ON e.vec_id = cand.nid
+        |        JOIN lut l ON l.qid = cand.qid AND l.ccid = cand.ccid
+        |          AND l.s = e.s AND l.cid = e.cid
+        |      GROUP BY 1, 2)
+        |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INT) AS rank
+        |FROM (SELECT qid, nid, adc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |      FROM p)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // ── per-group histogram quantiles: same integer-exact bucket trick
     //    as stats_quantile_hist, windows partitioned BY GROUP (the
     //    cumulative sums run over ≤ a few hundred bucket rows per group,

@@ -92,13 +92,18 @@ object Pq {
     * the RAW vectors against the seeded codebook (`lloydIters = 0`
     * equivalent); the residual refinement (codes on vector − coarse
     * centroid) keys the LUT by (query, cell) instead of (query) — same
-    * plan shape, nprobe× more LUT rows — and slots in here without
-    * changing callers. Coarse assignment maximizes the exact integer
-    * micro-unit dot (unit-norm corpus ⇒ cosine order), so the oracle
-    * replays every tie bit-for-bit.
+    * plan shape, nprobe× more LUT rows — and is `residual = true`:
+    * codes then quantize `vu − cv(home cell)` (exact micro-unit
+    * subtraction), and each query builds one LUT per PROBED cell from
+    * its residual against that cell, which is what makes PQ codes
+    * dramatically tighter around coarse centroids in the paper. Coarse
+    * assignment maximizes the exact integer micro-unit dot (unit-norm
+    * corpus ⇒ cosine order), so the oracle replays every tie
+    * bit-for-bit.
     */
   def ivfPqTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, dims: Int,
                 m: Int, k: Int, topK: Int, queryMod: Int,
+                residual: Boolean = false,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
@@ -123,22 +128,57 @@ object Pq {
       .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
       .select(col("id").as("qid"), col("ccid"))
 
-    val cb = codebook(micro, m, subDim, k).localCheckpoint(eager = false)
-    val sub = subvectors(micro, m, subDim).localCheckpoint(eager = false)
+    // residual mode quantizes vu − cv(home cell): exact micro-unit
+    // subtraction, one home-cell join at corpus grain
+    val base =
+      if (!residual) micro
+      else micro
+        .join(cells.select(col("nid").as("id"), col("ccid")), Seq("id"))
+        .join(cents, Seq("ccid"))
+        .select(col("id"), zip_with(col("vu"), col("cv"), (a, b) => a - b).as("vu"))
+        .localCheckpoint(eager = false)
+    val cb = codebook(base, m, subDim, k).localCheckpoint(eager = false)
+    val sub = subvectors(base, m, subDim).localCheckpoint(eager = false)
     val enc = assign(sub, cb).select(col("id").as("nid"), col("s"), col("cid"))
-    val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
-      .join(broadcast(cb), Seq("s"))
-      .select(col("id").as("qid"), col("s"), col("cid"),
-        (graft.functions.dot_product(col("sub"), col("sub"))
-          - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
-          + col("norm2")).as("d"))
 
-    // a neighbour lives in exactly one cell (rnk = 1), so probe-cell
-    // candidates are already pair-distinct — no dedup pass
-    probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
-      .join(enc, Seq("nid"))
-      .join(lut, Seq("qid", "s", "cid"))
+    val adcRows =
+      if (!residual) {
+        val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
+          .join(broadcast(cb), Seq("s"))
+          .select(col("id").as("qid"), col("s"), col("cid"),
+            (graft.functions.dot_product(col("sub"), col("sub"))
+              - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+              + col("norm2")).as("d"))
+        // a neighbour lives in exactly one cell (rnk = 1), so probe-cell
+        // candidates are already pair-distinct — no dedup pass
+        probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"))
+          .join(enc, Seq("nid"))
+          .join(lut, Seq("qid", "s", "cid"))
+      } else {
+        // one LUT per (query, PROBED cell): the query's residual against
+        // that cell — nq·nprobe·m·k rows, still broadcast-size
+        val lut = probes
+          .join(micro.select(col("id").as("qid"), col("vu")), Seq("qid"))
+          .join(cents, Seq("ccid"))
+          .select(col("qid"), col("ccid"),
+            zip_with(col("vu"), col("cv"), (a, b) => a - b).as("vu"))
+          .select(col("qid"), col("ccid"), explode(expr(
+            s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS sub))"))
+            .as("e"))
+          .select(col("qid"), col("ccid"), col("e.s").as("s"), col("e.sub").as("sub"))
+          .join(broadcast(cb), Seq("s"))
+          .select(col("qid"), col("ccid"), col("s"), col("cid"),
+            (graft.functions.dot_product(col("sub"), col("sub"))
+              - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+              + col("norm2")).as("d"))
+        probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), col("ccid"))
+          .join(enc, Seq("nid"))
+          .join(lut, Seq("qid", "ccid", "s", "cid"))
+      }
+
+    adcRows
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("d")).as("adc"))
       .groupBy(col("qid"))
