@@ -447,9 +447,10 @@ object Dedup {
     * `lshParams` instead of hand-tuning.
     */
   def minhashLshForThreshold(docs: DataFrame, n: Int, k: Int, threshold: Double,
-                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                             idCol: String = "doc_id", textCol: String = "text",
+                             maxBucket: Int = 4096): DataFrame = {
     val (bands, _) = lshParams(k, threshold)
-    minhashLsh(docs, n, k, bands, threshold, idCol, textCol)
+    minhashLsh(docs, n, k, bands, threshold, idCol, textCol, maxBucket)
   }
 
   /** LSH banding over the MinHash signature: band key = md5 of the
@@ -458,10 +459,17 @@ object Dedup {
     * threshold (that's the entire point of LSH — the shingle-join jaccard
     * over all pairs never runs). Shuffles: one on (band, key) for candidate
     * generation, one on (j, shingle) for the candidate overlap count.
+    *
+    * `maxBucket` defaults to 4096 (the 100 TB-safe path): band buckets
+    * beyond the cap are dropped before pair generation — see the pruning
+    * comment below for why giant buckets are sub-threshold noise. Exact
+    * audit mode (`maxBucket = Int.MaxValue`) is an explicit opt-in; a
+    * caller who hits the default API at crawl scale must not get the
+    * per-bucket quadratic.
     */
   def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
                  idCol: String = "doc_id", textCol: String = "text",
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
+                 maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // build-side bound for the banded self-join: bands × ~52 B per doc
@@ -625,9 +633,17 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature (TextAnalysis.simhashBits) compared
     * by Hamming distance within 16-bit band buckets (signatures within
     * distance d share ≥1 of 4 bands when d ≤ 3).
+    *
+    * `maxBucket` (default 4096 — the 100 TB-safe path, same knob as every
+    * pair-join API here): a templated corpus collapses a popular band
+    * value onto one bucket and pair generation is quadratic per bucket;
+    * capped buckets drop BEFORE the self-join, and a true near-dup pair
+    * recollides in another band unless degenerate in all four. Exact
+    * audit = explicit `maxBucket = Int.MaxValue` (skips the count pass).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Int = 4096): DataFrame = {
     // build-side bound: 4 bands × (id + 64-bit sig + 16-char key) per doc
     // ≈ 350 B/doc ≤ corpus text bytes — gate on the source estimate, ×2
     // safety since short-doc corpora weaken the per-doc-bytes bound
@@ -641,9 +657,17 @@ object Dedup {
       // checkpoint: the self-join would otherwise run the per-token md5
       // SimHash pass twice (no exchange reuse across aliased sides)
       .localCheckpoint(eager = false)
+    // mega-bucket guard (window count shares the (band, key) partitioning
+    // the candidate join shuffles to anyway — no extra exchange grain)
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key"))))
+        .filter(col("bn") <= maxBucket).drop("bn")
     val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
-    val hinted = graft.ops.Hints.shuffleHashIfFits(banded, srcBytes)
+    val hinted = graft.ops.Hints.shuffleHashIfFits(pruned, srcBytes)
     hinted.as("a")
       .join(hinted.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -42,7 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine hash: anchor = Σ cp(p+i)·31^(7−i) (< 2⁵⁶), mix =
   * ((anchor mod 2³¹−1)·48271) mod 2³¹−1, key = mix·2²¹ + (2²¹−1−p) with
   * p the 1-based position — so a DuckDB oracle selects the identical
-  * positions and groups by the raw substring.
+  * positions and groups by the raw substring. The 2²¹ position packing
+  * caps sampled docs at 2²¹−2 code points (~2 MB of ASCII) — enforced
+  * with a require in `winnowSelect`; pre-split longer documents.
   *
   * Windows are over CODE POINTS, matching SQL `substr` semantics on
   * supplementary-plane text.
@@ -97,6 +99,15 @@ case class DyadicWindowHashesExpr(child: Expression, levels: Seq[Int],
     * the frame minimum of mix·2²¹+(2²¹−1−(i+1)), rightmost tiebreak.
     */
   private def winnowSelect(mix: Array[Long], nPos: Int, w: Int): Array[Boolean] = {
+    // key = mix·2²¹ + (2²¹−1−(p+1)) needs p+1 < 2²¹ or the tail term goes
+    // negative, corrupting the rightmost-min tiebreak AND the documented
+    // SQL-parity contract — fail loudly instead (the level ≤ 127 guard
+    // has the same posture). 2²¹−2 code points ≈ a 2 MB+ single document;
+    // winnow callers should pre-split monster docs, not widen the packing.
+    require(nPos + 1 < 2097152,
+      s"winnow sampling caps documents at ${2097152 - 2} code points " +
+        s"(got $nPos positions) — the 2^21 position packing in the " +
+        "selection key is exact-SQL-replayable only below that bound")
     val keys = new Array[Long](nPos)
     var i = 0
     while (i < nPos) { keys(i) = mix(i) * 2097152L + (2097151L - (i + 1)); i += 1 }

@@ -138,11 +138,14 @@ object Multimodal {
     * 15.7× → ~2.6× at the 10× cloned-image probe. The pair join itself
     * stays a streamed equi-join: a collect_list/double-explode variant
     * measured 17× slower at sf0.1 (each pair row dragged the whole
-    * bucket array through the Generate). Default ∞ keeps the exact
-    * audit and adds no bucket-count pass.
+    * bucket array through the Generate). The cap is the DEFAULT (256 —
+    * the 100 TB-safe path; the uncapped 10× probe ran 23.5× vs 2.6×
+    * capped); the exact audit is an explicit opt-in
+    * (`maxBucket = Int.MaxValue`), which also skips the bucket-count
+    * pass entirely.
     */
   def aHashNearDups(bands: DataFrame, maxHamming: Int,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
+                    maxBucket: Int = 256): DataFrame = {
     val b = bands.localCheckpoint(eager = false)
     val kept =
       if (maxBucket == Int.MaxValue) b

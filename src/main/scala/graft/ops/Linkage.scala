@@ -51,19 +51,23 @@ object Linkage {
     * nothing. For maxDist > 1 the blocking is recall-bounded like any
     * LSH — keep the exact path as the audit oracle.
     */
-  /** `maxBucket` (default unlimited = exact): per-(tag, key) cap on each
-    * side of the bucket-grain candidate join, the same production knob as
-    * [[fuzzyPairsSegment]] — in-partition verification CPU is Σ bucket
-    * PRODUCTS, and a corpus whose names share a popular 6-char prefix
-    * ("report of the …") grows that mass quadratically while the true
-    * match output stays linear. Softer than an LSH cap: a pair meets on
-    * its prefix AND its suffix key, so only pairs degenerate at BOTH ends
-    * are lost. The short-string exact leg is never capped.
+  /** `maxBucket` (default 4096 — the 100 TB-safe path): per-(tag, key)
+    * cap on each side of the bucket-grain candidate join, the same
+    * production knob as [[fuzzyPairsSegment]] — in-partition verification
+    * CPU is Σ bucket PRODUCTS, and a corpus whose names share a popular
+    * 6-char prefix ("report of the …") grows that mass quadratically
+    * while the true match output stays linear. Softer than an LSH cap: a
+    * pair meets on its prefix AND its suffix key, so only pairs
+    * degenerate at BOTH ends are lost. The short-string exact leg is
+    * never capped. Exact audit mode is an explicit opt-in
+    * (`maxBucket = Int.MaxValue`): the 100× probes measured the uncapped
+    * path at 323× while the capped path stayed sub-linear, so a caller
+    * who hits the default API at crawl scale must not get the quadratic.
     */
   def fuzzyPairs(left: DataFrame, leftId: String, leftName: String,
                  right: DataFrame, rightId: String, rightName: String,
                  maxDist: Int, blockLen: Int = 6,
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
+                 maxBucket: Int = 4096): DataFrame = {
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
       .localCheckpoint(eager = false)
     val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
@@ -141,22 +145,24 @@ object Linkage {
     * shuffles on (len, k, segment) — candidate volume is Σ bucket
     * products over segment content, never |left| × |right|.
     */
-  /** `maxBucket` (default unlimited = exact): per-(clen, k, segment) key
-    * cap on EACH side of the candidate join. A corpus whose names share a
-    * popular prefix ("report of the …") puts a large slice of both sides
-    * into one segment bucket, and candidate volume is the bucket PRODUCT
-    * — the measured 100× probe wall (~350× time) is exactly this mass,
-    * with the verified output growing only linearly. Capping drops keys
-    * whose bucket exceeds the limit — far softer than an LSH bucket cap:
-    * a pair meets once per SHARED segment key among its (2d+1)²·(d+1)
-    * generated keys, so only pairs whose EVERY shared segment is
-    * degenerate are lost; a single rare aligned segment still recalls
-    * the pair. Production 100 TB runs should set a cap (10⁴-ish);
-    * the default keeps the completeness guarantee LinkageSpec proves.
+  /** `maxBucket` (default 4096 — the 100 TB-safe path): per-(clen, k,
+    * segment) key cap on EACH side of the candidate join. A corpus whose
+    * names share a popular prefix ("report of the …") puts a large slice
+    * of both sides into one segment bucket, and candidate volume is the
+    * bucket PRODUCT — the measured 100× probe wall (~350× time, one
+    * ENOSPC DNF) is exactly this mass, with the verified output growing
+    * only linearly. Capping drops keys whose bucket exceeds the limit —
+    * far softer than an LSH bucket cap: a pair meets once per SHARED
+    * segment key among its (2d+1)²·(d+1) generated keys, so only pairs
+    * whose EVERY shared segment is degenerate are lost; a single rare
+    * aligned segment still recalls the pair. The exact completeness
+    * guarantee LinkageSpec proves is the explicit opt-in
+    * (`maxBucket = Int.MaxValue`) — an audit mode, not the default a
+    * crawl-scale caller should stumble into.
     */
   def fuzzyPairsSegment(left: DataFrame, leftId: String, leftName: String,
                         right: DataFrame, rightId: String, rightName: String,
-                        maxDist: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxDist: Int, maxBucket: Int = 4096): DataFrame = {
     val d = maxDist
     val m = d + 1
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))

@@ -163,6 +163,14 @@ object Privacy {
     *
     * Scale: one map-combined count aggregate; the noise is a per-GROUP
     * scalar expression — no extra shuffle, no extra pass, at any size.
+    *
+    * PRESENCE CAVEAT (standard for the geometric mechanism over an
+    * unbounded group domain): rows are emitted only for groups PRESENT
+    * in the data, so group membership itself leaks exactly — the ε = ln 2
+    * accounting covers the counts, not the key set. Use this overload
+    * only when the key set is public / pre-enumerated; otherwise pass a
+    * public domain frame to the 4-arg overload below, which left-joins
+    * the domain so absent groups release a noised zero.
     */
   def dpGeometricCounts(df: DataFrame, groupCol: String,
                         seed: String): DataFrame = {
@@ -175,6 +183,39 @@ object Privacy {
     }
     df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", (geo("a") - geo("b")).cast("long"))
+      .withColumn("dp_count",
+        greatest(lit(0L), col("true_count") + col("noise")))
+  }
+
+  /** [[dpGeometricCounts]] over a PUBLIC pre-enumerated domain: every
+    * `domain` key gets a row — groups absent from the data release a
+    * noised zero, so presence/absence no longer leaks (the release is
+    * indistinguishable between a zero-count and a missing group). Data
+    * groups OUTSIDE the domain are dropped (releasing surprise keys
+    * would reintroduce the presence channel). The domain is assumed
+    * dimension-sized and is broadcast; noise stays the per-group scalar
+    * expression — still one count aggregate, no extra shuffle.
+    */
+  def dpGeometricCounts(df: DataFrame, groupCol: String, seed: String,
+                        domain: DataFrame): DataFrame = {
+    val dom = domain.select(col(domain.columns.head).as("grp")).distinct()
+      .localCheckpoint(eager = false) // read twice: gate join + zero-fill
+    // out-of-domain rows drop at the SCAN (broadcast inner semi — no
+    // shuffle of the fact side beyond the count agg it needs anyway), so
+    // the count table is domain-bounded and itself broadcastable below
+    val counted = df.select(col(groupCol).as("d_grp"))
+      .join(broadcast(dom), col("d_grp") === col("grp"), "left_semi")
+      .groupBy(col("d_grp")).agg(count(lit(1)).as("d_n"))
+    def geo(salt: String): Column = {
+      val h = conv(substring(
+        md5(concat(lit(s"$seed|$salt|"), col("grp").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      val c = lit(4294967295L) - h
+      when(c === 0, lit(32)).otherwise(lit(32) - length(bin(c)))
+    }
+    dom.join(broadcast(counted), col("grp") === col("d_grp"), "left")
+      .select(col("grp"), coalesce(col("d_n"), lit(0L)).as("true_count"))
       .withColumn("noise", (geo("a") - geo("b")).cast("long"))
       .withColumn("dp_count",
         greatest(lit(0L), col("true_count") + col("noise")))

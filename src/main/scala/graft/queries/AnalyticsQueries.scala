@@ -681,6 +681,46 @@ object AnalyticsQueries {
          |  FROM h)
          |SELECT grp, true_count, noise,
          |  greatest(CAST(0 AS BIGINT), true_count + noise) AS dp_count
+         |FROM n ORDER BY grp""".stripMargin),
+
+    // ── DP counts over a PUBLIC pre-enumerated domain: the release
+    //    carries one row per domain key (all 25 nations) even though the
+    //    fact rows are filtered to nations < 'K' — absent groups release
+    //    a noised ZERO, closing the group-presence channel the bare
+    //    mechanism leaks (its documented caveat). Domain broadcast both
+    //    ways; count table domain-bounded via a broadcast semi gate ──
+    "privacy_dp_domain" -> QueryDef(
+      (spark, dir) => {
+        val base = privacyBase(spark, dir)
+          .filter(col("nat") < "K").select(col("nat").as("grp"))
+        val domain = Tables.nation(spark, dir).select(col("n_name"))
+        graft.ops.Privacy.dpGeometricCounts(base, "grp", "graftdp2", domain)
+          .orderBy(col("grp"))
+      },
+      s"""WITH base AS ($privacyBaseSql),
+         |dom AS (SELECT DISTINCT n_name AS grp FROM nation),
+         |c0 AS (SELECT nat AS grp, CAST(count(*) AS BIGINT) AS tc
+         |      FROM base WHERE nat < 'K' GROUP BY 1),
+         |c AS (SELECT dom.grp, coalesce(c0.tc, 0) AS true_count
+         |      FROM dom LEFT JOIN c0 USING (grp)),
+         |h AS (SELECT grp, true_count,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      i -> (strpos('0123456789abcdef',
+         |              substr(md5('graftdp2|a|' || grp), i, 1)) - 1)
+         |           * (16 ** (8 - i)))) AS BIGINT) AS ha,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      i -> (strpos('0123456789abcdef',
+         |              substr(md5('graftdp2|b|' || grp), i, 1)) - 1)
+         |           * (16 ** (8 - i)))) AS BIGINT) AS hb
+         |  FROM c),
+         |n AS (SELECT grp, true_count,
+         |    CAST((CASE WHEN 4294967295 - ha = 0 THEN 32
+         |          ELSE 32 - length(bin(4294967295 - ha)) END)
+         |       - (CASE WHEN 4294967295 - hb = 0 THEN 32
+         |          ELSE 32 - length(bin(4294967295 - hb)) END) AS BIGINT) AS noise
+         |  FROM h)
+         |SELECT grp, true_count, noise,
+         |  greatest(CAST(0 AS BIGINT), true_count + noise) AS dp_count
          |FROM n ORDER BY grp""".stripMargin)
   )
 

@@ -876,20 +876,29 @@ object CorpusOpsQueries {
     //    order-set Jaccard over co-purchase counts, exact integer
     //    micro-ratios, bounded-heap top-3 per item; pair generation is
     //    the group-explode shape (never item×item) with minCo pruning ──
+    //    The oracle REPLAYS the maxBasket=4096 mega-basket guard (groups
+    //    over the cap contribute neither co-occurrence nor degree), so
+    //    engine and oracle stay in lockstep even on data where the cap
+    //    binds — the cap is part of the gated semantics, not a silent
+    //    engine-side divergence
     "graph_item_sim" -> QueryDef(
       (spark, dir) => graft.ops.Graph
         .cooccurrenceTopK(Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey", k = 3, minCo = 2)
+          "l_orderkey", "l_partkey", k = 3, minCo = 2, maxBasket = 4096)
         .orderBy(col("item"), col("rank")),
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH keep AS (SELECT l_orderkey FROM lineitem
+        |        GROUP BY 1 HAVING count(*) <= 4096),
+        |src AS (SELECT l.l_orderkey, l.l_partkey
+        |        FROM lineitem l JOIN keep USING (l_orderkey)),
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM src),
         |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
         |        CAST(count(*) AS BIGINT) AS co
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |        AND a.l_partkey < b.l_partkey
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT l_partkey AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS deg
-        |        FROM lineitem GROUP BY 1),
+        |        FROM src GROUP BY 1),
         |sym AS (SELECT a AS i, b AS j, co FROM p
         |        UNION ALL SELECT b, a, co FROM p),
         |sc AS (SELECT i, j, (co * 1000000) // (di.deg + dj.deg - co) AS sim_micro

@@ -444,8 +444,10 @@ object CurationQueries {
         val dirty = base.select(col("doc_id").as("did"),
           expr("concat(substring(name, 1, CAST(doc_id % 12 + 6 AS INT)), " +
             "substring(name, CAST(doc_id % 12 + 8 AS INT)))").as("dname"))
+        // exact-audit gate (oracle replays no cap): uncapped opt-in
         val pairs = Linkage
-          .fuzzyPairs(dirty, "did", "dname", clean, "cid", "name", maxDist = 1)
+          .fuzzyPairs(dirty, "did", "dname", clean, "cid", "name", maxDist = 1,
+            maxBucket = Int.MaxValue)
           .select((col("i") * 2 + 1).as("i"), (col("j") * 2).as("j"))
         graft.dedup.Dedup.clusters(pairs)
           .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
@@ -495,8 +497,9 @@ object CurationQueries {
         val dirty = base.select(col("doc_id").as("did"),
           expr("concat(substring(name, 1, CAST(doc_id % 12 + 6 AS INT)), " +
             "substring(name, CAST(doc_id % 12 + 8 AS INT)))").as("dname"))
+        // exact-audit gate (oracle replays no cap): uncapped opt-in
         Linkage.fuzzyPairs(dirty, "did", "dname", clean, "cid", "name",
-            maxDist = 1)
+            maxDist = 1, maxBucket = Int.MaxValue)
           .orderBy(col("i"), col("j"))
       },
       """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),
@@ -537,8 +540,9 @@ object CurationQueries {
           .withColumn("p2", expr("CAST(doc_id % 5 + 10 AS INT)"))
           .select(col("doc_id").as("did"),
             expr("concat(substring(s1, 1, p2 - 1), substring(s1, p2 + 1))").as("dname"))
+        // exact-audit gate (oracle replays no cap): uncapped opt-in
         Linkage.fuzzyPairsSegment(dirty, "did", "dname", clean, "cid", "name",
-            maxDist = 2)
+            maxDist = 2, maxBucket = Int.MaxValue)
           .orderBy(col("i"), col("j"))
       },
       """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),

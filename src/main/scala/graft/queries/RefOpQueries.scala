@@ -49,10 +49,11 @@ object RefOpQueries {
         Tables.documents(spark, dir)
           .select(sha2(col("text"), 256).as("checksum"),
             concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
-              lit(".txt")).as("file"))
+              lit(".txt")).as("file"), col("source"))
           // side-file-sized shards, keyed like the reference's per-series
-          // manifests: one writer task per source bucket
-          .repartition(col("file"))
+          // manifests: one writer task per source bucket (the reader
+          // re-sorts, so shard assignment is free to follow the key)
+          .repartition(col("source")).drop("source")
           .write.format("graft.sources.ManifestDataSource")
           .mode("append").save(out.toString)
         spark.read.format("graft.sources.ManifestDataSource")

@@ -223,13 +223,17 @@ object TrainQueries {
     //    threshold via the S-curve (Dedup.lshParams): t=0.10 → 12×1,
     //    t=0.5 → 6×2 — two parameterizations under the gate, same k=12
     //    signature. ──
+    //    (exact-audit gates: the oracle replays no bucket cap, so the
+    //    exact mode is the explicit opt-in — production default is 4096)
     "dedup_minhash_lsh" -> QueryDef(
-      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.10)
+      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.10,
+          maxBucket = Int.MaxValue)
         .orderBy(col("i"), col("j")),
       minhashLshSql(bands = 12, rows = 1, t = "0.10")),
 
     "dedup_minhash_lsh_t05" -> QueryDef(
-      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.5)
+      (spark, dir) => Dedup.minhashLshForThreshold(Tables.documents(spark, dir), 3, 12, 0.5,
+          maxBucket = Int.MaxValue)
         .orderBy(col("i"), col("j")),
       minhashLshSql(bands = 6, rows = 2, t = "0.5")),
 
@@ -2131,7 +2135,9 @@ object TrainQueries {
           Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
             pmod(col("doc_id"), lit(64))).as("px"))
         val bands = Multimodal.aHashBands(px, "doc_id", "px")
-        Multimodal.aHashNearDups(bands, maxHamming = 3)
+        // exact-audit gate: the oracle brute-forces all pairs, so the
+        // uncapped mode is the explicit opt-in (production default = 256)
+        Multimodal.aHashNearDups(bands, maxHamming = 3, maxBucket = Int.MaxValue)
           .orderBy(col("i"), col("j")).limit(200)
       }, {
         val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
@@ -2174,7 +2180,9 @@ object TrainQueries {
           Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
             pmod(col("doc_id"), lit(64)), n = 72).as("px"))
         val bands = Multimodal.dHashBands(px, "doc_id", "px")
-        Multimodal.aHashNearDups(bands, maxHamming = 3)
+        // exact-audit gate (oracle = all-pairs brute force): uncapped is
+        // the explicit opt-in; callers get maxBucket = 256 by default
+        Multimodal.aHashNearDups(bands, maxHamming = 3, maxBucket = Int.MaxValue)
           .orderBy(col("i"), col("j")).limit(200)
       }, {
         val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +

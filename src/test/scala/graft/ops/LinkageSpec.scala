@@ -213,4 +213,34 @@ class LinkageSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(capped == Set((190L, 900L, 1), (191L, 901L, 1)))
   }
+
+  test("capped is the DEFAULT: a >4096 boilerplate bucket drops without " +
+    "opting in; exact completeness is the explicit Int.MaxValue opt-in") {
+    // 4100 names share BOTH block keys (the 100× probes' quadratic wall:
+    // 4100² ≈ 17M verification pairs if the default were exact). The
+    // default call must drop the degenerate bucket and still match the
+    // distinctive pair; the exact opt-in must recover the boiler match.
+    val boiler = (0 until 4100).map(k => (k.toLong, f"common $k%04d suffix"))
+    val cat = boiler ++ Seq(9000L -> "graft analytics engine")
+    val dirty = Seq(
+      100L -> "common 000#1 suffix",      // ED1 of id 1 (boiler bucket)
+      190L -> "graft analytics enginX")   // ED1 of id 9000
+    val bydefault = Linkage.fuzzyPairs(dirty.toDF("did", "dname"), "did",
+        "dname", cat.toDF("cid", "name"), "cid", "name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bydefault == Set((190L, 9000L, 1)),
+      s"default path must be the capped one, got $bydefault")
+    val exact = Linkage.fuzzyPairs(dirty.toDF("did", "dname"), "did",
+        "dname", cat.toDF("cid", "name"), "cid", "name", maxDist = 1,
+        maxBucket = Int.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact.contains((100L, 1L, 1)) && exact.contains((190L, 9000L, 1)))
+    // segment variant: same posture (default finite), cheap smoke — the
+    // distinctive pair matches through the default path
+    val seg = Linkage.fuzzyPairsSegment(dirty.toDF("did", "dname"), "did",
+        "dname", Seq(9000L -> "graft analytics engine").toDF("cid", "name"),
+        "cid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(seg == Set((190L, 9000L, 1)))
+  }
 }

@@ -101,4 +101,25 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(other.map(_._3) != again.map(_._3))
   }
+
+  test("dpGeometricCounts over a public domain: absent groups release a " +
+    "noised zero, surprise keys drop — presence no longer leaks") {
+    val rows = Seq("a", "a", "a", "b", "zz").toDF("grp") // zz ∉ domain
+    val domain = Seq("a", "b", "c", "d").toDF("k")
+    val got = Privacy.dpGeometricCounts(rows, "grp", "seed1", domain)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // one row PER DOMAIN KEY — c and d appear with true_count 0
+    assert(got.map(_._1) == Seq("a", "b", "c", "d"))
+    assert(got.collect { case (g, tc, _, _) if g == "a" => tc } == Seq(3L))
+    assert(got.collect { case (g, tc, _, _) if g >= "c" => tc } == Seq(0L, 0L))
+    got.foreach { case (g, tc, noise, dp) =>
+      assert(dp == math.max(0L, tc + noise), s"$g clamp")
+    }
+    // same noise draw as the bare mechanism at the same (seed, group):
+    // the release is indistinguishable between zero-count and missing
+    val bare = Privacy.dpGeometricCounts(rows.filter($"grp" =!= "zz"), "grp", "seed1")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(bare.map(r => (r._1, r._3)) ==
+      got.filter(r => Set("a", "b")(r._1)).map(r => (r._1, r._3)))
+  }
 }

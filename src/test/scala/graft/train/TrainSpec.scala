@@ -159,6 +159,24 @@ class DedupSpec extends SparkSpec {
       s"cap should collapse the candidate flood (open=${open.size} capped=${capped.size})")
   }
 
+  test("LSH bucket cap (4096) is the DEFAULT; simhashPairs shares the knob") {
+    // 4100 byte-identical docs put every band bucket over the 4096
+    // default — the default call must not enumerate the ~8.4M-pair
+    // mega-cluster; a planted distinct near-identical pair still matches
+    // through its own (small) buckets
+    val docs = ((0L until 4100L).map(i => (i, "aaa bbb ccc ddd eee")) ++
+      Seq((9000L, "planted pair body one two three"),
+        (9001L, "planted pair body one two three"))).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLsh(docs, 3, 12, 12, 0.0)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((9000L, 9001L)),
+      s"default LSH path must be capped, got ${lsh.size} pairs")
+    val sim = Dedup.simhashPairs(docs, 6)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(sim == Set((9000L, 9001L)),
+      s"default simhash path must be capped, got ${sim.size} pairs")
+  }
+
   test("minhash LSH finds every high-jaccard pair (recall vs exact, sf0.001)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
@@ -753,6 +771,26 @@ class MultimodalSpec extends SparkSpec {
       yield (a, b)).toSet ++
       (for { a <- 30000L to 30002L; b <- 30000L to 30002L if a < b } yield (a, b))
     assert(got == want, s"got $got")
+  }
+
+  test("banded near-dup: the cap (256) is the DEFAULT; exact audit is the " +
+    "explicit Int.MaxValue opt-in") {
+    import spark.implicits._
+    // a 300-clone cluster (over the 256 default) + one 3-item cluster:
+    // the default call must drop the clone flood un-asked
+    val rows =
+      (0L until 300L).flatMap(id => (0 to 3).map(k => (id, k.toLong, 7))) ++
+      (20000L to 20002L).flatMap(id => (0 to 3).map(k => (id, k.toLong, 100 + k)))
+    val bands = rows.toDF("mid", "band", "bv")
+    val small = (for { a <- 20000L to 20002L; b <- 20000L to 20002L if a < b }
+      yield (a, b)).toSet
+    val bydefault = Multimodal.aHashNearDups(bands, maxHamming = 3)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(bydefault == small, s"default path must be capped, got $bydefault")
+    val exact = Multimodal
+      .aHashNearDups(bands, maxHamming = 3, maxBucket = Int.MaxValue)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(exact.size == 300 * 299 / 2 + small.size)
   }
 }
 
