@@ -201,6 +201,99 @@ object CurationQueries {
           .replace("RPEXPR", rp).replace("ANCHEXPR", anch).replace("RXEXPR", rx)
       }),
 
+    // ── robots REP gate, §2.2.1 group-aware: bodies carry a named
+    //    GraftBot group (tolerant spellings: 'disallow:', 'Allow :', a
+    //    percent-encoded rule path), a consecutive-UA group shared by
+    //    helperbot+graftbot, and a '*' fallback; rules are selected per
+    //    (host, agent) at DOMAIN grain and URLs join on (host, agent).
+    //    Paths percent-normalize on both sides (%61 ≡ a). The oracle
+    //    derives each agent class's MERGED rule set independently (hand-
+    //    resolved literals, not a SQL reimplementation of the parser) —
+    //    pinning the group-selection OUTCOME ──
+    "web_robots_groups" -> QueryDef(
+      (spark, dir) => {
+        val host = (c: org.apache.spark.sql.Column) =>
+          concat(lit("site"), (c % 9).cast("string"), lit(".com"))
+        val dd = (c: org.apache.spark.sql.Column) => ((c % 9) % 5).cast("string")
+        val urls = Tables.documents(spark, dir).select(col("doc_id"),
+          host(col("doc_id")).as("host"),
+          element_at(array(lit("GraftBot"), lit("unknownbot"), lit("HELPERBOT")),
+            (col("doc_id") % 3).cast("int") + 1).as("agent"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/sec"), (col("doc_id") % 6).cast("string"), lit("/a")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/sec"), dd(col("doc_id")), lit("/pub/x")))
+            .when(col("doc_id") % 5 === 2,
+              when(col("doc_id") % 2 === 0,
+                concat(lit("/p%61th"), dd(col("doc_id")), lit("/f")))
+              .otherwise(concat(lit("/path"), dd(col("doc_id")), lit("/f"))))
+            .when(col("doc_id") % 5 === 3, lit("/extra/z"))
+            .otherwise(lit("/open/x")).as("path"))
+        val agents = Seq("GraftBot", "unknownbot", "HELPERBOT")
+        val robots = Tables.documents(spark, dir)
+          .select(host(col("doc_id")).as("rhost")).distinct()
+          .withColumn("d", (substring(col("rhost"), 5, 1).cast("int") % 5)
+            .cast("string"))
+          .withColumn("ragent", explode(array(agents.map(lit): _*)))
+          .select(col("rhost"), col("ragent"),
+            graft.text.Robots.rulesForAgent(concat(
+              lit("# graft crawl policy\nUser-Agent: GraftBot\ndisallow: /sec"),
+              col("d"), lit("/\nAllow :/sec"), col("d"),
+              lit("/pub/\nDisallow: /p%61th"), col("d"),
+              lit("/\n\nUser-agent: helperbot\nUser-agent: graftbot\n" +
+                "Disallow: /extra/\n\nUser-agent: *\nDisallow: /\nAllow: /open/\n")),
+              col("ragent")).as("rules"))
+        val np = graft.text.Robots.normalizePath(col("path"))
+        urls.join(robots, col("host") === col("rhost") &&
+            col("agent") === col("ragent"))
+          .select(col("doc_id"), col("host"), col("agent"), col("path"),
+            graft.text.Robots.bestMatch(col("rules"), np, allow = true)
+              .as("best_allow"),
+            graft.text.Robots.bestMatch(col("rules"), np, allow = false)
+              .as("best_disallow"),
+            graft.text.Robots.allowed(col("rules"), np).as("allowed"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH urls AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host,
+        |    CAST((doc_id % 9) % 5 AS VARCHAR) AS dd,
+        |    (['GraftBot','unknownbot','HELPERBOT'])[CAST(doc_id % 3 AS INT) + 1]
+        |      AS agent,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/sec' || CAST(doc_id % 6 AS VARCHAR) || '/a'
+        |      WHEN 1 THEN '/sec' || CAST((doc_id % 9) % 5 AS VARCHAR) || '/pub/x'
+        |      WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+        |        THEN '/p%61th' || CAST((doc_id % 9) % 5 AS VARCHAR) || '/f'
+        |        ELSE '/path' || CAST((doc_id % 9) % 5 AS VARCHAR) || '/f' END
+        |      WHEN 3 THEN '/extra/z'
+        |      ELSE '/open/x' END AS path
+        |  FROM documents),
+        |sel AS (SELECT doc_id, host, agent, path,
+        |    replace(path, '%61', 'a') AS np,
+        |    CASE WHEN lower(agent) = 'graftbot' THEN
+        |      [struct_pack(a := false, p := '/sec' || dd || '/'),
+        |       struct_pack(a := true,  p := '/sec' || dd || '/pub/'),
+        |       struct_pack(a := false, p := '/path' || dd || '/'),
+        |       struct_pack(a := false, p := '/extra/')]
+        |    WHEN lower(agent) = 'helperbot' THEN
+        |      [struct_pack(a := false, p := '/extra/')]
+        |    ELSE
+        |      [struct_pack(a := false, p := '/'),
+        |       struct_pack(a := true,  p := '/open/')]
+        |    END AS rls
+        |  FROM urls),
+        |ev AS (SELECT doc_id, host, agent, path,
+        |    CAST(coalesce(list_max(list_transform(
+        |      list_filter(rls, x -> x.a AND starts_with(np, x.p)),
+        |      x -> len(x.p))), -1) AS INT) AS best_allow,
+        |    CAST(coalesce(list_max(list_transform(
+        |      list_filter(rls, x -> NOT x.a AND starts_with(np, x.p)),
+        |      x -> len(x.p))), -1) AS INT) AS best_disallow
+        |  FROM sel)
+        |SELECT doc_id, host, agent, path, best_allow, best_disallow,
+        |  best_allow >= best_disallow AS allowed
+        |FROM ev ORDER BY doc_id""".stripMargin),
+
     // ── crawl-budget apportionment: split a fixed fetch budget across
     //    domains proportionally to document mass with LARGEST-REMAINDER
     //    rounding (Hamilton's method — Σ quota == budget exactly, no fp).
