@@ -25,6 +25,17 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // quiet-box gate (r7 judge item): BENCH_r07 started at load 4.94 —
+    // the previous JVM's load was still draining, inflating first-pass
+    // times despite best-of-2. WAIT (bounded) for the 1-min load to drop
+    // below 1 before the first timed query, and record how long we
+    // waited so the artifact shows whether the gate was satisfied.
+    val waitT0 = System.nanoTime()
+    val waitLimitMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_MS", "120000").toLong
+    while (loadAvg() >= 1.0 &&
+        (System.nanoTime() - waitT0) / 1e6 < waitLimitMs)
+      Thread.sleep(5000)
+    val quietWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadAvg()
     // session warmup so the first timed query doesn't absorb JVM/codegen
     // init: exercise the operator machinery the suite leans on (shuffle
@@ -93,7 +104,7 @@ object Bench {
     // another tenant was burning the box and even the min-of-passes may
     // be inflated — the judge can discount the number instead of
     // mis-reading it as an engine regression
-    val loadNote = s""""passes":$passes,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}"""
+    val loadNote = s""""passes":$passes,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"quiet_wait_sec":${fmt(quietWaitSec)}"""
     // Full per-query detail: the driver only retains the last 2000 chars of
     // stdout, which a 200-entry JSON line overflows (BENCH_r01/r02 both came
     // back parsed:null). Persist the complete map to a repo artifact and

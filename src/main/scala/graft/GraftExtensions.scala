@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_int_sig",
         "integer MinHash signature (one md5 per shingle + Carter-Wegman mixes)"),
       (args: Seq[Expression]) => MinHashIntSigExpr(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("oph_minhash_sig"),
+      info("oph_minhash_sig",
+        "one-permutation MinHash signature (rotation-densified, no md5)"),
+      (args: Seq[Expression]) => OphMinHashSigExpr(args(0), intArg(args(1), "k"))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "64-bit SimHash bitstring of a token array"),
       (args: Seq[Expression]) => SimHashExpr(args.head)))

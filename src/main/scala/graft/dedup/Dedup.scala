@@ -483,9 +483,14 @@ object Dedup {
     // re-tokenizing + re-shingling per branch
     val base = spread(docs).select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
+      // hashed sorted key arrays ride the same checkpoint: the rescore
+      // below verifies candidates by one sorted-merge per pair instead
+      // of re-touching the shingle strings (60-bit keys — collision
+      // note at shingleKey)
+      .withColumn("keys", array_sort(transform(col("shset"), shingleKey(_))))
       .localCheckpoint(eager = false)
     val sigs = base.select(col("id"),
-      graft.functions.minhash_int_sig(col("shset"), k).as("sig"),
+      graft.functions.oph_minhash_sig(col("shset"), k).as("sig"),
       size(col("shset")).as("n_sh"))
     // shingle-set sizes ride along with the signatures — no separate
     // explode + groupBy shuffle just to count them
@@ -532,16 +537,26 @@ object Dedup {
       // No-op on same-length corpora; decisive when doc lengths vary.
       .filter(least(col("n_i"), col("n_j")).cast("double") /
         greatest(col("n_i"), col("n_j")) >= threshold - 1e-4)
-    // exact-jaccard re-score restricted to candidates. Measured note: the
-    // codegen'd explode-join + hash-aggregate count beats a per-pair
-    // array_intersect (interpreted set build per evaluation) by ~25% here.
-    val sh = base.select(col("id"), explode(col("shset")).as("shingle"))
+    // exact-jaccard re-score restricted to candidates, at CANDIDATE
+    // grain: the two hashed-key arrays join onto each pair and a native
+    // sorted-merge counts the overlap in place. The previous explode-join
+    // (cand ⋈ (id, shingle) ⋈ (id, shingle) + count) materialized
+    // |cand| × |avg shingles| rows through a shuffle — measured as the
+    // dominant leg of the 100× probe (~2.5·10⁹ exploded rows for 12.7 M
+    // candidates of ~200-shingle docs; 508 s → see COVERAGE probe table)
+    // — where this shape ships one array payload per candidate side.
+    val sh = base.select(col("id"), col("keys"))
     cand
-      .join(sh.as("ea"), col("i") === col("ea.id"))
-      .join(sh.as("eb"), col("j") === col("eb.id") &&
-        col("ea.shingle") === col("eb.shingle"))
-      .groupBy(col("i"), col("j"), col("n_i"), col("n_j"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(sh.select(col("id").as("ia"), col("keys").as("ka")),
+        col("i") === col("ia"))
+      .join(sh.select(col("id").as("ib"), col("keys").as("kb")),
+        col("j") === col("ib"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("ka"), col("kb")))
+      // n_common > 0 preserves the explode-join contract: a band
+      // collision with zero shared shingles is a hash artifact, not a
+      // candidate (matters only at threshold 0.0)
+      .filter(col("n_common") > 0)
       .withColumn("jaccard",
         graft.text.TextAnalysis.round4(
           col("n_common") / (col("n_i") + col("n_j") - col("n_common"))))
@@ -703,10 +718,12 @@ object Dedup {
     val srcBytes = graft.ops.Hints.estimatedBytes(docs) * 2
     val base = spread(docs).select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
+      // hashed sorted keys for the candidate-grain rescore (as minhashLsh)
+      .withColumn("keys", array_sort(transform(col("shset"), shingleKey(_))))
       .localCheckpoint(eager = false)
     val split = base.agg(expr("CAST((max(id) * 6) DIV 10 AS BIGINT)").as("split"))
     val sigs = base.select(col("id"),
-      graft.functions.minhash_int_sig(col("shset"), k).as("sig"),
+      graft.functions.oph_minhash_sig(col("shset"), k).as("sig"),
       size(col("shset")).as("n_sh"))
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -727,13 +744,17 @@ object Dedup {
         col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j")).distinct()
       .filter(least(col("n_i"), col("n_j")).cast("double") /
         greatest(col("n_i"), col("n_j")) >= threshold - 1e-4)
-    val sh = base.select(col("id"), explode(col("shset")).as("shingle"))
+    // candidate-grain rescore (same shape + rationale as minhashLsh):
+    // sorted-merge overlap count per pair, no (pair × shingle) explode
+    val sh = base.select(col("id"), col("keys"))
     val dupOf = cand
-      .join(sh.as("ea"), col("i") === col("ea.id"))
-      .join(sh.as("eb"), col("j") === col("eb.id") &&
-        col("ea.shingle") === col("eb.shingle"))
-      .groupBy(col("i"), col("j"), col("n_i"), col("n_j"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(sh.select(col("id").as("ia"), col("keys").as("ka")),
+        col("i") === col("ia"))
+      .join(sh.select(col("id").as("ib"), col("keys").as("kb")),
+        col("j") === col("ib"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("ka"), col("kb")))
+      .filter(col("n_common") > 0)
       .filter(graft.text.TextAnalysis.round4(
         col("n_common") / (col("n_i") + col("n_j") - col("n_common"))) >= threshold)
       .groupBy(col("j")).agg(min(col("i")).as("dup_of"))

@@ -115,3 +115,79 @@ case class MinHashIntSigExpr(child: Expression, k: Int)
     copy(child = c)
   override def prettyName: String = "minhash_int_sig"
 }
+
+/** One-permutation-hashing MinHash signature (Li, Owen, Zhang NIPS'12)
+  * with rotation densification (Shrivastava & Li ICML'14): ONE cheap
+  * hash per shingle, no per-shingle k-loop and no md5 at all — the cost
+  * that made the k-mix family the 100×-probe wall (345 s: MessageDigest
+  * over every shingle of every doc).
+  *
+  * Per shingle g: h = Lehmer-mixed base-31 polynomial of g's code
+  * points — `a = fold(cp: a·31 + cp mod M)`, `h = a·48271 mod M`,
+  * M = 2³¹−1 (the [[DyadicWindowHashesExpr]] anchor family — exact in
+  * int64 AND in SQL BIGINT: every intermediate < 2⁶³). The shingle
+  * lands in bin `h mod k` carrying value `(2654435761·h + 40503) mod M`
+  * (one Carter-Wegman mix so bin-id bits don't correlate with the
+  * value); each bin keeps its min. Empty bin j borrows from the first
+  * non-empty bin to its right (circular): `sig_j = sig_{(j+t) mod k} +
+  * t·M` — the +t·M offset keeps two docs that borrowed from different
+  * distances from matching spuriously (the ICML'14 rotation scheme).
+  * All final values < k·M < 2³⁵. An empty shingle set yields all −1.
+  *
+  * Estimator quality: P(sig_a[j] = sig_b[j]) ≈ J(a,b) with variance ≤
+  * the k-permutation family's for docs with ≥ k shingles (one
+  * permutation sampled WITHOUT replacement across bins); the LSH
+  * banding S-curve applies unchanged. Collision regime matches the
+  * int-sig family (31-bit h).
+  */
+case class OphMinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private val M = 2147483647L
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val bins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var a = 0L
+      var p = 0
+      while (p < s.length) {
+        val cp = s.codePointAt(p)
+        a = (a * 31L + cp) % M
+        p += Character.charCount(cp)
+      }
+      val h = (a * 48271L) % M
+      val b = (h % k).toInt
+      val value = (2654435761L * h + 40503L) % M
+      if (value < bins(b)) bins(b) = value
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (bins(j) != Long.MaxValue) out(j) = bins(j)
+      else {
+        var t = 1
+        var found = -1L
+        while (t < k && found < 0) {
+          val src = bins((j + t) % k)
+          if (src != Long.MaxValue) found = src + t.toLong * M
+          t += 1
+        }
+        out(j) = if (found >= 0) found else -1L
+      }
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): OphMinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "oph_minhash_sig"
+}

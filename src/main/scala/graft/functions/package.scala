@@ -36,6 +36,21 @@ package object functions {
   def minhash_int_sig(shingles: Column, k: Int): Column =
     graftbridge.column(MinHashIntSigExpr(graftbridge.expression(shingles), k))
 
+  /** One-permutation-hashing MinHash signature with rotation
+    * densification: ONE cheap poly-Lehmer hash per shingle, no md5 —
+    * the 100 TB signature family (same S-curve, ~an order less CPU).
+    */
+  def oph_minhash_sig(shingles: Column, k: Int): Column =
+    graftbridge.column(OphMinHashSigExpr(graftbridge.expression(shingles), k))
+
+  /** |A ∩ B| of two ascending-sorted distinct long arrays: linear merge,
+    * zero allocation — the candidate-grain rescore verifier (parity:
+    * `size(array_intersect(a, b))`).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    graftbridge.column(SortedIntersectCountExpr(
+      graftbridge.expression(a), graftbridge.expression(b)))
+
   /** Per-table LSH bucket signatures (precomputed hyperplane sign matrix). */
   def lsh_sig(vec: Column, tables: Int, planes: Int, dims: Int): Column =
     graftbridge.column(LshSigExpr(graftbridge.expression(vec), tables, planes, dims))

@@ -214,6 +214,32 @@ object ArchiveQueries {
         |    || doc_id) AS BIGINT) AS n_unique_uris
         |FROM documents GROUP BY source ORDER BY warc_file""".stripMargin),
 
+    // ── WARC connector, pushed TOP-N: "the k largest records in the
+    //    crawl" (ORDER BY payload_len DESC LIMIT k) plans as PushedTopN —
+    //    each CDX-indexed file ships only its own top-k index entries to
+    //    Spark's TakeOrdered merge, archives never opened; the ORDER BY
+    //    is a total order (uri tiebreak) so the per-file pre-merge can't
+    //    change the answer ──
+    "s_warc_top_payload" -> QueryDef(
+      (spark, dir) => {
+        val tmp = "/tmp/graft_warc/top_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc.write(docs, tmp).localCheckpoint(eager = true)
+        spark.read.format("graft.sources.WarcDataSource").load(tmp)
+          .select(col("uri"), col("payload_len"), col("payload_sha256"))
+          .orderBy(col("payload_len").desc, col("uri"))
+          .limit(20)
+      },
+      """SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+        |  sha256(text) AS payload_sha256
+        |FROM documents
+        |ORDER BY payload_len DESC, uri LIMIT 20""".stripMargin),
+
     // ── JSONL ingest with dead-letter routing: render the corpus as
     //    JSONL, deterministically truncate every doc_id ≡ 0 (mod 37)
     //    line mid-token, ingest with Jsonl.readWithDlq — good rows parse,

@@ -690,6 +690,147 @@ object CorpusOpsQueries {
         |      FROM p)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── IVF-ADC quality gate: measured recall@5 of the IVF-PQ path vs
+    //    the exact brute-force baseline, per query — the judge-grade
+    //    audit ann_recall_audit runs for the IVF path, now covering the
+    //    production memory-scale composition at its gated (nprobe=2,
+    //    m=16, seeded-codebook) settings ──
+    "ann_ivfpq_recall" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val exact = graft.sim.Similarity
+          .topK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e, 5)
+          .select(col("qid"), col("nid"))
+        val ivfpq = graft.sim.Pq
+          .ivfPqTopK(e, centroidMod = 37, nprobe = 2, dims = 64, m = 16,
+            k = 16, topK = 5, queryMod = 50)
+          .select(col("qid").as("iq"), col("nid").as("inid"))
+        exact.join(ivfpq,
+            col("qid") === col("iq") && col("nid") === col("inid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("iq")).as("n_hits"))
+          .withColumn("recall_x100", expr("n_hits * 100 DIV 5"))
+          .orderBy(col("qid"))
+      },
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    floor(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |ex AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s) WHERE rank <= 5),
+        |micro AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |seeds AS (SELECT vec_id FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb0 AS (SELECT ss.s, m.vec_id AS cid, m.vu[ss.s*4+1 : ss.s*4+4] AS cw
+        |        FROM micro m JOIN seeds sd ON m.vec_id = sd.vec_id CROSS JOIN ss),
+        |cb0n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb0),
+        |sub AS (SELECT vec_id, ss.s, vu[ss.s*4+1 : ss.s*4+4] AS sub
+        |        FROM micro CROSS JOIN ss),
+        |enc AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb0n c ON sub.s = c.s) WHERE rnk = 1),
+        |cents AS (SELECT vec_id AS ccid, vu AS cv FROM micro WHERE vec_id % 37 = 0),
+        |coarse AS (SELECT m.vec_id AS id, c.ccid,
+        |    row_number() OVER (PARTITION BY m.vec_id
+        |      ORDER BY list_inner_product(m.vu, c.cv) DESC, c.ccid) AS rnk
+        |  FROM micro m CROSS JOIN cents c),
+        |cells AS (SELECT id AS nid, ccid FROM coarse WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, ccid FROM coarse WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (SELECT p.qid, c.nid FROM probes p JOIN cells c ON p.ccid = c.ccid
+        |         WHERE c.nid <> p.qid),
+        |lut AS (SELECT q.vec_id AS qid, c.s, c.cid,
+        |          list_inner_product(q.sub, q.sub)
+        |            - 2.0 * list_inner_product(q.sub, c.cw) + c.norm2 AS d
+        |        FROM sub q JOIN cb0n c ON q.s = c.s WHERE q.vec_id % 50 = 0),
+        |pp AS (SELECT cand.qid, cand.nid, sum(l.d) AS adc
+        |      FROM cand JOIN enc e ON e.vec_id = cand.nid
+        |        JOIN lut l ON l.qid = cand.qid AND l.s = e.s AND l.cid = e.cid
+        |      GROUP BY 1, 2),
+        |iv AS (SELECT qid, nid
+        |  FROM (SELECT qid, nid,
+        |          row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |        FROM pp)
+        |  WHERE rank <= 5)
+        |SELECT e.qid, CAST(count(i.nid) AS BIGINT) AS n_hits,
+        |  CAST((count(i.nid) * 100) // 5 AS BIGINT) AS recall_x100
+        |FROM ex e LEFT JOIN iv i ON e.qid = i.qid AND e.nid = i.nid
+        |GROUP BY 1 ORDER BY e.qid""".stripMargin),
+
+    // ── IVF-ADC with a Lloyd-TRAINED codebook (lloydIters = 1): the
+    //    seeded codewords move to the micro-rounded means of their
+    //    assigned subvectors before encoding — exercising Pq.refine
+    //    inside the production IVF composition; the oracle replays the
+    //    assignment + centroid-update round exactly ──
+    "ann_ivfpq_trained" -> QueryDef(
+      (spark, dir) => graft.sim.Pq
+        .ivfPqTopK(Tables.embeddings(spark, dir), centroidMod = 37,
+          nprobe = 2, dims = 64, m = 16, k = 16, topK = 5, queryMod = 50,
+          lloydIters = 1)
+        .orderBy(col("qid"), col("rank")),
+      """WITH micro AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |seeds AS (SELECT vec_id FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb0 AS (SELECT ss.s, m.vec_id AS cid, m.vu[ss.s*4+1 : ss.s*4+4] AS cw
+        |        FROM micro m JOIN seeds sd ON m.vec_id = sd.vec_id CROSS JOIN ss),
+        |cb0n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb0),
+        |sub AS (SELECT vec_id, ss.s, vu[ss.s*4+1 : ss.s*4+4] AS sub
+        |        FROM micro CROSS JOIN ss),
+        |a0 AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb0n c ON sub.s = c.s) WHERE rnk = 1),
+        |upd AS (SELECT a0.s, a0.cid, d.i AS pos,
+        |          CAST(floor(sum(sub.sub[d.i]) / count(*) + 0.5) AS DOUBLE) AS cwd
+        |        FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s
+        |        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) d
+        |        GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT s, cid, list(cwd ORDER BY pos) AS cw FROM upd GROUP BY 1, 2),
+        |cb1n AS (SELECT s, cid, cw, list_inner_product(cw, cw) AS norm2 FROM cb1),
+        |enc AS (SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY 2.0 * list_inner_product(sub.sub, c.cw) - c.norm2 DESC,
+        |                 c.cid) AS rnk
+        |    FROM sub JOIN cb1n c ON sub.s = c.s) WHERE rnk = 1),
+        |cents AS (SELECT vec_id AS ccid, vu AS cv FROM micro WHERE vec_id % 37 = 0),
+        |coarse AS (SELECT m.vec_id AS id, c.ccid,
+        |    row_number() OVER (PARTITION BY m.vec_id
+        |      ORDER BY list_inner_product(m.vu, c.cv) DESC, c.ccid) AS rnk
+        |  FROM micro m CROSS JOIN cents c),
+        |cells AS (SELECT id AS nid, ccid FROM coarse WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, ccid FROM coarse WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (SELECT p.qid, c.nid FROM probes p JOIN cells c ON p.ccid = c.ccid
+        |         WHERE c.nid <> p.qid),
+        |lut AS (SELECT q.vec_id AS qid, c.s, c.cid,
+        |          list_inner_product(q.sub, q.sub)
+        |            - 2.0 * list_inner_product(q.sub, c.cw) + c.norm2 AS d
+        |        FROM sub q JOIN cb1n c ON q.s = c.s WHERE q.vec_id % 50 = 0),
+        |p AS (SELECT cand.qid, cand.nid, sum(l.d) AS adc
+        |      FROM cand JOIN enc e ON e.vec_id = cand.nid
+        |        JOIN lut l ON l.qid = cand.qid AND l.s = e.s AND l.cid = e.cid
+        |      GROUP BY 1, 2)
+        |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INT) AS rank
+        |FROM (SELECT qid, nid, adc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |      FROM p)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // ── per-group histogram quantiles: same integer-exact bucket trick
     //    as stats_quantile_hist, windows partitioned BY GROUP (the
     //    cumulative sums run over ≤ a few hundred bucket rows per group,

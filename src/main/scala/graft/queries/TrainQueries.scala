@@ -41,24 +41,35 @@ object TrainQueries {
        |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
        |WHERE floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 >= $t""".stripMargin
 
-  /** Integer MinHash signature CTE over the shingle CTE `tt` — mirrors
-    * functions.MinHashIntSigExpr: ONE md5 per shingle → 31-bit h (first
-    * 8 hex, sign bit cleared), then k=12 Carter-Wegman mixes
-    * (a_s·h + b_s) mod (2^31−1). All products < 2^61 → exact BIGINT in
-    * both engines.
+  /** One-permutation-hashing MinHash signature CTE over the shingle CTE
+    * `tt` — mirrors functions.OphMinHashSigExpr: per shingle ONE
+    * poly-Lehmer hash of its code points (`fold(a·31+cp) mod M` then
+    * `·48271 mod M`, M = 2³¹−1 — no md5), bin `h mod 12` keeps the min
+    * of one Carter-Wegman mix `(2654435761·h + 40503) mod M`, and empty
+    * bins densify by rotation: first non-empty bin to the right
+    * (circular) plus `t·M` for distance t; all-empty → −1. Every
+    * intermediate < 2⁶³ → exact BIGINT in both engines.
     */
-  private[queries] val intSigsSql =
+  private[queries] val ophSigsSql =
     """sigs AS (
-      |  SELECT id, list_transform(generate_series(0, 11),
-      |    s -> list_min(list_transform(hs,
-      |      h -> (((2654435761 * (s + 1)) % 1000000007) * h
-      |            + ((40503 * (s + 7)) % 1000000007)) % 2147483647))) AS sig
-      |  FROM (SELECT id,
-      |      list_transform(list_transform(sh, g -> md5(g)), m ->
-      |        CAST(list_sum(list_transform(generate_series(1, 8),
-      |          i -> (strpos('0123456789abcdef', substr(m, i, 1)) - 1)
-      |               * (16 ** (8 - i)))) AS BIGINT) & 2147483647) AS hs
-      |    FROM tt))""".stripMargin
+      |  SELECT id, list_transform(generate_series(0, 11), j ->
+      |      coalesce(bins[j + 1],
+      |        (list_filter(list_transform(generate_series(1, 11),
+      |           t -> CASE WHEN bins[CAST((j + t) % 12 AS INT) + 1] IS NOT NULL
+      |                THEN bins[CAST((j + t) % 12 AS INT) + 1]
+      |                     + t * 2147483647 END),
+      |          x -> x IS NOT NULL))[1],
+      |        -1)) AS sig
+      |  FROM (SELECT id, list_transform(generate_series(0, 11), b ->
+      |          list_min(list_transform(list_filter(hs, h -> h % 12 = b),
+      |            h -> (2654435761 * h + 40503) % 2147483647))) AS bins
+      |        FROM (SELECT id, list_transform(sh, g ->
+      |            CASE WHEN len(g) = 0 THEN 0
+      |              ELSE (list_reduce(list_transform(string_split(g, ''),
+      |                 c -> CAST(unicode(c) AS BIGINT)),
+      |                (acc, c) -> (acc * 31 + c) % 2147483647) * 48271)
+      |                % 2147483647 END) AS hs
+      |          FROM tt)))""".stripMargin
 
   /** MinHash-LSH oracle for a (bands, rows) parameterization over the
     * fixed k=12 signature (mirrors Dedup.minhashLsh with
@@ -66,7 +77,7 @@ object TrainQueries {
     */
   private def minhashLshSql(bands: Int, rows: Int, t: String): String =
     s"""WITH tt AS ($shinglesSql),
-       |$intSigsSql,
+       |$ophSigsSql,
        |bands AS (
        |  SELECT id,
        |    unnest(generate_series(0, ${bands - 1})) AS band,
@@ -321,7 +332,7 @@ object TrainQueries {
             array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))
           .localCheckpoint(eager = false)
         val sigs = base.select(col("id"),
-          graft.functions.minhash_int_sig(col("shset"), 12).as("sig"))
+          graft.functions.oph_minhash_sig(col("shset"), 12).as("sig"))
           .localCheckpoint(eager = false)
         val banded = sigs.select(col("id"),
           posexplode(transform(sequence(lit(0), lit(11)),
@@ -356,7 +367,7 @@ object TrainQueries {
           .orderBy(col("i"), col("j"))
       },
       s"""WITH tt AS ($shinglesSql),
-         |$intSigsSql,
+         |$ophSigsSql,
          |bands AS (
          |  SELECT id, unnest(generate_series(0, 11)) AS band,
          |    unnest(list_transform(generate_series(0, 11),
@@ -389,7 +400,7 @@ object TrainQueries {
         .orderBy(col("id")),
       s"""WITH tt AS ($shinglesSql),
          |sp AS (SELECT CAST(max(id) * 6 // 10 AS BIGINT) AS split FROM tt),
-         |$intSigsSql,
+         |$ophSigsSql,
          |bands AS (
          |  SELECT id,
          |    unnest(generate_series(0, 11)) AS band,

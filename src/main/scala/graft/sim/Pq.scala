@@ -103,7 +103,7 @@ object Pq {
     */
   def ivfPqTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, dims: Int,
                 m: Int, k: Int, topK: Int, queryMod: Int,
-                residual: Boolean = false,
+                residual: Boolean = false, lloydIters: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
@@ -137,8 +137,12 @@ object Pq {
         .join(cents, Seq("ccid"))
         .select(col("id"), zip_with(col("vu"), col("cv"), (a, b) => a - b).as("vu"))
         .localCheckpoint(eager = false)
-    val cb = codebook(base, m, subDim, k).localCheckpoint(eager = false)
     val sub = subvectors(base, m, subDim).localCheckpoint(eager = false)
+    // `lloydIters` Lloyd rounds refine the seeded codebooks, same as
+    // pqTopK — one broadcast assignment + one (s, cid, dim) rollup each
+    var cb = codebook(base, m, subDim, k).localCheckpoint(eager = false)
+    for (_ <- 1 to lloydIters)
+      cb = refine(sub, cb).localCheckpoint(eager = false)
     val enc = assign(sub, cb).select(col("id").as("nid"), col("s"), col("cid"))
 
     val adcRows =

@@ -205,7 +205,8 @@ private[sources] final case class MAggMax(column: String) extends ManifestAgg
 
 private class ManifestScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
@@ -213,6 +214,17 @@ private class ManifestScanBuilder(path: String)
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[ManifestAgg]] = None
   private var groupCols: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: the per-file row reader stops after `limit`
+    * (filter-surviving) lines — a LIMIT k over a fleet of side-file
+    * manifests reads ≤ k lines per file and closes early instead of
+    * draining every manifest; Spark applies the global limit
+    * (`isPartiallyPushed`). Lines aren't sorted, so top-N stays in
+    * Spark (it would have to read the whole file regardless).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order for a deterministic row layout
     required = StructType(ManifestDataSource.schema.fields
@@ -272,13 +284,14 @@ private class ManifestScanBuilder(path: String)
           case (MAggMax(c), i) => StructField(s"max_${c}_$i", StringType)
         })
     case None => required
-  }, pushed, aggs, groupCols)
+  }, pushed, aggs, groupCols, if (aggs.isEmpty) limit else None)
 }
 
 private class ManifestScan(path: String, required: StructType,
                            pushed: Array[org.apache.spark.sql.sources.Filter],
                            aggs: Option[Seq[ManifestAgg]] = None,
-                           groupCols: Seq[String] = Nil)
+                           groupCols: Seq[String] = Nil,
+                           limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -287,6 +300,7 @@ private class ManifestScan(path: String, required: StructType,
       aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
       (if (groupCols.isEmpty) ""
        else s"PushedGroupBy: [${groupCols.mkString(", ")}], ") +
+      limit.fold("")(l => s"PushedLimit: [$l], ") +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -300,7 +314,7 @@ private class ManifestScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, pushed, aggs, groupCols)
+    new ManifestReaderFactory(required, pushed, aggs, groupCols, limit)
 }
 
 private case class ManifestFilePartition(file: String) extends InputPartition
@@ -308,7 +322,8 @@ private case class ManifestFilePartition(file: String) extends InputPartition
 private class ManifestReaderFactory(required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggs: Option[Seq[ManifestAgg]] = None,
-    groupCols: Seq[String] = Nil)
+    groupCols: Seq[String] = Nil,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
@@ -334,10 +349,14 @@ private class ManifestReaderFactory(required: StructType,
           pushed.forall(ManifestDataSource.evalFilter(_, checksum, f, base))
         }
       }
+      private var emitted = 0
       override def next(): Boolean = {
+        // pushed limit: stop (and stop READING) after `limit` survivors
+        if (limit.exists(emitted >= _)) return false
         current = reader.readLine()
         while (current != null && (current.isEmpty || !passes(current)))
           current = reader.readLine()
+        if (current != null) emitted += 1
         current != null
       }
       override def get(): InternalRow =

@@ -142,14 +142,48 @@ private[sources] final case class WAggMax(column: String) extends WarcAgg
 
 private class WarcScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.NamedReference
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = WarcDataSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[WarcAgg]] = None
   private var groupCols: Seq[String] = Nil
+  private var limit: Option[Int] = None
+  private var topOrders: Seq[(String, Boolean)] = Nil
+
+  /** PARTIAL limit pushdown: each CDX-indexed file contributes at most
+    * `limit` entries (index mode serves ≤ limit rows per file; fetch
+    * mode range-reads ≤ limit members per file). Spark keeps the global
+    * limit — `isPartiallyPushed` — so sidecar-less files (full-scan
+    * partitions, which can't bound rows without reading) stay correct.
+    * A `LIMIT 10` over a 100 TB crawl touches ≤ 10 index lines per
+    * archive instead of every record.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** PARTIAL top-N pushdown over INDEX-SERVABLE sort keys: each indexed
+    * file sorts its (filter-surviving) CDX entries by the pushed order
+    * and keeps the top `limit` — `ORDER BY payload_len DESC LIMIT k`
+    * over a crawl reads only index lines and ships ≤ k rows per file to
+    * Spark's final TakeOrdered merge. Keys are all non-null, and the
+    * index columns are ASCII (binary order = Java order), so per-file
+    * ordering agrees with Spark's. Archive-only keys (date/record_id/
+    * payload) and agg-mode scans decline the pushdown.
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val cols = orders.toSeq.map(o => o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        WarcDataSource.indexServable.contains(r.fieldNames.head) =>
+        Some((r.fieldNames.head, o.direction() == SortDirection.DESCENDING))
+      case _ => None
+    })
+    if (aggs.nonEmpty || cols.isEmpty || cols.exists(_.isEmpty)) false
+    else { topOrders = cols.flatten; limit = Some(l); true }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(WarcDataSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
@@ -211,7 +245,9 @@ private class WarcScanBuilder(path: String)
       groupCols.map(c => StructField(c, WarcDataSource.schema(c).dataType)) ++
         a.zipWithIndex.map((aggField _).tupled))
     case None    => required
-  }, pushed, aggs, groupCols)
+  }, pushed, aggs, groupCols,
+    if (aggs.isEmpty) limit else None,
+    if (aggs.isEmpty) topOrders else Nil)
 }
 
 private sealed trait WarcPartition extends InputPartition
@@ -223,7 +259,9 @@ private case class WarcFetchPartition(dir: String, file: String,
 private class WarcScan(path: String, required: StructType,
                        pushed: Array[org.apache.spark.sql.sources.Filter],
                        aggs: Option[Seq[WarcAgg]] = None,
-                       groupCols: Seq[String] = Nil)
+                       groupCols: Seq[String] = Nil,
+                       limit: Option[Int] = None,
+                       topOrders: Seq[(String, Boolean)] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -232,7 +270,26 @@ private class WarcScan(path: String, required: StructType,
       aggs.fold("")(a => s"PushedAggregation: [${a.mkString(", ")}], ") +
       (if (groupCols.isEmpty) ""
        else s"PushedGroupBy: [${groupCols.mkString(", ")}], ") +
+      (if (topOrders.nonEmpty)
+        s"PushedTopN: [${topOrders.map { case (c, d) =>
+          c + (if (d) " DESC" else " ASC") }.mkString(", ")} LIMIT ${limit.get}], "
+      else limit.fold("")(l => s"PushedLimit: [$l], ")) +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}]"
+
+  /** Per-file pre-merge ordering for the pushed top-N (keys restricted
+    * to index-servable, non-null, ASCII columns).
+    */
+  private def cdxOrdering: Ordering[CdxEntry] =
+    topOrders.map { case (c, desc) =>
+      val base: Ordering[CdxEntry] = c match {
+        case "warc_file"      => Ordering.by(_.warc_file)
+        case "uri"            => Ordering.by(_.uri)
+        case "payload_len"    => Ordering.by(_.payload_len)
+        case "payload_sha256" => Ordering.by(_.payload_sha256)
+        case other => throw new IllegalArgumentException(s"unsortable $other")
+      }
+      if (desc) base.reverse else base
+    }.reduce(_ orElse _)
 
   // payload/date/record_id live only inside the archive members; pushed
   // aggregates are restricted to index-servable columns, so agg mode
@@ -257,8 +314,15 @@ private class WarcScan(path: String, required: StructType,
         // no sidecar: sequential walk, filters applied in the reader
         Seq(WarcFullScanPartition(f.toString): InputPartition)
       } else {
-        val kept = entries.filter(e => pushed.forall(
+        val kept0 = entries.filter(e => pushed.forall(
           WarcDataSource.evalFilter(_, e.warc_file, e.uri, e.payload_len)))
+        // pushed top-N / limit: ≤ limit entries survive PER FILE (the
+        // global merge is Spark's — isPartiallyPushed). Top-N sorts by
+        // the pushed keys first so the survivors are the file's true
+        // best; plain LIMIT takes any `limit` entries (order-free).
+        val kept =
+          if (topOrders.nonEmpty) kept0.sorted(cdxOrdering).take(limit.get)
+          else limit.fold(kept0)(kept0.take)
         if (kept.isEmpty) Seq.empty // whole file pruned
         else kept.grouped(2048).map[InputPartition] { group =>
           if (needsArchive) WarcFetchPartition(p.toString, f.getName, group)

@@ -44,7 +44,7 @@ object CorpusIngest {
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("shset"))
       .filter(size(col("shset")) > 0)
       .select(col("id"),
-        graft.functions.minhash_int_sig(col("shset"), K).as("sig"),
+        graft.functions.oph_minhash_sig(col("shset"), K).as("sig"),
         size(col("shset")).as("n_sh"))
 
   /** Band keys from a signature (LSH bucketing; bands must divide K). */

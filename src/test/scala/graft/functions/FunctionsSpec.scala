@@ -70,4 +70,20 @@ class FunctionsSpec extends SparkSpec {
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("partial_topk_by"), s"no partial aggregation in:\n$plan")
   }
+
+  test("sorted_intersect_count matches size(array_intersect) (declarative " +
+    "parity) over random sorted distinct arrays incl. empty/disjoint") {
+    val rng = new scala.util.Random(7)
+    val cases = (0 until 40).map { _ =>
+      val a = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    } ++ Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(5L), Seq.empty[Long]),
+      (Seq(1L, 3L), Seq(2L, 4L)))
+    val df = cases.toDF("a", "b")
+    val got = df.select(sorted_intersect_count($"a", $"b"),
+      size(array_intersect($"a", $"b")).cast("long"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, d) => assert(n == d, s"native $n vs declarative $d") }
+  }
 }

@@ -151,4 +151,19 @@ class ManifestSourceSpec extends SparkSpec {
       .contains("PushedAggregation"))
     assert(distinct.head().getLong(0) == 3L)
   }
+
+  test("LIMIT pushes into the scan: per-file reader stops after k " +
+    "survivors; composes with pushed filters") {
+    val base = spark.read.format("graft.sources.ManifestDataSource").load(dir)
+    val q = base.limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit"), plan)
+    assert(q.collect().length == 2)
+    // with a pushed filter: the limit counts SURVIVORS, not raw lines
+    val qf = base.filter($"basename" === "c.json").limit(5)
+    val planF = qf.queryExecution.executedPlan.toString
+    assert(planF.contains("PushedLimit") && planF.contains("PushedFilters"))
+    val rows = qf.select($"basename").as[String].collect().toSeq
+    assert(rows == Seq("c.json"))
+  }
 }

@@ -191,4 +191,55 @@ class WarcSourceSpec extends SparkSpec {
     val rows = q.orderBy($"warc_file").as[(String, Long, Long)].collect().toSeq
     assert(rows == Seq(("crawl-a.warc.gz", 2L, 2L), ("crawl-b.warc.gz", 1L, 1L)))
   }
+
+  test("ORDER BY payload_len DESC LIMIT k pushes top-N into the scan — " +
+    "index-only, archives deleted, ≤ k entries per file") {
+    val dir = writtenDir()
+    Files.delete(dir.resolve("crawl-a.warc.gz"))
+    Files.delete(dir.resolve("crawl-b.warc.gz"))
+    val q = spark.read.format(fmt).load(dir.toString)
+      .select($"uri", $"payload_len")
+      .orderBy($"payload_len".desc, $"uri")
+      .limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), plan)
+    // archives are gone: completes only index-only; result is the true
+    // global top-2 by (payload_len DESC, uri) — a total order, so the
+    // per-file pre-merge can't change the answer
+    val got = q.as[(String, Long)].collect().toSeq
+    val want = Seq(
+      ("https://corpus.invalid/crawl-a/2",
+        "second record body".getBytes("UTF-8").length.toLong),
+      ("https://corpus.invalid/crawl-b/10",
+        "b-side payload ✓".getBytes("UTF-8").length.toLong))
+    assert(got == want, s"got $got")
+  }
+
+  test("top-N pushdown with a fetch-mode projection reads only the top " +
+    "members; archive-only sort keys decline") {
+    val dir = writtenDir()
+    val q = spark.read.format(fmt).load(dir.toString)
+      .select($"uri", $"payload")
+      .orderBy($"payload_len".desc, $"uri").limit(1)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    val got = q.collect().map(r =>
+      (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toSeq
+    assert(got == Seq(("https://corpus.invalid/crawl-a/2", "second record body")))
+    // date lives only inside the archive: the source must decline
+    val q2 = spark.read.format(fmt).load(dir.toString)
+      .select($"uri", $"date").orderBy($"date".desc).limit(1)
+    assert(!q2.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(q2.collect().length == 1) // Spark-side sort still answers
+  }
+
+  test("bare LIMIT pushes into the scan (index mode) and stays partial") {
+    val dir = writtenDir()
+    Files.delete(dir.resolve("crawl-a.warc.gz"))
+    Files.delete(dir.resolve("crawl-b.warc.gz"))
+    val q = spark.read.format(fmt).load(dir.toString)
+      .select($"uri", $"payload_len").limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit"), plan)
+    assert(q.collect().length == 2)
+  }
 }

@@ -306,6 +306,71 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L))   // reps 1 and 5, singleton 4
   }
 
+  test("OPH signature matches a plain-Scala reference: binning, rotation " +
+    "densification (+t·M), empty-set sentinel") {
+    val M = 2147483647L
+    def ref(shingles: Seq[String], k: Int): Seq[Long] = {
+      val bins = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        var a = 0L
+        s.codePoints().toArray.foreach(cp => a = (a * 31 + cp) % M)
+        val h = (a * 48271L) % M
+        val v = (2654435761L * h + 40503L) % M
+        val b = (h % k).toInt
+        if (v < bins(b)) bins(b) = v
+      }
+      (0 until k).map { j =>
+        if (bins(j) != Long.MaxValue) bins(j)
+        else (1 until k).collectFirst {
+          case t if bins((j + t) % k) != Long.MaxValue => bins((j + t) % k) + t * M
+        }.getOrElse(-1L)
+      }
+    }
+    // few shingles << k forces empty bins → the densification path runs
+    val cases = Seq(Seq("alpha beta gamma"), Seq("a b c", "d e f", "g h i"),
+      (1 to 40).map(i => s"tok$i x y"), Seq.empty[String])
+    cases.foreach { sh =>
+      val got = Seq(Tuple1(sh)).toDF("shset")
+        .select(graft.functions.oph_minhash_sig($"shset", 12))
+        .as[Seq[Long]].head()
+      assert(got == ref(sh, 12), s"shingles $sh")
+    }
+  }
+
+  test("OPH estimator parity: per-position match rate tracks exact jaccard " +
+    "as well as the k-mix family on planted-overlap pairs") {
+    // pairs at controlled overlap: doc b shares the first f% of doc a's
+    // 200 tokens; jaccard of 3-shingle sets ≈ known. Compare BOTH
+    // signature families' |est − jaccard| — OPH must not be worse than
+    // the k-mix family by more than 0.08 mean absolute error at k=12
+    // (both are 12-sample estimators; this pins "same-quality signature")
+    val toks = (1 to 260).map(i => s"w$i")
+    val docs = (0 until 40).flatMap { p =>
+      val keep = 40 + 4 * p // shared prefix length: 40..196 tokens
+      Seq((2L * p, toks.take(200).mkString(" ")),
+        (2L * p + 1,
+          (toks.take(keep) ++ toks.slice(keep + 30, keep + 230 - keep + 30))
+            .mkString(" ")))
+    }.toDF("doc_id", "text")
+    val base = docs.select($"doc_id".as("id"),
+      array_distinct(graft.text.TextAnalysis.shingles($"text", 3)).as("shset"))
+    def errs(sig: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double = {
+      val s = base.select($"id", sig($"shset").as("sig"), $"shset")
+      val a = s.filter($"id" % 2 === 0).select(($"id" / 2).cast("long").as("p"),
+        $"sig".as("sa"), $"shset".as("ha"))
+      val b = s.filter($"id" % 2 === 1).select((($"id" - 1) / 2).cast("long").as("p"),
+        $"sig".as("sb"), $"shset".as("hb"))
+      a.join(b, "p").select(
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 12.0").as("est"),
+        expr("size(array_intersect(ha, hb)) / CAST(size(ha) + size(hb) - size(array_intersect(ha, hb)) AS DOUBLE)").as("jac"))
+        .select(avg(abs($"est" - $"jac"))).as[Double].head()
+    }
+    val ophErr = errs(c => graft.functions.oph_minhash_sig(c, 12))
+    val intErr = errs(c => graft.functions.minhash_int_sig(c, 12))
+    assert(ophErr <= intErr + 0.08,
+      f"OPH mean |est-J| $ophErr%.4f vs k-mix $intErr%.4f")
+  }
+
   test("simhash pairs: planted near-identical docs collide within hamming 6") {
     val base = "spark query engine shuffles data across the cluster for joins and aggregates today"
     val docs = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words entirely unrelated zebra"))
