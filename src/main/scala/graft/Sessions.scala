@@ -25,4 +25,38 @@ object Sessions {
     GraftExtensions.register(spark)
     spark
   }
+
+  /** Fully-qualified class of Spark's bundled RocksDB state store provider
+    * (rocksdbjni ships in Spark's jars — no extra dependency).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch streaming state to the RocksDB provider for queries started
+    * AFTER this call (the provider is read from the session conf at query
+    * start; running queries keep the store they started with).
+    *
+    * Why this exists: the default HDFSBackedStateStoreProvider keeps every
+    * key's state as deserialized JVM objects on the executor heap — at
+    * 100 TB corpus cardinality (hundreds of millions of live sessionize /
+    * retry / trending keys per partition group) that's an OOM, not a
+    * tuning problem. RocksDB keeps state off-heap/on-disk with block-cache
+    * reads, so per-executor state is bounded by disk, not heap, and
+    * changelog checkpointing uploads per-batch deltas instead of
+    * re-snapshotting the full store (`Trending`/`Sessionize`/
+    * `EventStream.retryTracker` state survives key-cardinality growth
+    * without executor sizing changes).
+    *
+    * All `mapGroupsWithState`/`dropDuplicates*` legs in `graft.streaming`
+    * are provider-agnostic (state is Tungsten-row encoded either way);
+    * RocksDbStateSpec pins a planted hot-key + wide-cardinality run on
+    * this provider and asserts the rocksdb metrics fired.
+    */
+  def useRocksDbState(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    // per-batch delta uploads instead of full-store snapshots at commit
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark
+  }
 }

@@ -141,10 +141,50 @@ object ScaleProbe {
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // SPARK_GRAFT_PROBE_EVENTS=1: events-growth mode — k× NEW USERS,
+    // each carrying the base corpus's per-user history (event_id/user_id
+    // offset per copy; timestamps unchanged). Per-user session/window/
+    // as-of state stays constant-size while total events and distinct
+    // keys scale k× — organic audience growth, the shape that stresses
+    // the events family's user-grain exchanges and state stores.
+    val eventsMode = sys.env.get("SPARK_GRAFT_PROBE_EVENTS").contains("1")
+    if (eventsMode) {
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val evOff = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      val userOff = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+      withCopies(ev)
+        .withColumn("event_id", col("event_id") + col("cp") * evOff)
+        .withColumn("user_id", col("user_id") + col("cp") * userOff)
+        .drop("cp")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+    // SPARK_GRAFT_PROBE_EMB=1: embedding-growth mode — k× NEW VECTORS:
+    // vec_id offset per copy (uniform residues preserved, so the
+    // mod-based query/centroid membership keeps its base-scale rates —
+    // queries, cells and Σ cell-size all grow organically), components
+    // of copies ≥ 1 perturbed by a deterministic ±5% relative jitter
+    // (hash of (id, dim)) so copies are distinct points in the same
+    // distribution, not k-fold degenerate clones stacking one location.
+    val embMode = sys.env.get("SPARK_GRAFT_PROBE_EMB").contains("1")
+    if (embMode) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val vecOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      withCopies(emb)
+        .select((col("vec_id") + col("cp") * vecOff).as("vec_id"),
+          when(col("cp") === 0, col("embedding")).otherwise(
+            expr("""transform(embedding, (x, i) ->
+              CAST(x * (1.0 + (pmod(xxhash64(vec_id, i, cp), 1001) - 500) / 10000.0)
+                     AS FLOAT))""")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
     // dimensions + untouched tables: byte-for-byte copies (schema-exact —
     // a read/rewrite would e.g. turn events' TIMESTAMP(NANOS) into int64)
-    Seq("region", "nation", "customer", "supplier", "part", "events",
-      "embeddings").foreach { t =>
+    (Seq("region", "nation", "customer", "supplier", "part") ++
+      (if (eventsMode) Nil else Seq("events")) ++
+      (if (embMode) Nil else Seq("embeddings"))).foreach { t =>
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")
       val dst = java.nio.file.Paths.get(s"$out/$t.parquet")
       java.nio.file.Files.createDirectories(dst.getParent)
