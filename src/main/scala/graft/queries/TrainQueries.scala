@@ -1180,6 +1180,56 @@ object TrainQueries {
         |  FROM pairs WHERE sim >= 0.2)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── auto-sized LSH ANN (the 100 TB operating point): planes <= 0
+    //    picks the smallest p with 2^p cells ≥ ⌈n/64⌉, so expected bucket
+    //    occupancy stays ≤ 64 at ANY corpus size — with planes FIXED the
+    //    candidate join is n²/2^planes (the r8 100× probe at planes=5
+    //    spilled 60 GB and was killed). The oracle replays the plane-count
+    //    choice itself: an integer-exact ⌈log2⌉ via counting powers of two
+    //    below the cell target, then the same sign matrix / bucket /
+    //    rescore pipeline at that width. ──
+    "ann_lsh_auto" -> QueryDef(
+      (spark, dir) =>
+        Similarity.lshTopK(Tables.embeddings(spark, dir),
+          tables = 12, planes = 0, dims = 64, k = 5, threshold = 0.2)
+          .orderBy(col("qid"), col("rank")),
+      """WITH pl AS (
+        |  SELECT greatest(1, (
+        |    SELECT count(*) FROM generate_series(0, 61) g(p)
+        |    WHERE (1::BIGINT << p) < ((SELECT count(*) + 63 FROM embeddings) // 64)
+        |  ))::INT AS planes),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 11)) AS t),
+        |                        (SELECT unnest(generate_series(0, (SELECT planes FROM pl) - 1)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS qid, b.id AS nid
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs WHERE sim >= 0.2)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // ── IVF-style ANN (coarse quantize → probe top-2 cells → exact
     //    rescore). Sampled centroids are data-rows, so the oracle replays
     //    the whole index build + probe in SQL. ──
@@ -1190,6 +1240,47 @@ object TrainQueries {
           .orderBy(col("qid"), col("rank")),
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── auto-sized IVF (the 100 TB operating point): centroidMod <= 0
+    //    picks ⌊√n⌋, so the centroid table grows as √n instead of n/37 —
+    //    with the mod FIXED the broadcast n×m assignment leg is n²/37
+    //    (the r8 100× probe measures it directly). The oracle replays the
+    //    ⌊√n⌋ choice (IEEE-exact floor(sqrt) both sides) and the whole
+    //    assign → probe → rescore pipeline at that cell count. ──
+    "ann_ivf_auto" -> QueryDef(
+      (spark, dir) =>
+        Similarity.ivfTopK(Tables.embeddings(spark, dir),
+          centroidMod = 0, nprobe = 2, k = 5, queryMod = 50)
+          .orderBy(col("qid"), col("rank")),
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
         |assign AS (
         |  SELECT e.vec_id AS id, c.cid,
         |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d

@@ -111,16 +111,26 @@ object Pq {
       .localCheckpoint(eager = false)
 
     // coarse quantizer: every centroidMod-th vector; n×(n/centroidMod)
-    // assignment via ONE broadcast (the deliberate BNLJ-cross of ivfTopK)
-    val cents = micro.filter(pmod(col("id"), lit(centroidMod)) === 0)
+    // assignment via ONE broadcast (the deliberate BNLJ-cross of ivfTopK).
+    // centroidMod <= 0 → ⌊√n⌋ auto-sizing, same rationale and same
+    // IEEE-exact SQL replay as Similarity.ivfTopK: fixed mod makes the
+    // assignment leg n²/mod, √n cells makes it n^1.5.
+    val mod =
+      if (centroidMod > 0) centroidMod.toLong
+      else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+    val cents = micro.filter(pmod(col("id"), lit(mod)) === 0)
       .select(col("id").as("ccid"), col("vu").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("cd").desc, col("ccid"))
+    // top-nprobe cells per point via the bounded-heap aggregate (map-side
+    // partial: n rows reach the exchange, not n×m — same rewrite and same
+    // r8 100×-probe rationale as Similarity.ivfTopK; tie order
+    // (cd desc, ccid asc) is topk_by's contract)
     val pruned = micro.crossJoin(broadcast(cents))
       .withColumn("cd", graft.functions.dot_product(col("vu"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= math.max(nprobe, 1))
-      .select(col("id"), col("ccid"), col("rnk"))
+      .groupBy(col("id"))
+      .agg(graft.functions.topk_by(col("cd"), col("ccid"),
+        math.max(nprobe, 1)).as("top"))
+      .select(col("id"), explode(col("top")).as("t"))
+      .select(col("id"), col("t.nid").as("ccid"), col("t.rank").as("rnk"))
       .localCheckpoint(eager = false)
     val cells = pruned.filter(col("rnk") === 1)
       .select(col("id").as("nid"), col("ccid"))

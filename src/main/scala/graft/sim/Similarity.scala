@@ -107,20 +107,37 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, k: Int, queryMod: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = emb.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+    // centroidMod <= 0 → auto-size to ⌊√n⌋ (cells ≈ √n): a FIXED mod
+    // keeps per-cell occupancy constant but grows the centroid table
+    // linearly, so the n×m assignment leg is n²/mod — the r8 100×
+    // embedding-growth probe measures exactly that. √n cells is the
+    // classic IVF balance: assignment n^1.5, probe volume nprobe·√n per
+    // query. floor(sqrt) is IEEE-exact for n ≪ 2^52, so the SQL oracle
+    // replays the choice bit-for-bit.
+    val mod =
+      if (centroidMod > 0) centroidMod.toLong
+      else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+    val cents = emb.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
     // the BroadcastNestedLoopJoin-Cross in this plan IS the n×m assignment
-    // step (m ≪ n centroids broadcast) — deliberate, not a missing join key
+    // step (m ≪ n centroids broadcast) — deliberate, not a missing join key.
+    // Top-nprobe cells per point via the bounded-heap aggregate: the
+    // crossJoin emits a point's m assignment rows consecutively, so the
+    // map-side partial collapses them to ONE heap row before the exchange
+    // — n rows shuffled, not n×m (the row_number window this replaces
+    // sorted the full n×m mass through one exchange; at the r8 100×
+    // embedding-growth probe that was 1.08B rows and the query DNF'd).
+    // Tie order (d desc, cid asc) is topk_by's (score desc, id asc).
     val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("d", round6(dot(col("v"), col("cv"))))
-      .withColumn("rnk", row_number().over(w))
     // materialize the pruned assignment ONCE (lazy checkpoint) — cells and
     // probes both branch off it, and without this the n·m assignment
     // subtree is evaluated twice
-    val pruned = ranked.filter(col("rnk") <= math.max(nprobe, 1))
-      .select(col("id"), col("cid"), col("rnk"))
+    val pruned = ranked.groupBy(col("id"))
+      .agg(graft.functions.topk_by(col("d"), col("cid"), math.max(nprobe, 1)).as("top"))
+      .select(col("id"), explode(col("top")).as("t"))
+      .select(col("id"), col("t.nid").as("cid"), col("t.rank").as("rnk"))
       .localCheckpoint(eager = false)
     val cells = pruned.filter(col("rnk") === 1).select(col("id"), col("cid"))
     val probes = pruned
@@ -129,7 +146,10 @@ object Similarity {
     val cand = probes
       .join(cells.select(col("id").as("nid"), col("cid")), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    // same sort-free vector re-attach as lshTopK (SHJ when it fits)
+    val vecs0 = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val vecs = graft.ops.Hints.shuffleHashIfFits(
+      vecs0, graft.ops.Hints.estimatedBytes(vecs0))
     cand
       .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
       .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
@@ -316,26 +336,67 @@ object Similarity {
     * candidates share a bucket in ANY of `tables` tables — recall
     * 1-(1-p^planes)^tables), exact re-score inside buckets. The join
     * shuffles on (table, signature); cost is Σ bucket², never n².
+    *
+    * Σ bucket² is only sub-quadratic when the bucket count TRACKS n:
+    * with `planes` fixed, occupancy n/2^planes grows linearly and the
+    * candidate join degrades to n²/2^planes (measured: the r8 100×
+    * embedding-growth probe at planes=5/200k vectors spilled 60 GB of
+    * candidate shuffle and was killed — tuned-for-2k buckets held 6k+
+    * vectors each). Pass `planes <= 0` to auto-size: the smallest p with
+    * 2^p ≥ ⌈n / targetOccupancy⌉ cells, i.e. expected occupancy ≤
+    * `targetOccupancy` AT ANY n, which keeps per-point candidate volume
+    * ~tables × targetOccupancy, linear in n. `maxBucket` (default 4096,
+    * the `minhashLsh` precedent) additionally drops pathological
+    * skew-buckets — a bucket that big holds ≫k near-ties per query in
+    * the OTHER tables anyway, and exact mode is an explicit
+    * `Int.MaxValue` opt-in.
     */
   def lshTopK(emb: DataFrame, tables: Int, planes: Int, dims: Int, k: Int,
               threshold: Double,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = emb.count()
+        val cells = (n + targetOccupancy - 1) / targetOccupancy
+        // count of p with 2^p < cells == ⌈log2 cells⌉, integer-exact (the
+        // same counting form the ann_lsh_auto oracle replays in SQL —
+        // no float log2 at power-of-two edges on either side)
+        math.max(1, (0 until 62).count(p => (1L << p) < cells))
+      }
     // signatures computed once per vector via the native all-tables
     // expression (precomputed sign matrix — see LshSigExpr); candidate ids
     // deduped BEFORE vectors are re-attached (distinct on two longs, not
     // two float arrays). The checkpoint stops the self-join from running
     // the signature subtree + shuffle twice (no exchange reuse across the
     // aliased sides).
-    val sig = emb.select(col(idCol).as("id"),
-      posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
+    val sig0 = emb.select(col(idCol).as("id"),
+      posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .localCheckpoint(eager = false)
+    // skew guard: the window count shares the (table, bucket) grain the
+    // candidate join shuffles on — no extra exchange
+    val sig =
+      if (maxBucket == Int.MaxValue) sig0
+      else sig0
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("table"), col("bucket"))))
+        .filter(col("bn") <= maxBucket).drop("bn")
     val cand = sig.as("a").join(sig.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .distinct()
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    // vector re-attach: the candidate side is tables×occupancy rows PER
+    // POINT (the r8 100× probe: 118M pairs at 200k vectors) — once the
+    // vector table outgrows broadcast, an unhinted plan sort-merge-joins
+    // the pair mass TWICE. SHUFFLE_HASH on the vector side (size-gated)
+    // keeps the big side sort-free: it hash-shuffles and streams.
+    val vecs0 = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val vecs = graft.ops.Hints.shuffleHashIfFits(
+      vecs0, graft.ops.Hints.estimatedBytes(vecs0))
     val pairs = cand
       .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
       .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))

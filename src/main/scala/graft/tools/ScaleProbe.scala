@@ -98,8 +98,11 @@ object ScaleProbe {
     def withCopies(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
 
     // (graph mode leaves documents 1× — the graph family never reads it,
-    // and the token-suffix transform is the synthesis' expensive leg)
-    val skipDocs = sys.env.get("SPARK_GRAFT_PROBE_GRAPH").contains("1")
+    // and the token-suffix transform is the synthesis' expensive leg;
+    // SPARK_GRAFT_PROBE_SKIPDOCS=1 does the same for any family-focused
+    // probe that never touches documents, e.g. events/ANN)
+    val skipDocs = sys.env.get("SPARK_GRAFT_PROBE_GRAPH").contains("1") ||
+      sys.env.get("SPARK_GRAFT_PROBE_SKIPDOCS").contains("1")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     (if (skipDocs) docs.withColumn("cp", lit(0L)) else withCopies(docs))
@@ -121,25 +124,30 @@ object ScaleProbe {
     // /customer are broken by design in this mode — use it only for the
     // graph probes, and write it to its own out dir.
     val graphMode = sys.env.get("SPARK_GRAFT_PROBE_GRAPH").contains("1")
-    val orders = spark.read.parquet(s"$base/orders.parquet")
-    val ordOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    val custOff = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1
-    def offsetIf(on: Boolean, c: String, off: Long)(df: DataFrame) =
-      if (on) df.withColumn(c, col(c) + col("cp") * off) else df
-    withCopies(orders)
-      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ordOff)
-      .transform(offsetIf(graphMode, "o_custkey", custOff))
-      .drop("cp")
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    val partOff = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
-    val suppOff = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
-    withCopies(li)
-      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ordOff)
-      .transform(offsetIf(graphMode, "l_partkey", partOff))
-      .transform(offsetIf(graphMode, "l_suppkey", suppOff))
-      .drop("cp")
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // SPARK_GRAFT_PROBE_SKIPFACTS=1: leave orders/lineitem 1× (byte
+    // copies) for probes of families that never read the TPC-H facts
+    val skipFacts = sys.env.get("SPARK_GRAFT_PROBE_SKIPFACTS").contains("1")
+    if (!skipFacts) {
+      val orders = spark.read.parquet(s"$base/orders.parquet")
+      val ordOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val custOff = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1
+      def offsetIf(on: Boolean, c: String, off: Long)(df: DataFrame) =
+        if (on) df.withColumn(c, col(c) + col("cp") * off) else df
+      withCopies(orders)
+        .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ordOff)
+        .transform(offsetIf(graphMode, "o_custkey", custOff))
+        .drop("cp")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val partOff = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+      val suppOff = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+      withCopies(li)
+        .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ordOff)
+        .transform(offsetIf(graphMode, "l_partkey", partOff))
+        .transform(offsetIf(graphMode, "l_suppkey", suppOff))
+        .drop("cp")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
 
     // SPARK_GRAFT_PROBE_EVENTS=1: events-growth mode — k× NEW USERS,
     // each carrying the base corpus's per-user history (event_id/user_id
@@ -183,6 +191,7 @@ object ScaleProbe {
     // dimensions + untouched tables: byte-for-byte copies (schema-exact —
     // a read/rewrite would e.g. turn events' TIMESTAMP(NANOS) into int64)
     (Seq("region", "nation", "customer", "supplier", "part") ++
+      (if (skipFacts) Seq("orders", "lineitem") else Nil) ++
       (if (eventsMode) Nil else Seq("events")) ++
       (if (embMode) Nil else Seq("embeddings"))).foreach { t =>
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")

@@ -463,6 +463,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("lshTopK auto-planes sizes buckets to the corpus; mega-buckets drop under the cap") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count()
+    // planes = 0 → smallest p with 2^p ≥ ⌈n/64⌉ (integer-exact): at this
+    // sf the choice must equal the counting form the oracle replays
+    val expectedPlanes = math.max(1,
+      (0 until 62).count(p => (1L << p) < (n + 63) / 64))
+    val auto = Similarity.lshTopK(e, tables = 12, planes = 0, dims = 64,
+      k = 5, threshold = 0.0)
+    val manual = Similarity.lshTopK(e, tables = 12, planes = expectedPlanes,
+      dims = 64, k = 5, threshold = 0.0)
+    assert(auto.collect().toSet == manual.collect().toSet)
+    // planted mega-bucket: many copies of ONE vector land in the same
+    // bucket in every table; with maxBucket below the clone count the
+    // clone pairs vanish, while maxBucket=Int.MaxValue keeps them
+    val base = e.limit(8)
+    val clones = spark.range(500).crossJoin(base.limit(1))
+      .select(($"id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val planted = base.unionByName(clones)
+    val capped = Similarity.lshTopK(planted, tables = 2, planes = 1, dims = 64,
+      k = 5, threshold = -1.0, maxBucket = 100)
+      .filter($"qid" >= 100000L)
+    assert(capped.count() == 0L)
+    val exact = Similarity.lshTopK(planted, tables = 2, planes = 1, dims = 64,
+      k = 5, threshold = -1.0, maxBucket = Int.MaxValue)
+      .filter($"qid" >= 100000L)
+    assert(exact.count() > 0L)
+  }
+
   test("randProj preserves relative distances (JL property, deterministic)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
       .withColumn("vu", expr("transform(embedding, " +
