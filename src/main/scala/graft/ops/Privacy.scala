@@ -220,4 +220,51 @@ object Privacy {
       .withColumn("dp_count",
         greatest(lit(0L), col("true_count") + col("noise")))
   }
+
+  /** Differentially-private quantiles by POST-PROCESSING a DP histogram:
+    * the only ε-bearing step is one [[dpGeometricCounts]] release over the
+    * PUBLIC bucket domain `[0, nBuckets)` (disjoint buckets → parallel
+    * composition, so the whole histogram is one ε = ln 2 release); each
+    * requested percentile is then the first bucket whose released
+    * cumulative reaches ⌈pct·total/100⌉ — a function of the released
+    * counts alone, so it costs no additional privacy (post-processing
+    * invariance, Dwork–Roth Prop. 2.1). The bucket GRID must be public
+    * (a fixed value ladder, like [[generalizeToK]]'s $-buckets); rows
+    * whose bucket falls outside it are dropped by the domain gate.
+    *
+    * All arithmetic is integer (geometric noise, clamped counts, ceil
+    * division), so a release replays bit-exactly in any engine from
+    * (seed, grid) alone.
+    *
+    * Scale (100 TB): the histogram is ONE map-combined count over the
+    * public buckets; everything downstream — cumulative (triangular join),
+    * total, percentile selection — works the ≤`nBuckets`-row release
+    * frame, broadcast everywhere. No global window, no second pass over
+    * the data, at any corpus size.
+    */
+  def dpHistogramQuantiles(df: DataFrame, bucketCol: String, seed: String,
+                           nBuckets: Int, pcts: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      "nBuckets in [1, 65536] — the release frame is broadcast downstream")
+    val domain = spark.range(nBuckets.toLong).toDF("b")
+    // the ε-bearing step: one geometric-mechanism histogram release.
+    // Checkpointed because the cumulative reads it from two sides (and a
+    // two-sided op over shared lineage trips DetectAmbiguousSelfJoin).
+    val hist = dpGeometricCounts(df, bucketCol, seed, domain)
+      .select(col("grp").cast("long").as("b"), col("dp_count"))
+      .localCheckpoint(eager = false)
+    // released cumulative via the triangular tiny-frame join (≤ nBuckets²/2
+    // rows — the Drift.ksProfile pattern; a global window would serialize)
+    val cum = hist.select(col("b").as("cb"))
+      .join(hist.select(col("b").as("b2"), col("dp_count").as("c2")),
+        col("b2") <= col("cb"))
+      .groupBy(col("cb")).agg(sum(col("c2")).as("cum"))
+    val tot = hist.agg(sum(col("dp_count")).as("tot"))
+    pcts.toDF("pct").crossJoin(broadcast(tot))
+      .withColumn("target", expr("(tot * pct + 99) DIV 100"))
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("pct")).agg(min(col("cb")).as("bucket"))
+  }
 }

@@ -721,7 +721,63 @@ object AnalyticsQueries {
          |  FROM h)
          |SELECT grp, true_count, noise,
          |  greatest(CAST(0 AS BIGINT), true_count + noise) AS dp_count
-         |FROM n ORDER BY grp""".stripMargin)
+         |FROM n ORDER BY grp""".stripMargin),
+
+    // ── DP quantiles = post-processed DP histogram: ONE geometric-
+    //    mechanism release over a public $50k price grid (disjoint
+    //    buckets → parallel composition, ε = ln 2 total), then each
+    //    percentile reads the first bucket whose released cumulative
+    //    reaches ⌈pct·total/100⌉ — post-processing, no extra ε. Oracle
+    //    replays the md5 noise draw and the ceil-division selection
+    //    bit-exactly ──
+    "privacy_dp_quantile" -> QueryDef(
+      (spark, dir) => {
+        val buckets = Tables.orders(spark, dir)
+          .select(expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 5000000")
+            .as("b"))
+        graft.ops.Privacy
+          .dpHistogramQuantiles(buckets, "b", "graftdpq", 128,
+            Seq(25, 50, 75, 90, 99))
+          .select(col("pct"), col("bucket"),
+            (col("bucket") * 5000000L).as("lo_cents"))
+          .orderBy(col("pct"))
+      },
+      """WITH c0 AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    // 5000000 AS b FROM orders),
+        |dom AS (SELECT CAST(unnest(generate_series(0, 127)) AS BIGINT) AS grp),
+        |cnt AS (SELECT b AS grp, CAST(count(*) AS BIGINT) AS tc
+        |        FROM c0 WHERE b BETWEEN 0 AND 127 GROUP BY 1),
+        |c AS (SELECT dom.grp, coalesce(cnt.tc, 0) AS true_count
+        |      FROM dom LEFT JOIN cnt USING (grp)),
+        |h AS (SELECT grp, true_count,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5('graftdpq|a|' || grp), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS ha,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5('graftdpq|b|' || grp), i, 1)) - 1)
+        |           * (16 ** (8 - i)))) AS BIGINT) AS hb
+        |  FROM c),
+        |d AS (SELECT grp,
+        |    greatest(0, true_count +
+        |      CAST((CASE WHEN 4294967295 - ha = 0 THEN 32
+        |            ELSE 32 - length(bin(4294967295 - ha)) END)
+        |         - (CASE WHEN 4294967295 - hb = 0 THEN 32
+        |            ELSE 32 - length(bin(4294967295 - hb)) END) AS BIGINT))
+        |      AS dp
+        |  FROM h),
+        |cum AS (SELECT d1.grp AS cb, CAST(sum(d2.dp) AS BIGINT) AS cum
+        |        FROM d d1 JOIN d d2 ON d2.grp <= d1.grp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dp) AS BIGINT) AS tot FROM d),
+        |q AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+        |t AS (SELECT pct, (tot.tot * pct + 99) // 100 AS target
+        |      FROM q CROSS JOIN tot)
+        |SELECT CAST(t.pct AS INT) AS pct, CAST(min(cb) AS BIGINT) AS bucket,
+        |  CAST(min(cb) * 5000000 AS BIGINT) AS lo_cents
+        |FROM t JOIN cum ON cum.cum >= t.target
+        |GROUP BY t.pct ORDER BY pct""".stripMargin)
   )
 
   /** customer ⋈ broadcast(nation) ⋈ broadcast(region) with integer-cents

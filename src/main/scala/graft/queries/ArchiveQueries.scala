@@ -240,6 +240,68 @@ object ArchiveQueries {
         |FROM documents
         |ORDER BY payload_len DESC, uri LIMIT 20""".stripMargin),
 
+    // ── cross-crawl revisit detection (the dedup accounting behind WARC
+    //    `revisit` records): two crawl snapshots of the same sites —
+    //    crawl A misses doc_id≡4 (mod 5) pages, crawl B recaptures
+    //    everything with doc_id≡0 (mod 3) pages CHANGED since A. Each
+    //    B capture classifies as revisit (digest unchanged → the crawler
+    //    stores a pointer, not the payload), changed, or new, entirely
+    //    from the CDX sidecars: both sides are INDEX-ONLY scans (uri,
+    //    digest, length — archives never opened), the join shuffles at
+    //    URI grain of the index, and `bytes` on the revisit row is the
+    //    storage the revisit mechanism saves. Oracle recomputes both
+    //    crawls' digests from the source rows ──
+    "web_warc_revisit" -> QueryDef(
+      (spark, dir) => {
+        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmpA = "/tmp/graft_warc/reva_" + sfx
+        val tmpB = "/tmp/graft_warc/revb_" + sfx
+        val fs = new org.apache.hadoop.fs.Path(tmpA)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(tmpA, tmpB).foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(t), true))
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        graft.sources.Warc
+          .write(docs.filter(col("doc_id") % 5 =!= 4), tmpA)
+          .localCheckpoint(eager = true)
+        val docsB = docs.withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" upd")))
+            .otherwise(col("text")))
+        graft.sources.Warc.write(docsB, tmpB).localCheckpoint(eager = true)
+        val a = spark.read.format("graft.sources.WarcDataSource").load(tmpA)
+          .select(col("uri").as("a_uri"), col("payload_sha256").as("a_digest"))
+        val b = spark.read.format("graft.sources.WarcDataSource").load(tmpB)
+          .select(col("uri"), col("payload_sha256").as("digest"),
+            col("payload_len"))
+        b.join(a, col("uri") === col("a_uri"), "left")
+          .select(
+            when(col("a_digest").isNull, lit("new"))
+              .when(col("a_digest") === col("digest"), lit("revisit"))
+              .otherwise(lit("changed")).as("status"),
+            col("payload_len"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("payload_len")).as("bytes"))
+          .orderBy(col("status"))
+      },
+      """WITH a AS (
+        |  SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |    sha256(text) AS digest
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |b AS (
+        |  SELECT 'https://corpus.invalid/' || source || '/' || doc_id AS uri,
+        |    sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' upd'
+        |                ELSE text END) AS digest,
+        |    octet_length(CAST((CASE WHEN doc_id % 3 = 0 THEN text || ' upd'
+        |                       ELSE text END) AS BLOB)) AS plen
+        |  FROM documents)
+        |SELECT CASE WHEN a.digest IS NULL THEN 'new'
+        |            WHEN a.digest = b.digest THEN 'revisit'
+        |            ELSE 'changed' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(plen) AS BIGINT) AS bytes
+        |FROM b LEFT JOIN a ON a.uri = b.uri
+        |GROUP BY 1 ORDER BY status""".stripMargin),
+
     // ── JSONL ingest with dead-letter routing: render the corpus as
     //    JSONL, deterministically truncate every doc_id ≡ 0 (mod 37)
     //    line mid-token, ingest with Jsonl.readWithDlq — good rows parse,

@@ -863,6 +863,33 @@ object TrainQueries {
         |    AS vocab_cum
         |FROM sp ORDER BY decile""".stripMargin),
 
+    // ── Zipf frequency-spectrum audit (the companion corpus-health curve
+    //    to text_heaps_growth): bucket the vocabulary by whole-bit
+    //    log₂(term frequency), release N(≥2^b) and the doubling-decrement
+    //    ratio 1000·N(≥2^(b+1))/N(≥2^b) — for a Zipf corpus with exponent
+    //    s the ratio sits near 1000·2^(−1/s) (≈500 at s=1) across mid
+    //    levels; boilerplate mass bulges it upward at high b. All integer
+    //    (length(bin(f)) is floor-log₂ — no libm), so the release is
+    //    engine-exact. Scale: one vocab-grain count, then a ≤48-row
+    //    spectrum — the cumulative is the triangular tiny-frame join,
+    //    never a global window ──
+    "text_zipf_spectrum" -> QueryDef(
+      (spark, dir) => TextAnalysis
+        .zipfSpectrum(Tables.documents(spark, dir))
+        .orderBy(col("lvl")),
+      s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+         |tf AS (SELECT w, count(*) AS f FROM tok GROUP BY 1),
+         |spec AS (SELECT length(bin(f)) - 1 AS b, count(*) AS n_terms
+         |         FROM tf GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series(0, 47)) AS lvl),
+         |ge AS (SELECT lvl, CAST(sum(n_terms) AS BIGINT) AS n_ge
+         |       FROM sp JOIN spec ON spec.b >= sp.lvl GROUP BY 1)
+         |SELECT CAST(g.lvl AS INT) AS lvl, g.n_ge,
+         |  CAST(coalesce(n.n_ge * 1000 // g.n_ge, 0) AS BIGINT)
+         |    AS ratio_milli
+         |FROM ge g LEFT JOIN ge n ON n.lvl = g.lvl + 1
+         |ORDER BY lvl""".stripMargin),
+
     // ── rendezvous (HRW) shard assignment: shard(doc) = argmax_s
     //    md5(doc:s) — the stateless consistent-sharding rule whose point
     //    is the RESHARD property: growing 8 → 9 shards moves only the
@@ -989,7 +1016,7 @@ object TrainQueries {
     //    recall vs the exact pair set is pinned in SimilaritySpec. ──
     "emb_near_dup" -> QueryDef(
       (spark, dir) => Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), 0.45,
-        tables = 24, planes = 4, dims = 64)
+        tables = 24, planes = 4, dims = 64, maxBucket = Int.MaxValue)
         .orderBy(col("i"), col("j")),
       """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
         |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
@@ -1019,6 +1046,55 @@ object TrainQueries {
         |WHERE floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
         |ORDER BY i, j""".stripMargin),
 
+    // ── the production 100 TB near-dup index: planes ≤ 0 AUTO-SIZES the
+    //    bucket count to track n (smallest p with 2^p ≥ ⌈n/64⌉ — per-
+    //    point candidate volume stays ~tables×64 at ANY corpus size;
+    //    the fixed-planes exact-audit gate above DNF'd the r8 100×
+    //    probe with 16 cells/table at 200k vectors), plus the
+    //    maxBucket=4096 skew guard. Oracle replays the integer ceil-log2
+    //    sizing AND the bucket-size filter ──
+    "emb_near_dup_auto" -> QueryDef(
+      (spark, dir) => Similarity
+        .nearDupPairsLsh(Tables.embeddings(spark, dir), 0.45,
+          tables = 24, planes = 0, dims = 64)
+        .orderBy(col("i"), col("j")),
+      """WITH pl AS (
+        |  SELECT greatest(1, (
+        |    SELECT count(*) FROM generate_series(0, 61) g(p)
+        |    WHERE (1::BIGINT << p) < ((SELECT count(*) + 63 FROM embeddings) // 64)
+        |  ))::INT AS planes),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
+        |    (SELECT unnest(generate_series(0, (SELECT planes FROM pl) - 1)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |bsz AS (SELECT t, bucket FROM buckets GROUP BY 1, 2
+        |        HAVING count(*) <= 4096),
+        |kept AS (SELECT b.id, b.t, b.bucket
+        |         FROM buckets b JOIN bsz USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS i, b.id AS j
+        |  FROM kept a JOIN kept b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT i, j,
+        |  floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |FROM cand JOIN embeddings qa ON i = qa.vec_id
+        |          JOIN embeddings qb ON j = qb.vec_id
+        |WHERE floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
+        |ORDER BY i, j""".stripMargin),
+
     // ── candidate-pair similarity histogram: the LSH candidate set
     //    (UNthresholded) bucketed into sim deciles — the curve that picks
     //    the near-dup threshold and audits the index's candidate quality.
@@ -1027,7 +1103,7 @@ object TrainQueries {
     "emb_sim_histogram" -> QueryDef(
       (spark, dir) => Similarity
         .nearDupPairsLsh(Tables.embeddings(spark, dir), threshold = -1.0,
-          tables = 24, planes = 4, dims = 64)
+          tables = 24, planes = 4, dims = 64, maxBucket = Int.MaxValue)
         .withColumn("micro", expr("CAST(floor(sim * 1000000 + 0.5) AS BIGINT)"))
         .groupBy(expr("(micro + 1000000) DIV 100000 - 10").as("decile"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -2363,6 +2439,98 @@ object TrainQueries {
            |WHERE hamming <= 3 ORDER BY i, j LIMIT 200""".stripMargin
       }),
 
+    // ── cross-modal dedup: ONE component structure over the union of
+    //    text near-dup edges (3-shingle Jaccard ≥ 0.10) and image
+    //    near-dup edges (8×8 aHash, hamming ≤ 3) — a repost with a
+    //    re-encoded image joins by text, a meme with new caption joins
+    //    by image, and the cluster representative survives either way.
+    //    Per cluster: size + how many pairs each modality contributed.
+    //    Scale: both edge generators are the gated banded/shingle-bucket
+    //    joins (never all-pairs), the union stays at pair grain, and
+    //    components run pointer-doubling label propagation — O(log L)
+    //    rounds, each one key-grain shuffle. Oracle: recursive-CTE
+    //    closure over the union of both replayed edge sets ──
+    "mm_crossmodal_dedup" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        // exact-audit edge sets (the oracle brute-forces / replays both
+        // exactly); production callers keep the capped defaults
+        val textPairs = Dedup.jaccardPairs(docs, 3, 0.10)
+          .select(col("i"), col("j")).localCheckpoint(eager = false)
+        val px = docs.select(col("doc_id"),
+          Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
+            pmod(col("doc_id"), lit(64))).as("px"))
+        val imgPairs = Multimodal
+          .aHashNearDups(Multimodal.aHashBands(px, "doc_id", "px"),
+            maxHamming = 3, maxBucket = Int.MaxValue)
+          .select(col("i"), col("j")).localCheckpoint(eager = false)
+        val labels = Dedup.clusters(textPairs.unionByName(imgPairs).distinct())
+        val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+        def attributed(pairs: org.apache.spark.sql.DataFrame, out: String) =
+          pairs.join(labels.select(col("id"), col("cluster")),
+              col("i") === col("id"))
+            .groupBy(col("cluster")).agg(count(lit(1)).as(out))
+        sizes
+          .join(attributed(textPairs, "n_text_pairs"), Seq("cluster"), "left")
+          .join(attributed(imgPairs, "n_img_pairs"), Seq("cluster"), "left")
+          .select(col("cluster"), col("n_docs"),
+            coalesce(col("n_text_pairs"), lit(0L)).as("n_text_pairs"),
+            coalesce(col("n_img_pairs"), lit(0L)).as("n_img_pairs"))
+          .orderBy(col("cluster"))
+      }, {
+        val hv = "((strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 1, 1)) - 1) * 16 " +
+          "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id % 50 AS VARCHAR) " +
+          "|| ':' || CAST(p AS VARCHAR)), 2, 1)) - 1))"
+        val ahashPairsSql =
+          s"""WITH px AS (SELECT doc_id, p,
+             |    ($hv + CASE WHEN p = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS v
+             |  FROM documents
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)),
+             |mn AS (SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS m
+             |  FROM px GROUP BY 1),
+             |b AS (SELECT px.doc_id, p // 16 AS band,
+             |    CAST(sum(CAST(CASE WHEN v > m THEN 1 ELSE 0 END AS INT)
+             |      << CAST(p % 16 AS INT)) AS INT) AS bv
+             |  FROM px JOIN mn ON px.doc_id = mn.doc_id GROUP BY 1, 2),
+             |h AS (SELECT doc_id,
+             |    max(CASE WHEN band = 0 THEN bv END) AS b0,
+             |    max(CASE WHEN band = 1 THEN bv END) AS b1,
+             |    max(CASE WHEN band = 2 THEN bv END) AS b2,
+             |    max(CASE WHEN band = 3 THEN bv END) AS b3
+             |  FROM b GROUP BY 1)
+             |SELECT i, j FROM (
+             |  SELECT x.doc_id AS i, y.doc_id AS j,
+             |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |    bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+             |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+             |WHERE hamming <= 3""".stripMargin.replace("\n", " ")
+        s"""WITH RECURSIVE
+           |tp AS (SELECT i, j FROM (${jaccardSql("0.10").replace("\n", " ")})),
+           |ip AS ($ahashPairsSql),
+           |e0 AS (SELECT i, j FROM tp UNION SELECT i, j FROM ip),
+           |edges AS (SELECT i AS src, j AS dst FROM e0
+           |          UNION SELECT j, i FROM e0),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |labels AS (
+           |  SELECT src AS id, least(src, min(dst)) AS cluster
+           |  FROM reach GROUP BY src),
+           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+           |       FROM labels GROUP BY 1),
+           |tc AS (SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_text_pairs
+           |       FROM tp JOIN labels l ON tp.i = l.id GROUP BY 1),
+           |ic AS (SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_img_pairs
+           |       FROM ip JOIN labels l ON ip.i = l.id GROUP BY 1)
+           |SELECT sz.cluster, sz.n_docs,
+           |  CAST(coalesce(tc.n_text_pairs, 0) AS BIGINT) AS n_text_pairs,
+           |  CAST(coalesce(ic.n_img_pairs, 0) AS BIGINT) AS n_img_pairs
+           |FROM sz LEFT JOIN tc USING (cluster) LEFT JOIN ic USING (cluster)
+           |ORDER BY cluster""".stripMargin
+      }),
+
     // ── multimodal resize: 8×8 → 4×4 by 2×2 integer mean-pooling over a
     //    REAL codec round-trip — deterministic pixels are encoded into
     //    actual PNGs (javax.imageio) and decoded back to rasters before
@@ -2791,6 +2959,31 @@ object TrainQueries {
            |FROM a2 LEFT JOIN drp d ON a2.vec_id = d.vec_id
            |ORDER BY a2.vec_id""".stripMargin),
 
+    // ── the production 100 TB SemDeDup: k ≤ 0 auto-sizes the k-means to
+    //    ⌊√n⌋ clusters — assignment n^1.5 AND within-cluster pair mass
+    //    n·√n (a FIXED k leaves clusters n/k wide and the pairwise scan
+    //    n²/k; the fixed-k gate above is the paper-parameter replay).
+    //    Oracle replays the IEEE-exact ⌊√count⌋ seed LIMIT ──
+    "emb_semdedup_auto" -> QueryDef(
+      (spark, dir) =>
+        graft.sim.Clustering.semDedup(Tables.embeddings(spark, dir),
+          k = 0, iters = 2, threshold = 0.45)
+          .select(col("id").as("vec_id"), col("cluster"), col("dropped"))
+          .orderBy(col("vec_id")),
+      kmeansSqlK("(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) " +
+        "FROM embeddings)") +
+        s""",
+           |m AS (SELECT a2.vec_id, a2.cid, e.embedding
+           |      FROM a2 JOIN embeddings e USING (vec_id)),
+           |drp AS (
+           |  SELECT DISTINCT a.vec_id
+           |  FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+           |  WHERE floor(list_inner_product(a.embedding::DOUBLE[],
+           |          b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= 0.45)
+           |SELECT a2.vec_id, a2.cid AS cluster, (d.vec_id IS NOT NULL) AS dropped
+           |FROM a2 LEFT JOIN drp d ON a2.vec_id = d.vec_id
+           |ORDER BY a2.vec_id""".stripMargin),
+
     // ── BERTopic-style cluster labeling: top-5 terms per k-means cluster
     //    by exact-integer lift (in-cluster rate / corpus rate, ppm);
     //    embedding i is document i's vector, so the k-means partition and
@@ -2902,13 +3095,20 @@ object TrainQueries {
     sb.toString
   }
 
-  private lazy val kmeansSql: String =
-    """WITH micro AS (
+  private lazy val kmeansSql: String = kmeansSqlK("8")
+
+  /** The 2-iteration Lloyd replay with a parameterized seed count —
+    * `limit` may be any DuckDB LIMIT expression, incl. the auto-k
+    * subquery `(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS
+    * BIGINT)) FROM embeddings)` replaying kmeansAssign's `k <= 0`.
+    */
+  private def kmeansSqlK(limit: String): String =
+    s"""WITH micro AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
       |  FROM embeddings),
       |seeds AS (SELECT vec_id FROM embeddings
-      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $limit),
       |c0 AS (SELECT m.vec_id AS cid, m.vu AS cu,
       |         list_inner_product(m.vu, m.vu) AS norm2
       |       FROM micro m JOIN seeds s ON m.vec_id = s.vec_id),

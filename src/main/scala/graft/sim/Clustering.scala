@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding clustering for corpus organization and semantic dedup.
@@ -41,10 +40,22 @@ object Clustering {
   /** Fixed-iteration Lloyd's assignment: (id, cluster) after `iters`
     * rounds, cluster = seed vector's id. Clusters that lose all members
     * simply disappear (no re-seeding), which the oracle replays.
+    *
+    * `k <= 0` auto-sizes to ⌊√n⌋ (the IVF balance: assignment work
+    * n^1.5, expected cluster size √n — the shape that keeps semDedup's
+    * within-cluster pair mass at n^1.5 instead of n²/k; IEEE-exact
+    * floor(sqrt) so a SQL oracle replays the choice). The per-point
+    * argmax goes through the bounded-heap `topk_by` aggregate (same
+    * (score desc, cid asc) tie contract as the row_number form it
+    * replaces): map-side partials collapse each point's k assignment
+    * rows before the exchange, so n rows shuffle instead of n×k.
     */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && iters > 0, "k and iters must be positive")
+    require(iters > 0, "iters must be positive")
+    val kk =
+      if (k > 0) k
+      else math.max(1L, math.sqrt(emb.count().toDouble).toLong).toInt
     // micro-unit vectors materialized once: every iteration's assignment
     // and update read this frame
     val base = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vu"))
@@ -53,21 +64,20 @@ object Clustering {
     // seeds are their own centroid (n=1, rounding is identity)
     var cent = base
       .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(k)
+      .limit(kk)
       .select(col("id").as("cid"), col("vu").as("cu"),
         graft.functions.dot_product(col("vu"), col("vu")).as("norm2"))
       .localCheckpoint(eager = false)
     var assigned: DataFrame = null
-    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("cid"))
     for (_ <- 1 to iters) {
       // argmin ‖v−c‖² = argmax 2⟨v,c⟩ − ‖c‖² (the −‖c‖² term is what makes
       // this Euclidean k-means rather than max-inner-product partitioning)
       assigned = base.crossJoin(broadcast(cent))
         .withColumn("score",
           lit(2.0) * graft.functions.dot_product(col("vu"), col("cu")) - col("norm2"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("id"), col("cid"))
+        .groupBy(col("id"))
+        .agg(graft.functions.topk_by(col("score"), col("cid"), 1).as("top"))
+        .select(col("id"), col("top").getItem(0).getField("nid").as("cid"))
         .localCheckpoint(eager = false)
       // centroid update: per-dim micro-unit sums + member count (exact),
       // mean rounded back to integer micro-units, rebuilt into a

@@ -68,19 +68,44 @@ object Similarity {
     * set (deterministic approximate result). `nearDupPairs` stays as the
     * exact recall oracle: with the default (24 tables × 4 planes) the
     * measured recall at sim ≥ 0.45 is 7/7 (sf0.001), 14/14 (sf0.01) and 144/144 (sf0.1),
-    * pinned in SimilaritySpec. Grow `planes` with log(n) (and `tables` by
-    * the S-curve 1-(1-p^planes)^tables) to keep buckets small at scale.
+    * pinned in SimilaritySpec.
+    *
+    * Σ bucket² is only sub-quadratic when the bucket count TRACKS n:
+    * with `planes` fixed the candidate join degrades to n²/2^planes —
+    * the r8 100× embedding-growth probe DNF'd this path at planes=4 /
+    * 200k vectors (16 cells/table filled the disk with candidate
+    * shuffle). Pass `planes <= 0` to auto-size exactly like [[lshTopK]]
+    * (smallest p with 2^p ≥ ⌈n/targetOccupancy⌉ — candidate volume
+    * ~tables × targetOccupancy per point, linear in n), and `maxBucket`
+    * (default 4096) drops pathological skew-buckets before the pair
+    * join; exact mode is the explicit `Int.MaxValue` opt-in.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
                       tables: Int = 24, planes: Int = 4, dims: Int = 64,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"),
-      posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = emb.count()
+        val cells = (n + targetOccupancy - 1) / targetOccupancy
+        math.max(1, (0 until 62).count(p => (1L << p) < cells))
+      }
+    val sig0 = emb.select(col(idCol).as("id"),
+      posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       // materialize before the self-join: exchange reuse does not fire for
       // the two aliased sides, so without this the signature subtree (and
       // its shuffle) runs twice — measured 3.8 s → 2.5 s at sf0.1
       .localCheckpoint(eager = false)
+    // skew guard on the same (table, bucket) grain the join shuffles on
+    val sig =
+      if (maxBucket == Int.MaxValue) sig0
+      else sig0
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("table"), col("bucket"))))
+        .filter(col("bn") <= maxBucket).drop("bn")
     // candidate ids deduped BEFORE vectors are re-attached
     val cand = sig.as("a").join(sig.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

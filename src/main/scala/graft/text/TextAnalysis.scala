@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -99,6 +99,37 @@ object TextAnalysis {
   /** Prefix fingerprint (first k tokens) — groups near-identical prefixes. */
   def prefixFingerprint(c: Column, k: Int): Column =
     md5(concat_ws(" ", slice(tokens(c), 1, k)))
+
+  /** Zipf frequency-spectrum audit (companion to the Heaps'-law growth
+    * curve): bucket the vocabulary by whole-bit log₂(term frequency)
+    * and release, per level b, the tail count N(≥2^b) plus the
+    * doubling-decrement ratio 1000·N(≥2^(b+1))/N(≥2^b). For a Zipf
+    * corpus with exponent s the ratio sits near 1000·2^(−1/s) (≈500 at
+    * s = 1) across mid levels; boilerplate/templating mass bulges the
+    * high-b tail. All integer (`length(bin(f)) − 1` is floor-log₂ — no
+    * libm), so the release is engine-exact and SQL-replayable.
+    *
+    * Scale: one vocab-grain count, then a ≤48-row spectrum; the
+    * cumulative is the triangular tiny-frame join, never a global
+    * window.
+    */
+  def zipfSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val spec = tf
+      .select((length(bin(col("f"))) - 1).cast("int").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_terms"))
+    val spine = spark.range(48).select(col("id").cast("int").as("lvl"))
+    val ge = spine.join(spec, col("b") >= col("lvl"))
+      .groupBy(col("lvl")).agg(sum(col("n_terms")).as("n_ge"))
+      .localCheckpoint(eager = false)
+    ge.join(ge.select((col("lvl") - 1).as("lvl"),
+        col("n_ge").as("n_ge_next")), Seq("lvl"), "left")
+      .select(col("lvl"), col("n_ge"),
+        coalesce(expr("n_ge_next * 1000 DIV n_ge"), lit(0L))
+          .as("ratio_milli"))
+  }
 
   /** Token n-gram shingles: array of space-joined n-grams (native
     * expression — the token array is evaluated once per row).

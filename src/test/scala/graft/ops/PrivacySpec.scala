@@ -122,4 +122,26 @@ class PrivacySpec extends SparkSpec {
     assert(bare.map(r => (r._1, r._3)) ==
       got.filter(r => Set("a", "b")(r._1)).map(r => (r._1, r._3)))
   }
+
+  test("dpHistogramQuantiles: deterministic, monotone, and noise-robust " +
+    "on a planted two-spike histogram") {
+    // 1000 rows in bucket 2, 1000 in bucket 5; geometric noise per bucket
+    // is bounded by ±32, so with 8 buckets the released cumulative moves
+    // by at most 256 — p25 MUST land on bucket 2 and p75 on bucket 5
+    val rows = (Seq.fill(1000)(2L) ++ Seq.fill(1000)(5L)).toDF("b")
+    val got = Privacy.dpHistogramQuantiles(rows, "b", "seedq", 8,
+        Seq(25, 50, 75, 90, 99))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(25, 50, 75, 90, 99))
+    val byPct = got.toMap
+    assert(byPct(25) == 2L)
+    assert(byPct(75) == 5L)
+    // released quantiles are monotone in pct (cumulative is monotone)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // same seed → bit-identical release (audit replay)
+    val again = Privacy.dpHistogramQuantiles(rows, "b", "seedq", 8,
+        Seq(25, 50, 75, 90, 99))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == got)
+  }
 }

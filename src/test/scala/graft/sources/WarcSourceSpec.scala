@@ -242,4 +242,37 @@ class WarcSourceSpec extends SparkSpec {
     assert(plan.contains("PushedLimit"), plan)
     assert(q.collect().length == 2)
   }
+
+  test("cross-crawl revisit classification runs INDEX-ONLY: archives of " +
+    "both crawls deleted, digests answer from the CDX sidecars") {
+    val dirA = Files.createTempDirectory("warcrevA")
+    val dirB = Files.createTempDirectory("warcrevB")
+    Warc.write(docsDf, dirA.toString).collect()
+    // crawl B: doc 2 changed, doc 10 identical, doc 99 new
+    val docsB = Seq(
+      ("crawl-a", 1L, "hello world"),          // revisit (unchanged)
+      ("crawl-a", 2L, "second record CHANGED"),
+      ("crawl-b", 10L, "b-side payload ✓"),    // revisit
+      ("crawl-b", 99L, "a new page")
+    ).toDF("source", "doc_id", "text")
+    Warc.write(docsB, dirB.toString).collect()
+    Seq(dirA, dirB).foreach { d =>
+      Files.list(d).filter(_.toString.endsWith(".warc.gz"))
+        .forEach(p => Files.delete(p))
+    }
+    val a = spark.read.format(fmt).load(dirA.toString)
+      .select($"uri".as("a_uri"), $"payload_sha256".as("a_digest"))
+    val b = spark.read.format(fmt).load(dirB.toString)
+      .select($"uri", $"payload_sha256".as("digest"))
+    val got = b.join(a, $"uri" === $"a_uri", "left")
+      .select($"uri",
+        when($"a_digest".isNull, "new")
+          .when($"a_digest" === $"digest", "revisit")
+          .otherwise("changed").as("status"))
+      .as[(String, String)].collect().toMap
+    assert(got("https://corpus.invalid/crawl-a/1") == "revisit")
+    assert(got("https://corpus.invalid/crawl-a/2") == "changed")
+    assert(got("https://corpus.invalid/crawl-b/10") == "revisit")
+    assert(got("https://corpus.invalid/crawl-b/99") == "new")
+  }
 }

@@ -982,3 +982,32 @@ class QualityModelSpec extends SparkSpec {
     assert(y == (if (rule) 0L else 1000L))
   }
 }
+
+class ZipfSpectrumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipfSpectrum: hand-computed spectrum on planted frequencies") {
+    // term freqs: a=8, b=4, c=2, d=1 → floor-log₂ buckets 3,2,1,0;
+    // tail counts N(≥2^lvl) = 4,3,2,1 and exact integer DIV ratios
+    val docs = Seq("a a a a a a a a b b b b c c d").toDF("text")
+    val got = TextAnalysis.zipfSpectrum(docs).orderBy($"lvl")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 4L, 750L), // 1000·3 DIV 4
+      (1, 3L, 666L), // 1000·2 DIV 3
+      (2, 2L, 500L),
+      (3, 1L, 0L))) // top level: no (lvl+1) → ratio 0
+  }
+
+  test("cross-modal dedup: a text edge and an image edge bridge into ONE " +
+    "component; disconnected clusters stay apart") {
+    val textPairs = Seq((1L, 2L)).toDF("i", "j")
+    val imgPairs = Seq((2L, 3L), (10L, 11L)).toDF("i", "j")
+    val labels = Dedup.clusters(textPairs.unionByName(imgPairs).distinct())
+      .as[(Long, Long)].collect().toMap
+    // 1—2 (text) + 2—3 (image) → {1,2,3} under representative 1: a
+    // repost that matches by EITHER modality joins the same cluster
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+}
