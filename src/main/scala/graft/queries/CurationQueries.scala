@@ -1030,6 +1030,58 @@ object CurationQueries {
         |SELECT "constraint", n_violations, n_violations = 0 AS pass
         |FROM u ORDER BY "constraint"""".stripMargin),
 
+    // ── sitemap.xml round-trip (robots' companion in the crawl-ingest
+    //    pair): render each host's urlset from planted (loc, lastmod,
+    //    priority) rows — one string_agg per host, entries sorted by
+    //    path — then recover every field with scan-local regexp group
+    //    extraction (arrays_zip of per-group extract_all; no XML lib,
+    //    no shuffle beyond the per-host render). The oracle generates
+    //    the planted rows directly, so the hash match proves
+    //    parse(render(x)) == x. At crawl scale sitemaps are per-host
+    //    documents: the parse rides the scan, and the output joins the
+    //    frontier at URL grain ──
+    "web_sitemap_parse" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val entries = docs.select(
+          concat(lit("site"), (col("doc_id") % 9).cast("string"),
+            lit(".com")).as("host"),
+          concat(lit("/p/"), col("doc_id").cast("string")).as("path"),
+          concat(lit("2026-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+            .as("lastmod"),
+          concat(lit("0."), (col("doc_id") % 10).cast("string"))
+            .as("priority"))
+        val rendered = entries
+          .select(col("host"), struct(col("path"), concat(
+            lit("<url><loc>https://"), col("host"), col("path"),
+            lit("</loc><lastmod>"), col("lastmod"),
+            lit("</lastmod><priority>"), col("priority"),
+            lit("</priority></url>")).as("block")).as("e"))
+          .groupBy(col("host"))
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            concat_ws("", transform(array_sort(collect_list(col("e"))),
+              x => x.getField("block"))),
+            lit("</urlset>")).as("xml"))
+        val pat = "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod>" +
+          "<priority>([^<]*)</priority></url>"
+        rendered
+          .select(col("host"), explode(arrays_zip(
+            regexp_extract_all(col("xml"), lit(pat), lit(1)),
+            regexp_extract_all(col("xml"), lit(pat), lit(2)),
+            regexp_extract_all(col("xml"), lit(pat), lit(3)))).as("u"))
+          .select(col("host"), col("u.0").as("loc"),
+            col("u.1").as("lastmod"), col("u.2").as("priority"))
+          .orderBy(col("loc"))
+      },
+      """SELECT 'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host,
+        |  'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS loc,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |FROM documents ORDER BY loc""".stripMargin),
+
     // ── incremental aggregate maintenance (materialized-view upkeep):
     //    the standing per-key aggregate absorbs a delta batch by merging
     //    PARTIAL aggregates — count and sum are decomposable, so the
