@@ -330,6 +330,14 @@ object TrainQueries {
         val base = Tables.documents(spark, dir)
           .select(col("doc_id").as("id"),
             array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))
+          // hashed sorted keys ride the checkpoint for the exact-overlap
+          // leg (the minhashLsh candidate-grain rescore shape): the 100×
+          // probe put the STRING array_intersect at 396 s — the 60-bit
+          // keys ship ~8 B/shingle and merge linearly, value-identical
+          // to the string intersect (collision odds ~2⁻⁶¹/pair), so the
+          // string-side oracle is unchanged
+          .withColumn("keys", array_sort(transform(col("shset"),
+            s => graft.dedup.Dedup.shingleKey(s))))
           .localCheckpoint(eager = false)
         val sigs = base.select(col("id"),
           graft.functions.oph_minhash_sig(col("shset"), 12).as("sig"))
@@ -347,18 +355,20 @@ object TrainQueries {
         // ONE enrichment frame carrying (sig, shset) → two joins, not four:
         // at corpus scale each candidate join is a shuffle, so fetching both
         // per-doc payloads per side in one pass halves the join count
-        val side = sigs.join(base, Seq("id")).localCheckpoint(eager = false)
+        val side = sigs.join(base.select(col("id"), col("keys")), Seq("id"))
+          .localCheckpoint(eager = false)
         val si = side.select(col("id").as("i2"), col("sig").as("sig_i"),
-          col("shset").as("sh_i"))
+          col("keys").as("k_i"))
         val sj = side.select(col("id").as("j2"), col("sig").as("sig_j"),
-          col("shset").as("sh_j"))
+          col("keys").as("k_j"))
         cand.join(si, col("i") === col("i2")).join(sj, col("j") === col("j2"))
           .select(col("i"), col("j"),
             expr("aggregate(zip_with(sig_i, sig_j, (x, y) -> IF(x = y, 1, 0)), " +
               "0, (acc, v) -> acc + v)").as("n_match"),
-            size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("nc"),
-            size(col("sh_i")).cast("long").as("ni"),
-            size(col("sh_j")).cast("long").as("nj"))
+            graft.functions.sorted_intersect_count(col("k_i"), col("k_j"))
+              .cast("long").as("nc"),
+            size(col("k_i")).cast("long").as("ni"),
+            size(col("k_j")).cast("long").as("nj"))
           .select(col("i"), col("j"), col("n_match"),
             expr("(CAST(n_match AS BIGINT) * 10000) DIV 12").as("est4"),
             floor(col("nc").cast("double")
