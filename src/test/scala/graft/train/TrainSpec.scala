@@ -492,6 +492,45 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.count() > 0L)
   }
 
+  test("nearDupPairsLsh auto-planes equals the explicit choice; the " +
+    "default cap drops a planted mega-bucket, exact opt-in keeps it") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count()
+    val expectedPlanes = math.max(1,
+      (0 until 62).count(p => (1L << p) < (n + 63) / 64))
+    val auto = Similarity.nearDupPairsLsh(e, 0.45, tables = 24, planes = 0,
+      dims = 64)
+    val manual = Similarity.nearDupPairsLsh(e, 0.45, tables = 24,
+      planes = expectedPlanes, dims = 64)
+    assert(auto.collect().toSet == manual.collect().toSet)
+    // planted mega-bucket: 500 clones of one vector collide in every
+    // table; the DEFAULT maxBucket=4096 keeps them (4096 > 508 rows),
+    // maxBucket=100 drops the clone pairs, Int.MaxValue keeps them
+    val base = e.limit(8)
+    val clones = spark.range(500).crossJoin(base.limit(1))
+      .select(($"id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val planted = base.unionByName(clones)
+    val capped = Similarity.nearDupPairsLsh(planted, -1.0, tables = 2,
+      planes = 1, dims = 64, maxBucket = 100)
+      .filter($"i" >= 100000L)
+    assert(capped.count() == 0L)
+    val exact = Similarity.nearDupPairsLsh(planted, -1.0, tables = 2,
+      planes = 1, dims = 64, maxBucket = Int.MaxValue)
+      .filter($"i" >= 100000L)
+    assert(exact.count() > 0L)
+  }
+
+  test("kmeansAssign auto-k picks floor(sqrt(n)) distinct-or-fewer " +
+    "clusters and matches the explicit-k assignment") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count()
+    val expectedK = math.max(1L, math.sqrt(n.toDouble).toLong).toInt
+    val auto = graft.sim.Clustering.kmeansAssign(e, k = 0, iters = 2)
+    val manual = graft.sim.Clustering.kmeansAssign(e, k = expectedK, iters = 2)
+    assert(auto.collect().toSet == manual.collect().toSet)
+    assert(auto.select($"cid").distinct().count() <= expectedK)
+  }
+
   test("randProj preserves relative distances (JL property, deterministic)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
       .withColumn("vu", expr("transform(embedding, " +
