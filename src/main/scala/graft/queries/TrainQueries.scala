@@ -2463,16 +2463,17 @@ object TrainQueries {
     "mm_crossmodal_dedup" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        // exact-audit edge sets (the oracle brute-forces / replays both
-        // exactly); production callers keep the capped defaults
         val textPairs = Dedup.jaccardPairs(docs, 3, 0.10)
           .select(col("i"), col("j")).localCheckpoint(eager = false)
         val px = docs.select(col("doc_id"),
           Multimodal.fakePixels(pmod(col("doc_id"), lit(50)),
             pmod(col("doc_id"), lit(64))).as("px"))
+        // image leg runs the PRODUCTION capped path (a reposted asset is
+        // k² candidate pairs from one bucket without it); the oracle
+        // replays the bucket-size filter like mm_dhash_capped
         val imgPairs = Multimodal
           .aHashNearDups(Multimodal.aHashBands(px, "doc_id", "px"),
-            maxHamming = 3, maxBucket = Int.MaxValue)
+            maxHamming = 3, maxBucket = 256)
           .select(col("i"), col("j")).localCheckpoint(eager = false)
         val labels = Dedup.clusters(textPairs.unionByName(imgPairs).distinct())
         val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
@@ -2508,12 +2509,19 @@ object TrainQueries {
              |    max(CASE WHEN band = 1 THEN bv END) AS b1,
              |    max(CASE WHEN band = 2 THEN bv END) AS b2,
              |    max(CASE WHEN band = 3 THEN bv END) AS b3
-             |  FROM b GROUP BY 1)
+             |  FROM b GROUP BY 1),
+             |bsz AS (SELECT band, bv FROM b GROUP BY 1, 2
+             |        HAVING count(*) BETWEEN 2 AND 256),
+             |acand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+             |          FROM b x JOIN bsz s ON x.band = s.band AND x.bv = s.bv
+             |            JOIN b y ON y.band = x.band AND y.bv = x.bv
+             |          WHERE x.doc_id < y.doc_id)
              |SELECT i, j FROM (
-             |  SELECT x.doc_id AS i, y.doc_id AS j,
-             |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-             |    bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
-             |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+             |  SELECT c.i, c.j,
+             |    bit_count(xor(hx.b0, hy.b0)) + bit_count(xor(hx.b1, hy.b1)) +
+             |    bit_count(xor(hx.b2, hy.b2)) + bit_count(xor(hx.b3, hy.b3)) AS hamming
+             |  FROM acand c JOIN h hx ON c.i = hx.doc_id
+             |    JOIN h hy ON c.j = hy.doc_id)
              |WHERE hamming <= 3""".stripMargin.replace("\n", " ")
         s"""WITH RECURSIVE
            |tp AS (SELECT i, j FROM (${jaccardSql("0.10").replace("\n", " ")})),
