@@ -407,6 +407,43 @@ object CorpusOpsQueries {
            |     WHERE id NOT IN (SELECT id FROM hits)) AS n_false_pos""".stripMargin
       }),
 
+    // ── Poisson bootstrap (Chamandy et al. 2012 — Efron's bootstrap at
+    //    corpus scale): classical resampling needs n global draws per
+    //    replicate; at any real size each row instead contributes an
+    //    INDEPENDENT md5-seeded Poisson(1) weight per replicate, so 32
+    //    replicate means fold from ONE scan through one map-combined
+    //    aggregate. The spread of the 32 released means IS the corpus
+    //    mean's sampling uncertainty (CI = quantiles of a 32-row frame,
+    //    post-processing). Integer inverse-CDF cuts floor(CDF·2³²) make
+    //    every draw engine-exact ──
+    "stats_bootstrap_ci" -> QueryDef(
+      (spark, dir) => {
+        val v = Tables.orders(spark, dir).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        graft.ops.Bootstrap
+          .poissonMeans(v, "o_orderkey", "cents", replicates = 32,
+            seed = "graftboot")
+          .orderBy(col("rep"))
+      }, {
+        val wt = graft.ops.Bootstrap.poissonCuts
+          .map(c => s"CASE WHEN h >= $c THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH v AS (SELECT o_orderkey AS id,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+           |  FROM orders),
+           |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+           |u AS (SELECT rep, id, x,
+           |    CAST(list_sum(list_transform(generate_series(1, 8),
+           |      i -> (strpos('0123456789abcdef',
+           |              substr(md5('graftboot|' || rep || '|' || id), i, 1)) - 1)
+           |           * (16 ** (8 - i)))) AS BIGINT) AS h
+           |  FROM v CROSS JOIN reps),
+           |w AS (SELECT rep, x, ($wt) AS wt FROM u)
+           |SELECT CAST(rep AS INT) AS rep, CAST(sum(wt) AS BIGINT) AS n_eff,
+           |  CAST((sum(wt * x) * 1000000) // sum(wt) AS BIGINT) AS mean_micro
+           |FROM w GROUP BY rep HAVING sum(wt) > 0 ORDER BY rep""".stripMargin
+      }),
+
     // ── histogram quantiles: one shuffle to $100 buckets, cumulative
     //    window over the tiny bucket frame, integer-exact rank targets
     //    via cross-multiplication (cum·100 ≥ p·n) ──
