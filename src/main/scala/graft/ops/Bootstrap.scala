@@ -32,6 +32,32 @@ object Bootstrap {
   def poissonWeight(u: Column): Column =
     poissonCuts.map(c => when(u >= c, 1L).otherwise(0L)).reduce(_ + _)
 
+  /** 32-bit md5 uniform for a (seed, replicate, id) draw — the shared
+    * randomness source of every bootstrap release here (SQL-replayable:
+    * first 8 md5 hex digits of `seed|rep|id`).
+    */
+  def uniform32(seed: String, rep: Column, id: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), rep.cast("string"),
+      lit("|"), id.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** Per-replicate WEIGHTED bucket histogram (rep, bucket, n) — the
+    * reusable grain for bootstrap quantiles: resampled order statistics
+    * fold from one scan into R tiny histograms; quantile selection then
+    * runs per-replicate windows over the bucket frame (partitioned by
+    * rep — never a corpus-grain sort).
+    */
+  def poissonBucketCounts(df: DataFrame, idCol: String, bucketCol: String,
+                          replicates: Int, seed: String): DataFrame = {
+    require(replicates >= 1 && replicates <= 1024, "replicates in [1, 1024]")
+    df.select(col(idCol), col(bucketCol).cast("long").as("bkt"))
+      .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("w", poissonWeight(uniform32(seed, col("rep"), col(idCol))))
+      .groupBy(col("rep"), col("bkt"))
+      .agg(sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("rep").cast("int").as("rep"), col("bkt"), col("n"))
+  }
+
   /** Per-replicate bootstrap means of an integer-valued column:
     * (rep, n_eff, mean_micro) — mean in micro-units of `valueCol`
     * (`sum·10⁶ DIV n_eff`, exact integer). The spread of the R means IS
@@ -43,11 +69,9 @@ object Bootstrap {
   def poissonMeans(df: DataFrame, idCol: String, valueCol: String,
                    replicates: Int, seed: String): DataFrame = {
     require(replicates >= 1 && replicates <= 1024, "replicates in [1, 1024]")
-    val u = conv(substring(md5(concat(lit(s"$seed|"), col("rep").cast("string"),
-      lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     df.select(col(idCol), col(valueCol).cast("long").as("x"))
       .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("w", poissonWeight(u))
+      .withColumn("w", poissonWeight(uniform32(seed, col("rep"), col(idCol))))
       .groupBy(col("rep"))
       // the replicate sum accumulates in decimal(38,0): a 10¹²-row
       // corpus of ~10⁷-unit values overflows int64 (DuckDB's HUGEINT

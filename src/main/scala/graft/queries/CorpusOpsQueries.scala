@@ -444,6 +444,57 @@ object CorpusOpsQueries {
            |FROM w GROUP BY rep HAVING sum(wt) > 0 ORDER BY rep""".stripMargin
       }),
 
+    // ── Poisson-bootstrap MEDIAN uncertainty — where the bootstrap
+    //    earns its keep (no closed-form SE for quantiles): the weighted
+    //    $100-bucket histogram folds per replicate from the same one
+    //    scan, then median selection is a per-replicate window over the
+    //    tiny bucket frame (PARTITIONED by rep — never a corpus sort).
+    //    The spread of the 32 released medians is the median's sampling
+    //    uncertainty ──
+    "stats_bootstrap_median" -> QueryDef(
+      (spark, dir) => {
+        val v = Tables.orders(spark, dir).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 10000")
+            .as("bkt"))
+        val hist = graft.ops.Bootstrap
+          .poissonBucketCounts(v, "o_orderkey", "bkt", replicates = 32,
+            seed = "graftboot")
+        val byRep = Window.partitionBy(col("rep")).orderBy(col("bkt"))
+        hist.withColumn("cum", sum(col("n")).over(byRep))
+          .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("rep"))))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("rep"))
+          .agg(min(col("bkt")).as("median_bucket"))
+          .select(col("rep"), col("median_bucket"),
+            (col("median_bucket") * 10000L).as("median_lo_cents"))
+          .orderBy(col("rep"))
+      }, {
+        val wt = graft.ops.Bootstrap.poissonCuts
+          .map(c => s"CASE WHEN h >= $c THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH v AS (SELECT o_orderkey AS id,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS bkt
+           |  FROM orders),
+           |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+           |u AS (SELECT rep, id, bkt,
+           |    CAST(list_sum(list_transform(generate_series(1, 8),
+           |      i -> (strpos('0123456789abcdef',
+           |              substr(md5('graftboot|' || rep || '|' || id), i, 1)) - 1)
+           |           * (16 ** (8 - i)))) AS BIGINT) AS h
+           |  FROM v CROSS JOIN reps),
+           |w AS (SELECT rep, bkt, ($wt) AS wt FROM u),
+           |hist AS (SELECT rep, bkt, CAST(sum(wt) AS BIGINT) AS n
+           |         FROM w GROUP BY 1, 2 HAVING sum(wt) > 0),
+           |c AS (SELECT rep, bkt,
+           |    sum(n) OVER (PARTITION BY rep ORDER BY bkt) AS cum,
+           |    sum(n) OVER (PARTITION BY rep) AS tot
+           |  FROM hist)
+           |SELECT CAST(rep AS INT) AS rep,
+           |  CAST(min(bkt) AS BIGINT) AS median_bucket,
+           |  CAST(min(bkt) * 10000 AS BIGINT) AS median_lo_cents
+           |FROM c WHERE cum * 2 >= tot GROUP BY rep ORDER BY rep""".stripMargin
+      }),
+
     // ── histogram quantiles: one shuffle to $100 buckets, cumulative
     //    window over the tiny bucket frame, integer-exact rank targets
     //    via cross-multiplication (cum·100 ≥ p·n) ──
