@@ -19,6 +19,42 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
+  /** Auto-sized hyperplane count: the smallest p with 2^p ≥ ⌈n /
+    * targetOccupancy⌉ cells, i.e. expected bucket occupancy ≤
+    * `targetOccupancy` AT ANY n — per-point candidate volume stays
+    * ~tables × targetOccupancy, linear in n. Integer-exact counting form
+    * (count of p with 2^p < cells == ⌈log2 cells⌉) — the same rendering
+    * the `*_auto` SQL oracles replay, no float log2 at power-of-two
+    * edges on either side. `planes > 0` passes through (the explicit
+    * fixed-parameter opt-in for paper-replay audits).
+    */
+  private def resolvePlanes(emb: DataFrame, planes: Int, targetOccupancy: Int): Int =
+    if (planes > 0) planes
+    else {
+      val n = emb.count()
+      val cells = (n + targetOccupancy - 1) / targetOccupancy
+      math.max(1, (0 until 62).count(p => (1L << p) < cells))
+    }
+
+  /** Skew guard on the (table, bucket) grain the candidate joins shuffle
+    * on: drop every row of a bucket holding more than `maxBucket`
+    * signatures — such a bucket is Σ bucket² candidate mass with no
+    * top-k value (its members hold ≫k near-ties in the OTHER tables).
+    * The oversized set is computed with a map-combined count and removed
+    * with a broadcast left-anti join: tiny by construction (≤ n/maxBucket
+    * buckets can exceed the cap), so no full window sort over the
+    * exploded signature frame. `Int.MaxValue` = exact opt-in, no pass.
+    */
+  private def dropOversizedBuckets(sig0: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) sig0
+    else {
+      val hot = sig0.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket)
+        .select(col("table"), col("bucket"))
+      sig0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+    }
+
   /** 6-decimal rounding on the BINARY double (floor(x·10⁶+0.5)/10⁶):
     * engine round() disagrees on representation-boundary rows — see
     * TextAnalysis.round4.
