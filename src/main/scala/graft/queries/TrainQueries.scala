@@ -1149,11 +1149,84 @@ object TrainQueries {
     // ── margin-based bitext mining (Artetxe & Schwenk ratio margin):
     //    even ids = source language, odd ids = target; LSH candidates,
     //    integer micro-sims / milli-margins, best-margin target per
-    //    source above 1.02. Oracle replays the md5 hyperplane family and
-    //    the exact integer margin arithmetic ──
+    //    source above 1.02. PRODUCTION posture (the default call): planes
+    //    auto-size to the corpus (⌈log2⌈n/64⌉⌉ — fixed planes made the
+    //    cross-language join |X|·|Y|/2^planes and DNF'd the r8 100×
+    //    probe) and (table, bucket) groups wider than 4096 drop before
+    //    the join. The oracle replays the plane-count choice AND the
+    //    bucket cap, then the md5 hyperplane family and the exact integer
+    //    margin arithmetic ──
     "emb_bitext_mine" -> QueryDef(
       (spark, dir) => Similarity.bitextMarginMine(
           Tables.embeddings(spark, dir), k = 4, marginMilli = 1020L)
+        .orderBy(col("x")),
+      """WITH pl AS (
+        |  SELECT greatest(1, (
+        |    SELECT count(*) FROM generate_series(0, 61) g(p)
+        |    WHERE (1::BIGINT << p) < ((SELECT count(*) + 63 FROM embeddings) // 64)
+        |  ))::INT AS planes),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
+        |    (SELECT unnest(generate_series(0, (SELECT planes FROM pl) - 1)) AS p)),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tp, dims),
+        |proj AS (
+        |  SELECT e.vec_id AS id, s.t, s.p,
+        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
+        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT id, t,
+        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |bsz AS (SELECT t, bucket FROM buckets GROUP BY 1, 2
+        |        HAVING count(*) <= 4096),
+        |kept AS (SELECT b.id, b.t, b.bucket
+        |         FROM buckets b JOIN bsz USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS x, b.id AS y
+        |  FROM kept a JOIN kept b
+        |    ON a.t = b.t AND a.bucket = b.bucket
+        |   AND a.id % 2 = 0 AND b.id % 2 = 1),
+        |sims AS (SELECT * FROM (
+        |  SELECT x, y, CAST(floor(list_inner_product(qa.embedding::DOUBLE[],
+        |      qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS sim
+        |  FROM cand JOIN embeddings qa ON x = qa.vec_id
+        |            JOIN embeddings qb ON y = qb.vec_id) WHERE sim > 0),
+        |fk AS (SELECT x, y, sim FROM (
+        |  SELECT x, y, sim,
+        |    row_number() OVER (PARTITION BY x ORDER BY sim DESC, y) AS r
+        |  FROM sims) WHERE r <= 4),
+        |fs AS (SELECT x, CAST(sum(sim) AS BIGINT) AS sum_x,
+        |       CAST(count(*) AS BIGINT) AS cnt_x FROM fk GROUP BY x),
+        |bk AS (SELECT x, y, sim FROM (
+        |  SELECT x, y, sim,
+        |    row_number() OVER (PARTITION BY y ORDER BY sim DESC, x) AS r
+        |  FROM sims) WHERE r <= 4),
+        |bs AS (SELECT y, CAST(sum(sim) AS BIGINT) AS sum_y,
+        |       CAST(count(*) AS BIGINT) AS cnt_y FROM bk GROUP BY y),
+        |m AS (
+        |  SELECT fk.x, fk.y, fk.sim,
+        |    (2000 * fk.sim * cnt_x * cnt_y) // (sum_x * cnt_y + sum_y * cnt_x)
+        |      AS margin_milli
+        |  FROM fk JOIN fs USING (x) JOIN bs USING (y))
+        |SELECT x, y, sim AS sim_micro, margin_milli FROM (
+        |  SELECT x, y, sim, margin_milli,
+        |    row_number() OVER (PARTITION BY x ORDER BY margin_milli DESC, y) AS rr
+        |  FROM m WHERE margin_milli >= 1020)
+        |WHERE rr = 1 ORDER BY x""".stripMargin),
+
+    // ── exact-audit bitext replay: the fixed-parameter paper
+    //    configuration (planes=4, no bucket cap) as an EXPLICIT opt-in —
+    //    the small-corpus recall oracle for the auto gate above, same
+    //    posture as emb_near_dup vs emb_near_dup_auto ──
+    "emb_bitext_exact" -> QueryDef(
+      (spark, dir) => Similarity.bitextMarginMine(
+          Tables.embeddings(spark, dir), k = 4, marginMilli = 1020L,
+          planes = 4, maxBucket = Int.MaxValue)
         .orderBy(col("x")),
       """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
         |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),

@@ -31,6 +31,7 @@ object Similarity {
   private def resolvePlanes(emb: DataFrame, planes: Int, targetOccupancy: Int): Int =
     if (planes > 0) planes
     else {
+      require(targetOccupancy >= 1, s"targetOccupancy must be >= 1, got $targetOccupancy")
       val n = emb.count()
       val cells = (n + targetOccupancy - 1) / targetOccupancy
       math.max(1, (0 until 62).count(p => (1L << p) < cells))
@@ -110,23 +111,18 @@ object Similarity {
     * with `planes` fixed the candidate join degrades to n²/2^planes —
     * the r8 100× embedding-growth probe DNF'd this path at planes=4 /
     * 200k vectors (16 cells/table filled the disk with candidate
-    * shuffle). Pass `planes <= 0` to auto-size exactly like [[lshTopK]]
-    * (smallest p with 2^p ≥ ⌈n/targetOccupancy⌉ — candidate volume
-    * ~tables × targetOccupancy per point, linear in n), and `maxBucket`
-    * (default 4096) drops pathological skew-buckets before the pair
-    * join; exact mode is the explicit `Int.MaxValue` opt-in.
+    * shuffle). `planes <= 0` — the DEFAULT — auto-sizes exactly like
+    * [[lshTopK]] (smallest p with 2^p ≥ ⌈n/targetOccupancy⌉ — candidate
+    * volume ~tables × targetOccupancy per point, linear in n), and
+    * `maxBucket` (default 4096) drops pathological skew-buckets before
+    * the pair join; exact mode is the explicit (`planes > 0`,
+    * `maxBucket = Int.MaxValue`) opt-in.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-                      tables: Int = 24, planes: Int = 4, dims: Int = 64,
+                      tables: Int = 24, planes: Int = 0, dims: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
-    val nPlanes =
-      if (planes > 0) planes
-      else {
-        val n = emb.count()
-        val cells = (n + targetOccupancy - 1) / targetOccupancy
-        math.max(1, (0 until 62).count(p => (1L << p) < cells))
-      }
+    val nPlanes = resolvePlanes(emb, planes, targetOccupancy)
     val sig0 = emb.select(col(idCol).as("id"),
       posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
@@ -135,13 +131,7 @@ object Similarity {
       // its shuffle) runs twice — measured 3.8 s → 2.5 s at sf0.1
       .localCheckpoint(eager = false)
     // skew guard on the same (table, bucket) grain the join shuffles on
-    val sig =
-      if (maxBucket == Int.MaxValue) sig0
-      else sig0
-        .withColumn("bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("table"), col("bucket"))))
-        .filter(col("bn") <= maxBucket).drop("bn")
+    val sig = dropOversizedBuckets(sig0, maxBucket)
     // candidate ids deduped BEFORE vectors are re-attached
     val cand = sig.as("a").join(sig.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -307,15 +297,29 @@ object Similarity {
     * dropped up front (they can't be mined pairs, and positivity keeps
     * the DIV operands non-negative where Spark DIV ≡ DuckDB floor-div).
     *
+    * Scale posture (same as [[nearDupPairsLsh]]): `planes <= 0` (the
+    * default) auto-sizes the bucket count to track n — with planes FIXED
+    * the candidate join is |X|·|Y|/2^planes, and this path's sibling
+    * configuration DNF'd the r8 100× probe with a full disk of candidate
+    * shuffle. `maxBucket` (default 4096) drops oversized (table, bucket)
+    * groups BEFORE the cross-language join — a bucket that wide is pure
+    * hub mass, exactly what the margin exists to discount; exact audit is
+    * the explicit (`planes > 0`, `maxBucket = Int.MaxValue`) opt-in.
+    *
     * Returns one row per mined source: (x, y, sim_micro, margin_milli).
     */
   def bitextMarginMine(emb: DataFrame, k: Int, marginMilli: Long,
-                       tables: Int = 24, planes: Int = 4, dims: Int = 64,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"),
-      posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
+                       tables: Int = 24, planes: Int = 0, dims: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
+    val nPlanes = resolvePlanes(emb, planes, targetOccupancy)
+    val sig0 = emb.select(col(idCol).as("id"),
+      posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .localCheckpoint(eager = false)
+    // skew guard BEFORE the side split: bucket width is counted over both
+    // languages together (the grain the candidate join shuffles on)
+    val sig = dropOversizedBuckets(sig0, maxBucket)
     val cand = sig.filter(pmod(col("id"), lit(2)) === 0).as("a")
       .join(sig.filter(pmod(col("id"), lit(2)) === 1).as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
@@ -416,16 +420,7 @@ object Similarity {
               threshold: Double,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
-    val nPlanes =
-      if (planes > 0) planes
-      else {
-        val n = emb.count()
-        val cells = (n + targetOccupancy - 1) / targetOccupancy
-        // count of p with 2^p < cells == ⌈log2 cells⌉, integer-exact (the
-        // same counting form the ann_lsh_auto oracle replays in SQL —
-        // no float log2 at power-of-two edges on either side)
-        math.max(1, (0 until 62).count(p => (1L << p) < cells))
-      }
+    val nPlanes = resolvePlanes(emb, planes, targetOccupancy)
     // signatures computed once per vector via the native all-tables
     // expression (precomputed sign matrix — see LshSigExpr); candidate ids
     // deduped BEFORE vectors are re-attached (distinct on two longs, not
@@ -436,15 +431,9 @@ object Similarity {
       posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .localCheckpoint(eager = false)
-    // skew guard: the window count shares the (table, bucket) grain the
-    // candidate join shuffles on — no extra exchange
-    val sig =
-      if (maxBucket == Int.MaxValue) sig0
-      else sig0
-        .withColumn("bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("table"), col("bucket"))))
-        .filter(col("bn") <= maxBucket).drop("bn")
+    // skew guard: map-combined oversized-bucket count + broadcast anti-join
+    // over the checkpointed signature frame — no window sort
+    val sig = dropOversizedBuckets(sig0, maxBucket)
     val cand = sig.as("a").join(sig.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))

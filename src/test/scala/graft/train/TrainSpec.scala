@@ -520,6 +520,48 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.count() > 0L)
   }
 
+  test("nearDupPairsLsh DEFAULT call on a cap-overflow corpus: the 4300-wide " +
+    "clone bucket drops, a planted near-dup pair elsewhere still surfaces") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // 4300 clones of one vector exceed the default maxBucket=4096 in EVERY
+    // table (identical signature); a separate duplicated vector is the
+    // planted near-dup the default path must still find
+    val base = e.orderBy($"vec_id").limit(2).collect()
+    val cloneSrc = e.filter($"vec_id" === base(0).getLong(0))
+    val clones = spark.range(4300).crossJoin(cloneSrc.drop("vec_id"))
+      .select(($"id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val pairSrc = e.filter($"vec_id" === base(1).getLong(0)).drop("vec_id")
+    val planted = clones
+      .unionByName(pairSrc.select(lit(2L).as("vec_id"), $"embedding", $"label"))
+      .unionByName(pairSrc.select(lit(4L).as("vec_id"), $"embedding", $"label"))
+    // DEFAULT call: planes auto-size (no fixed-parameter wall), cap 4096
+    val got = Similarity.nearDupPairsLsh(planted, 0.45)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 4L)), s"planted near-dup pair lost: $got")
+    assert(!got.exists { case (i, j) => i >= 100000L && j >= 100000L },
+      "oversized clone bucket must contribute no pairs under the default cap")
+  }
+
+  test("bitextMarginMine DEFAULT call on a cap-overflow corpus: clone-side " +
+    "mega-bucket drops, the planted cross-language pair is still mined") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = e.orderBy($"vec_id").limit(2).collect()
+    val cloneSrc = e.filter($"vec_id" === base(0).getLong(0))
+    // 4300 even-id (source-side) clones: one >4096-wide bucket per table
+    val clones = spark.range(4300).crossJoin(cloneSrc.drop("vec_id"))
+      .select(($"id" * 2L + 100000L).as("vec_id"), $"embedding", $"label")
+    val pairSrc = e.filter($"vec_id" === base(1).getLong(0)).drop("vec_id")
+    val planted = clones
+      .unionByName(pairSrc.select(lit(2L).as("vec_id"), $"embedding", $"label"))
+      .unionByName(pairSrc.select(lit(3L).as("vec_id"), $"embedding", $"label"))
+    // an isolated reciprocal pair has margin exactly 2·sim/(sim+sim) = 1000
+    val mined = Similarity.bitextMarginMine(planted, k = 4, marginMilli = 1000L)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(mined.contains((2L, 3L)), s"planted bitext pair lost: $mined")
+    assert(!mined.exists(_._1 >= 100000L),
+      "oversized clone bucket must contribute no mined sources under the default cap")
+  }
+
   test("kmeansAssign auto-k picks floor(sqrt(n)) distinct-or-fewer " +
     "clusters and matches the explicit-k assignment") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
