@@ -79,6 +79,10 @@ object Dedup {
     * (shuffle co-locates by shingle) → per-pair overlap count → join two
     * tiny per-doc size aggregates. Jaccard is a ratio of ints, so the
     * DuckDB oracle matches bit-exactly.
+    *
+    * `maxDf` (default 4096): shingles held by more docs than that are
+    * dropped from the scored sets BEFORE the self-join — see
+    * [[dropHotShingles]]; `maxDf <= 0` is the exact-audit opt-in.
     */
   /** 60-bit integer key from md5: shuffling 8-byte longs instead of
     * arbitrary-length shingle STRINGS cuts the self-join's wire format to a
@@ -91,15 +95,39 @@ object Dedup {
   private[graft] def shingleKey(shingle: org.apache.spark.sql.Column) =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
+  /** Document-frequency cap on a (id, shingle) postings frame: drop every
+    * posting of a shingle held by more than `maxDf` docs. One boilerplate
+    * 3-gram shared by k docs is k² rows in the shingle self-join, and a
+    * shingle that common carries no near-dup signal — this is classic
+    * stop-shingle removal, scored sets become the ≤-maxDf-df shingles on
+    * BOTH the intersection and the size side (so the ratio stays a true
+    * Jaccard/containment over the filtered sets, replayable in SQL). The
+    * hot set is ≤ |postings|/maxDf shingles by construction: map-combined
+    * count + broadcast left-anti join, same shape as the LSH bucket guard.
+    * `maxDf <= 0` = exact opt-in (no cap, no count pass).
+    */
+  private def dropHotShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf <= 0L) sh
+    else {
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("shingle"))
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .localCheckpoint(eager = false)
+    }
+
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDf: Long = 4096L): DataFrame = {
     // one shingling pass: the self-join sides reuse one exchange, and the
     // sizes branch reads the materialized rows instead of re-shingling.
     // Only the hashed key leaves the shingling stage — never the string.
-    val sh = spread(docs).select(col(idCol).as("id"),
+    val sh0 = spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
       .select(col("id"), shingleKey(col("s")).as("shingle"))
       .localCheckpoint(eager = false)
+    // df cap (default 4096, the pair-join family's skew knob): a hot
+    // boilerplate shingle is quadratic join mass; see dropHotShingles
+    val sh = dropHotShingles(sh0, maxDf)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
       col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -123,12 +151,17 @@ object Dedup {
     * self-equi-join), different final ratio.
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxDf: Long = 4096L): DataFrame = {
     // same fixed-width hashed key as jaccardPairs (collision note there)
-    val sh = spread(docs).select(col(idCol).as("id"),
+    val sh0 = spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
       .select(col("id"), shingleKey(col("s")).as("shingle"))
       .localCheckpoint(eager = false)
+    // same df cap as jaccardPairs — containment's min-size denominator is
+    // MORE exposed to boilerplate (a tiny doc of pure template text scores
+    // 1.0 against everything without it)
+    val sh = dropHotShingles(sh0, maxDf)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
       col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

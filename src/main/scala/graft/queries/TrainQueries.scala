@@ -27,12 +27,24 @@ object TrainQueries {
        |    ELSE [array_to_string($toksSql, ' ')] END) AS sh
        |FROM documents""".stripMargin
 
-  /** exact-jaccard pair scoring ≥ t over the shingle CTE (mirrors
-    * Dedup.jaccardPairs).
+  /** jaccard pair scoring ≥ t over the shingle CTE (mirrors
+    * Dedup.jaccardPairs): `maxDf > 0` replays the default document-
+    * frequency cap — postings of shingles held by more than maxDf docs
+    * drop before sizing AND joining, exactly like Dedup.dropHotShingles;
+    * `maxDf = 0` is the uncapped rendering (for oracles whose Spark side
+    * rescores FULL shingle sets, e.g. minhashLsh / incrementalLsh).
     */
-  private def jaccardSql(t: String): String =
+  private def jaccardSql(t: String, maxDf: Long = 4096L): String = {
+    val capCtes =
+      if (maxDf <= 0) ""
+      else s"""hot AS (SELECT shingle FROM e0 GROUP BY 1 HAVING count(*) > $maxDf),
+              |""".stripMargin
+    val e =
+      if (maxDf <= 0) "e AS (SELECT id, shingle FROM e0)"
+      else "e AS (SELECT id, shingle FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot))"
     s"""WITH tt AS ($shinglesSql),
-       |e AS (SELECT id, unnest(sh) AS shingle FROM tt),
+       |e0 AS (SELECT id, unnest(sh) AS shingle FROM tt),
+       |$capCtes$e,
        |sz AS (SELECT id, count(*) AS n FROM e GROUP BY id),
        |c AS (SELECT a.id AS i, b.id AS j, count(*) AS nc
        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
@@ -40,6 +52,7 @@ object TrainQueries {
        |SELECT c.i, c.j, floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |FROM c JOIN sz si ON c.i = si.id JOIN sz sj ON c.j = sj.id
        |WHERE floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 >= $t""".stripMargin
+  }
 
   /** One-permutation-hashing MinHash signature CTE over the shingle CTE
     * `tt` — mirrors functions.OphMinHashSigExpr: per shingle ONE
@@ -88,7 +101,7 @@ object TrainQueries {
        |  SELECT DISTINCT a.id AS i, b.id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-       |scored AS (${jaccardSql(t)})
+       |scored AS (${jaccardSql(t, maxDf = 0)})
        |SELECT cand.i, cand.j, scored.jaccard
        |FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
        |ORDER BY 1, 2""".stripMargin
@@ -422,7 +435,7 @@ object TrainQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
          |  WHERE b.id > (SELECT split FROM sp)),
-         |scored AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |scored AS (${jaccardSql("0.10", maxDf = 0).replace("\n", " ")}),
          |m AS (SELECT cand.j, min(cand.i) AS dup_of
          |      FROM cand JOIN scored ON cand.i = scored.i AND cand.j = scored.j
          |      GROUP BY cand.j)
@@ -2536,6 +2549,9 @@ object TrainQueries {
     "mm_crossmodal_dedup" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
+        // text leg runs the PRODUCTION df-capped shingle join (default
+        // maxDf=4096 — one boilerplate 3-gram shared by k docs is k² join
+        // rows without it); the oracle replays the same df filter
         val textPairs = Dedup.jaccardPairs(docs, 3, 0.10)
           .select(col("i"), col("j")).localCheckpoint(eager = false)
         val px = docs.select(col("doc_id"),
@@ -2811,7 +2827,10 @@ object TrainQueries {
       (spark, dir) => Dedup.containmentPairs(Tables.documents(spark, dir), 3, 0.60)
         .orderBy(col("i"), col("j")),
       s"""WITH tt AS ($shinglesSql),
-         |e AS (SELECT id, unnest(sh) AS shingle FROM tt),
+         |e0 AS (SELECT id, unnest(sh) AS shingle FROM tt),
+         |hot AS (SELECT shingle FROM e0 GROUP BY 1 HAVING count(*) > 4096),
+         |e AS (SELECT id, shingle FROM e0
+         |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
          |sz AS (SELECT id, count(*) AS n FROM e GROUP BY id),
          |c AS (SELECT a.id AS i, b.id AS j, count(*) AS nc
          |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id

@@ -123,6 +123,39 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("jaccard/containment df cap: a planted hot shingle contributes no " +
+    "pairs; kept-shingle sets rescore exactly; maxDf=0 is the exact opt-in") {
+    // 6 docs share the boilerplate 3-gram "hot boiler plate" (df=6 > cap);
+    // docs 20/21 share the rare 3-gram "rare x y" (df=2 ≤ cap)
+    val docs = ((10L until 16L).map(i => (i, s"hot boiler plate u$i")) ++
+      Seq((20L, "rare x y q20"), (21L, "rare x y q21"))).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, 3, 0.30, maxDf = 4L)
+      .as[(Long, Long, Double)].collect()
+    // kept sets for 20/21 = {"rare x y", "x y q2x"}: jaccard 1/(2+2-1)
+    assert(capped.toSeq.sortBy(_._1) == Seq((20L, 21L, 0.3333)),
+      s"got ${capped.toSeq}")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.30, maxDf = 0L)
+      .as[(Long, Long, Double)].collect()
+    // uncapped: all 15 boilerplate pairs score 1/(2+2-1) too
+    assert(exact.length == 16)
+    val cont = Dedup.containmentPairs(docs, 3, 0.50, maxDf = 4L)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((20L, 21L, 0.5)), s"got ${cont.toSeq}")
+  }
+
+  test("jaccardPairs df cap (4096) is the DEFAULT: a 4200-doc boilerplate " +
+    "shingle is dropped without enumerating its ~8.8M join rows") {
+    val docs = (spark.range(4200)
+      .select($"id".as("doc_id"),
+        concat(lit("hot boiler plate u"), $"id".cast("string")).as("text")))
+      .unionByName(Seq((9000L, "planted pair body one two three"),
+        (9001L, "planted pair body one two three")).toDF("doc_id", "text"))
+    val got = Dedup.jaccardPairs(docs, 3, 0.30)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(got == Set((9000L, 9001L)),
+      s"default jaccard path must be df-capped, got ${got.size} pairs")
+  }
+
   test("winnowPairs: shared long run is caught, disjoint docs are not; repartition-stable") {
     val shared = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
