@@ -410,12 +410,15 @@ object CorpusOpsQueries {
     // ── Poisson bootstrap (Chamandy et al. 2012 — Efron's bootstrap at
     //    corpus scale): classical resampling needs n global draws per
     //    replicate; at any real size each row instead contributes an
-    //    INDEPENDENT md5-seeded Poisson(1) weight per replicate, so 32
-    //    replicate means fold from ONE scan through one map-combined
-    //    aggregate. The spread of the 32 released means IS the corpus
-    //    mean's sampling uncertainty (CI = quantiles of a 32-row frame,
-    //    post-processing). Integer inverse-CDF cuts floor(CDF·2³²) make
-    //    every draw engine-exact ──
+    //    INDEPENDENT Poisson(1) weight per replicate, so 32 replicate
+    //    means fold from ONE scan through one map-combined aggregate.
+    //    The spread of the 32 released means IS the corpus mean's
+    //    sampling uncertainty (CI = quantiles of a 32-row frame,
+    //    post-processing). Draws cost ONE md5 per row: the digest's four
+    //    31-bit lanes feed per-replicate Carter–Wegman mixes
+    //    (a_r·lane + b_r mod 2³¹−1, literal constants) against integer
+    //    inverse-CDF cuts floor(CDF·P) — engine-exact, replayed verbatim
+    //    by the oracle's consts VALUES list ──
     "stats_bootstrap_ci" -> QueryDef(
       (spark, dir) => {
         val v = Tables.orders(spark, dir).select(col("o_orderkey"),
@@ -425,20 +428,23 @@ object CorpusOpsQueries {
             seed = "graftboot")
           .orderBy(col("rep"))
       }, {
-        val wt = graft.ops.Bootstrap.poissonCuts
-          .map(c => s"CASE WHEN h >= $c THEN 1 ELSE 0 END")
-          .mkString(" + ")
+        val B = graft.ops.Bootstrap
         s"""WITH v AS (SELECT o_orderkey AS id,
            |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
            |  FROM orders),
-           |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
-           |u AS (SELECT rep, id, x,
-           |    CAST(list_sum(list_transform(generate_series(1, 8),
-           |      i -> (strpos('0123456789abcdef',
-           |              substr(md5('graftboot|' || rep || '|' || id), i, 1)) - 1)
-           |           * (16 ** (8 - i)))) AS BIGINT) AS h
-           |  FROM v CROSS JOIN reps),
-           |w AS (SELECT rep, x, ($wt) AS wt FROM u)
+           |consts(rep, a, b) AS (VALUES ${B.cwConstsSqlValues("graftboot", 32)}),
+           |hm AS (SELECT id, x, md5('graftboot|' || id) AS m FROM v),
+           |l AS (SELECT x,
+           |    ${B.laneSql("m", 0)} AS lane0,
+           |    ${B.laneSql("m", 1)} AS lane1,
+           |    ${B.laneSql("m", 2)} AS lane2,
+           |    ${B.laneSql("m", 3)} AS lane3
+           |  FROM hm),
+           |u AS (SELECT rep, x,
+           |    (a * (CASE rep % 4 WHEN 0 THEN lane0 WHEN 1 THEN lane1
+           |          WHEN 2 THEN lane2 ELSE lane3 END) + b) % ${B.P} AS u
+           |  FROM l CROSS JOIN consts),
+           |w AS (SELECT rep, x, (${B.poissonWeightSql("u")}) AS wt FROM u)
            |SELECT CAST(rep AS INT) AS rep, CAST(sum(wt) AS BIGINT) AS n_eff,
            |  CAST((sum(wt * x) * 1000000) // sum(wt) AS BIGINT) AS mean_micro
            |FROM w GROUP BY rep HAVING sum(wt) > 0 ORDER BY rep""".stripMargin
@@ -469,20 +475,23 @@ object CorpusOpsQueries {
             (col("median_bucket") * 10000L).as("median_lo_cents"))
           .orderBy(col("rep"))
       }, {
-        val wt = graft.ops.Bootstrap.poissonCuts
-          .map(c => s"CASE WHEN h >= $c THEN 1 ELSE 0 END")
-          .mkString(" + ")
+        val B = graft.ops.Bootstrap
         s"""WITH v AS (SELECT o_orderkey AS id,
            |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS bkt
            |  FROM orders),
-           |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
-           |u AS (SELECT rep, id, bkt,
-           |    CAST(list_sum(list_transform(generate_series(1, 8),
-           |      i -> (strpos('0123456789abcdef',
-           |              substr(md5('graftboot|' || rep || '|' || id), i, 1)) - 1)
-           |           * (16 ** (8 - i)))) AS BIGINT) AS h
-           |  FROM v CROSS JOIN reps),
-           |w AS (SELECT rep, bkt, ($wt) AS wt FROM u),
+           |consts(rep, a, b) AS (VALUES ${B.cwConstsSqlValues("graftboot", 32)}),
+           |hm AS (SELECT id, bkt, md5('graftboot|' || id) AS m FROM v),
+           |l AS (SELECT bkt,
+           |    ${B.laneSql("m", 0)} AS lane0,
+           |    ${B.laneSql("m", 1)} AS lane1,
+           |    ${B.laneSql("m", 2)} AS lane2,
+           |    ${B.laneSql("m", 3)} AS lane3
+           |  FROM hm),
+           |u AS (SELECT rep, bkt,
+           |    (a * (CASE rep % 4 WHEN 0 THEN lane0 WHEN 1 THEN lane1
+           |          WHEN 2 THEN lane2 ELSE lane3 END) + b) % ${B.P} AS u
+           |  FROM l CROSS JOIN consts),
+           |w AS (SELECT rep, bkt, (${B.poissonWeightSql("u")}) AS wt FROM u),
            |hist AS (SELECT rep, bkt, CAST(sum(wt) AS BIGINT) AS n
            |         FROM w GROUP BY 1, 2 HAVING sum(wt) > 0),
            |c AS (SELECT rep, bkt,
