@@ -19,6 +19,18 @@ import org.apache.spark.sql.types._
   * `store/b<batchId>` with overwrite, so a retried batch is idempotent
   * (same batch id → same subdir → same contents).
   *
+  * Unbounded-run hygiene: one subdir per batch forever is the classic
+  * small-file pathology (per-file open/footer cost dominates the standing
+  * scan after a few thousand batches), so [[dedupBatch]] triggers
+  * [[compactStore]] once the completed-subdir count reaches
+  * `compactMinDirs`: Compaction.plan packs the subdirs into
+  * target-sized groups and each group rewrites (id-deduped) into one
+  * `c<batch>_<grp>` dir, inputs deleted only after every group commits.
+  * Crash anywhere leaves duplicate signature ROWS at worst — harmless
+  * for decisions (dup_of is a min over matches) and re-folded by the
+  * next trigger; a retried batch skips compaction when its own c-dirs
+  * already exist (they would be input and overwrite target at once).
+  *
   * Match rule (first-occurrence-wins, same as Dedup.incrementalLsh): a
   * doc is a duplicate iff its estimated Jaccard (signature agreement
   * fraction) with ANY standing doc or smaller-id batch doc reaches the
@@ -79,12 +91,59 @@ object CorpusIngest {
     } else spark.read.schema(storeSchema).parquet(parts.toIndexedSeq: _*)
   }
 
+  /** Fold completed store subdirs into target-sized compacted dirs
+    * (`c<currentBatch>_<grp>`). Triggers only at `minDirs` completed
+    * subdirs; group assignment is Compaction.plan at SUBDIR grain (one
+    * metadata row per subdir — groups pack to `targetBytes`, so rewrite
+    * work tracks the small recent dirs, not the corpus). Re-entrant: a
+    * retried batch whose own c-dirs already exist skips (its outputs
+    * would be both fold input and overwrite target); leftover inputs
+    * from a crash re-fold under the next trigger's fresh name, and
+    * duplicate rows are collapsed per group by id.
+    * Returns the number of subdirs folded.
+    */
+  def compactStore(spark: SparkSession, storeDir: String, currentBatch: Long,
+                   minDirs: Int = 16, targetBytes: Long = 128L << 20): Int = {
+    import spark.implicits._
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val subdirs = fs.listStatus(p).filter(_.isDirectory)
+      .filterNot(_.getPath.getName == s"b$currentBatch")
+    if (subdirs.exists(_.getPath.getName.startsWith(s"c${currentBatch}_"))) return 0
+    if (subdirs.length < minDirs) return 0
+    val sized = subdirs.toSeq.map(s =>
+      (s.getPath.toString, fs.getContentSummary(s.getPath).getLength))
+    // plan at subdir grain: one row per subdir (all share parent storeDir)
+    // — a driver-side collect bounded by the dir count, never data rows
+    val planned = graft.ops.Compaction
+      .plan(sized.toDF("path", "bytes"), "path", "bytes", targetBytes)
+      .select(col("grp"), col("path"), col("bytes")).collect()
+    planned.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (g, rows) =>
+      val nOut = math.max(1L,
+        (rows.map(_.getLong(2)).sum + targetBytes - 1) / targetBytes).toInt
+      spark.read.schema(storeSchema)
+        .parquet(rows.map(_.getString(1)).toIndexedSeq: _*)
+        .dropDuplicates("id")
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$storeDir/c${currentBatch}_$g")
+    }
+    // inputs removed only after EVERY group committed — a crash before
+    // this point leaves duplicates, never losses
+    subdirs.foreach(s => fs.delete(s.getPath, true))
+    subdirs.length
+  }
+
   /** Dedup one micro-batch against the store + itself, persist survivors'
     * signatures, and return per-doc decisions
-    * (id, is_dup, dup_of — null when kept).
+    * (id, is_dup, dup_of — null when kept). `compactMinDirs > 0` (the
+    * default) folds the store once that many completed subdirs exist —
+    * see [[compactStore]]; 0 disables.
     */
   def dedupBatch(batch: DataFrame, storeDir: String, batchId: Long,
-                 bands: Int, threshold: Double, n: Int = 3): DataFrame = {
+                 bands: Int, threshold: Double, n: Int = 3,
+                 compactMinDirs: Int = 16,
+                 compactTargetBytes: Long = 128L << 20): DataFrame = {
     val spark = batch.sparkSession
     val sigs = signatures(batch, n).localCheckpoint(eager = true)
     val bb = banded(sigs, bands)
@@ -108,6 +167,10 @@ object CorpusIngest {
     decisions.filter(col("dup_of").isNull)
       .select(col("id"), col("sig"), col("n_sh"))
       .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+    // decisions are eagerly checkpointed above, so folding (and deleting)
+    // store subdirs here cannot pull the rug from the returned frame
+    if (compactMinDirs > 0)
+      compactStore(spark, storeDir, batchId, compactMinDirs, compactTargetBytes)
     decisions.select(col("id"), col("dup_of").isNotNull.as("is_dup"),
       col("dup_of"))
   }
@@ -116,10 +179,14 @@ object CorpusIngest {
     * idempotent per-batch layout as the store).
     */
   def writer(docs: DataFrame, storeDir: String, outDir: String,
-             bands: Int = 4, threshold: Double = 0.8): DataStreamWriter[Row] =
+             bands: Int = 4, threshold: Double = 0.8,
+             compactMinDirs: Int = 16,
+             compactTargetBytes: Long = 128L << 20): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        dedupBatch(batch.toDF(), storeDir, id, bands, threshold)
+        dedupBatch(batch.toDF(), storeDir, id, bands, threshold,
+          compactMinDirs = compactMinDirs,
+          compactTargetBytes = compactTargetBytes)
           .write.mode("overwrite").parquet(s"$outDir/b$id")
         ()
       }

@@ -52,4 +52,48 @@ class CorpusIngestSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(afterRetry == Set(1L, 4L))
   }
+
+  test("store compaction folds batch subdirs; decisions identical across " +
+    "the compaction boundary and after a retried batch") {
+    val storeC = Files.createTempDirectory("sig_store_c").toString  // compacted
+    val storeU = Files.createTempDirectory("sig_store_u").toString  // never
+    def doc(i: Long) = (i, s"novel document body number$i alpha beta gamma")
+    def run(store: String, minDirs: Int, bid: Long, docs: Seq[(Long, String)]) =
+      CorpusIngest.dedupBatch(docs.toDF("doc_id", "text"), store, bid,
+          bands = 4, threshold = 0.8, compactMinDirs = minDirs)
+        .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    // four batches of novel docs + one dup of batch-0 doc 1
+    val batches = Seq(
+      Seq(doc(1), doc(2)), Seq(doc(3), (4L, doc(1)._2)),
+      Seq(doc(5)), Seq(doc(6), doc(7)))
+    for ((b, i) <- batches.zipWithIndex) {
+      val dc = run(storeC, minDirs = 2, i.toLong, b)
+      val du = run(storeU, minDirs = 0, i.toLong, b)
+      assert(dc == du, s"batch $i decisions diverged: $dc vs $du")
+    }
+    // compaction actually fired: fewer subdirs, at least one c-dir
+    val fs = new org.apache.hadoop.fs.Path(storeC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(s: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs(storeC).exists(_.startsWith("c")),
+      s"expected compacted dirs in ${dirs(storeC)}")
+    assert(dirs(storeC).size < dirs(storeU).size)
+    // the folded store answers identically to the unfolded one
+    assert(CorpusIngest.readStore(spark, storeC)
+      .select($"id").as[Long].collect().toSet ==
+      CorpusIngest.readStore(spark, storeU)
+        .select($"id").as[Long].collect().toSet)
+    // a RETRIED batch (restart replays the last uncommitted batch) after
+    // a compaction boundary decides identically on both stores
+    val retry = Seq((8L, doc(1)._2), doc(9))
+    val rc = run(storeC, minDirs = 2, 3L, retry)
+    val ru = run(storeU, minDirs = 0, 3L, retry)
+    assert(rc == ru, s"retry decisions diverged: $rc vs $ru")
+    assert(rc.find(_._1 == 8L).get._2, "doc 8 must match the standing dup")
+    assert(CorpusIngest.readStore(spark, storeC)
+      .select($"id").as[Long].collect().toSet ==
+      CorpusIngest.readStore(spark, storeU)
+        .select($"id").as[Long].collect().toSet)
+  }
 }
