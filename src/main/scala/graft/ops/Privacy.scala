@@ -248,19 +248,27 @@ object Privacy {
     import spark.implicits._
     require(nBuckets >= 1 && nBuckets <= 65536,
       "nBuckets in [1, 65536] — the release frame is broadcast downstream")
+    // a silent drop of an out-of-range pct would release FEWER quantiles
+    // than asked for — refuse instead
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got $pcts")
     val domain = spark.range(nBuckets.toLong).toDF("b")
     // the ε-bearing step: one geometric-mechanism histogram release.
-    // Checkpointed because the cumulative reads it from two sides (and a
-    // two-sided op over shared lineage trips DetectAmbiguousSelfJoin).
+    // Checkpointed: the cumulative and the total both branch off it, and
+    // without this the corpus-scan count subtree would run twice.
     val hist = dpGeometricCounts(df, bucketCol, seed, domain)
       .select(col("grp").cast("long").as("b"), col("dp_count"))
       .localCheckpoint(eager = false)
-    // released cumulative via the triangular tiny-frame join (≤ nBuckets²/2
-    // rows — the Drift.ksProfile pattern; a global window would serialize)
-    val cum = hist.select(col("b").as("cb"))
-      .join(hist.select(col("b").as("b2"), col("dp_count").as("c2")),
-        col("b2") <= col("cb"))
-      .groupBy(col("cb")).agg(sum(col("c2")).as("cum"))
+    // released cumulative: one running-sum window over the ≤nBuckets-row
+    // release frame — single-partition by construction and bounded by the
+    // require above, same posture as the stats_quantile_hist bucket
+    // window (the triangular join this replaces was nBuckets²/2 rows —
+    // 2.1e9 at the 65536 bound)
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("b").as("cb"),
+      sum(col("dp_count")).over(wc).as("cum"))
     val tot = hist.agg(sum(col("dp_count")).as("tot"))
     pcts.toDF("pct").crossJoin(broadcast(tot))
       .withColumn("target", expr("(tot * pct + 99) DIV 100"))

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object ArchiveQueries {
 
+  /** Per-process scratch root for the WARC render/read-back gates: the
+    * previous shared "/tmp/graft_warc/<tag>_<sfDir>" path raced when two
+    * drivers (e.g. a Verify and a Bench) ran the same sfDir concurrently
+    * — one JVM's delete-then-write clobbered the other's read. pid-keyed,
+    * so a JVM's own re-runs still overwrite their own dirs.
+    */
+  private val warcTmp: String =
+    s"/tmp/graft_warc/p${java.lang.ProcessHandle.current().pid()}"
+
   val defs: Map[String, QueryDef] = Map(
     "s7_tar_roundtrip" -> QueryDef(
       (spark, dir) => {
@@ -54,7 +63,7 @@ object ArchiveQueries {
     //    SQL-expressible; the round-trip invariant is ──
     "s_warc_roundtrip" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/rt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/rt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -79,7 +88,7 @@ object ArchiveQueries {
     //    Pushed payload_len filter prunes records at plan time ──
     "s_warc_source_meta" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -106,7 +115,7 @@ object ArchiveQueries {
       (spark, dir) => {
         val spark2 = spark
         import spark2.implicits._
-        val tmp = "/tmp/graft_warc/cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -133,7 +142,7 @@ object ArchiveQueries {
     //    merge ──
     "s_warc_index_stats" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/agg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/agg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -161,7 +170,7 @@ object ArchiveQueries {
     //    scale a per-file audit reads kilobytes of index, not the gzip ──
     "s_warc_group_stats" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/grp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/grp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -193,7 +202,7 @@ object ArchiveQueries {
     //    dedup audit of a 100 TB crawl reading kilobytes of CDX ──
     "s_warc_distinct_stats" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/dst_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/dst_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -222,7 +231,7 @@ object ArchiveQueries {
     //    change the answer ──
     "s_warc_top_payload" -> QueryDef(
       (spark, dir) => {
-        val tmp = "/tmp/graft_warc/top_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = warcTmp + "/top_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
@@ -254,8 +263,8 @@ object ArchiveQueries {
     "web_warc_revisit" -> QueryDef(
       (spark, dir) => {
         val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val tmpA = "/tmp/graft_warc/reva_" + sfx
-        val tmpB = "/tmp/graft_warc/revb_" + sfx
+        val tmpA = warcTmp + "/reva_" + sfx
+        val tmpB = warcTmp + "/revb_" + sfx
         val fs = new org.apache.hadoop.fs.Path(tmpA)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         Seq(tmpA, tmpB).foreach(t =>

@@ -143,5 +143,11 @@ class PrivacySpec extends SparkSpec {
         Seq(25, 50, 75, 90, 99))
       .as[(Int, Long)].collect().toSeq.sortBy(_._1)
     assert(again == got)
+    // out-of-range pcts refuse loudly instead of silently releasing fewer
+    // quantiles than asked for
+    for (bad <- Seq(Seq(0), Seq(101), Seq(50, 200), Seq.empty[Int]))
+      intercept[IllegalArgumentException] {
+        Privacy.dpHistogramQuantiles(rows, "b", "seedq", 8, bad)
+      }
   }
 }
