@@ -41,7 +41,7 @@ object Clustering {
     * rounds, cluster = seed vector's id. Clusters that lose all members
     * simply disappear (no re-seeding), which the oracle replays.
     *
-    * `k <= 0` auto-sizes to ⌊√n⌋ (the IVF balance: assignment work
+    * `k <= 0` — the DEFAULT — auto-sizes to ⌊√n⌋ (the IVF balance: assignment work
     * n^1.5, expected cluster size √n — the shape that keeps semDedup's
     * within-cluster pair mass at n^1.5 instead of n²/k; IEEE-exact
     * floor(sqrt) so a SQL oracle replays the choice). The per-point
@@ -50,7 +50,7 @@ object Clustering {
     * replaces): map-side partials collapse each point's k assignment
     * rows before the exchange, so n rows shuffle instead of n×k.
     */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
+  def kmeansAssign(emb: DataFrame, k: Int = 0, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters > 0, "iters must be positive")
     val kk =

@@ -101,7 +101,7 @@ object Pq {
     * corpus ⇒ cosine order), so the oracle replays every tie
     * bit-for-bit.
     */
-  def ivfPqTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, dims: Int,
+  def ivfPqTopK(emb: DataFrame, centroidMod: Int = 0, nprobe: Int, dims: Int,
                 m: Int, k: Int, topK: Int, queryMod: Int,
                 residual: Boolean = false, lloydIters: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -112,9 +112,10 @@ object Pq {
 
     // coarse quantizer: every centroidMod-th vector; n×(n/centroidMod)
     // assignment via ONE broadcast (the deliberate BNLJ-cross of ivfTopK).
-    // centroidMod <= 0 → ⌊√n⌋ auto-sizing, same rationale and same
-    // IEEE-exact SQL replay as Similarity.ivfTopK: fixed mod makes the
-    // assignment leg n²/mod, √n cells makes it n^1.5.
+    // centroidMod <= 0 — the DEFAULT — is ⌊√n⌋ auto-sizing, same
+    // rationale and same IEEE-exact SQL replay as Similarity.ivfTopK:
+    // fixed mod makes the assignment leg n²/mod (495× at the r8 100×
+    // probe), √n cells makes it n^1.5.
     val mod =
       if (centroidMod > 0) centroidMod.toLong
       else math.max(1L, math.sqrt(emb.count().toDouble).toLong)

@@ -156,12 +156,13 @@ object Similarity {
     * aggregate. Cost: n·m assignment dots + Σ probed-cell sizes — the
     * candidate join shuffles on cell id, never n².
     */
-  def ivfTopK(emb: DataFrame, centroidMod: Int, nprobe: Int, k: Int, queryMod: Int,
+  def ivfTopK(emb: DataFrame, centroidMod: Int = 0, nprobe: Int, k: Int, queryMod: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroidMod <= 0 → auto-size to ⌊√n⌋ (cells ≈ √n): a FIXED mod
-    // keeps per-cell occupancy constant but grows the centroid table
-    // linearly, so the n×m assignment leg is n²/mod — the r8 100×
-    // embedding-growth probe measures exactly that. √n cells is the
+    // centroidMod <= 0 — the DEFAULT — auto-sizes to ⌊√n⌋ (cells ≈ √n):
+    // a FIXED mod keeps per-cell occupancy constant but grows the
+    // centroid table linearly, so the n×m assignment leg is n²/mod —
+    // the r8 100× embedding-growth probe measured 1052× on the fixed
+    // mod vs 68-116× on auto. √n cells is the
     // classic IVF balance: assignment n^1.5, probe volume nprobe·√n per
     // query. floor(sqrt) is IEEE-exact for n ≪ 2^52, so the SQL oracle
     // replays the choice bit-for-bit.
