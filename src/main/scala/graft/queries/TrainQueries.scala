@@ -1160,50 +1160,42 @@ object TrainQueries {
         |FROM micros GROUP BY 1 ORDER BY decile""".stripMargin),
 
     // ── margin-based bitext mining (Artetxe & Schwenk ratio margin):
-    //    even ids = source language, odd ids = target; LSH candidates,
-    //    integer micro-sims / milli-margins, best-margin target per
-    //    source above 1.02. PRODUCTION posture (the default call): planes
-    //    auto-size to the corpus (⌈log2⌈n/64⌉⌉ — fixed planes made the
-    //    cross-language join |X|·|Y|/2^planes and DNF'd the r8 100×
-    //    probe) and (table, bucket) groups wider than 4096 drop before
-    //    the join. The oracle replays the plane-count choice AND the
-    //    bucket cap, then the md5 hyperplane family and the exact integer
-    //    margin arithmetic ──
+    //    even ids = source language, odd ids = target; integer micro-sims
+    //    / milli-margins, best-margin target per source above 1.02.
+    //    PRODUCTION posture (the default call): candidates from IVF
+    //    sampled-centroid cells (⌊√n⌋ centroids, both sides probing their
+    //    top-2 cells) — exactly how CCMatrix-style miners run FAISS-ANN
+    //    search instead of exact kNN. Cells track data DENSITY (~√n wide
+    //    on any corpus); auto-sized hyperplane buckets do not (planes
+    //    can't split tight clusters — the r10 100× embedding-growth probe
+    //    filled 80 GB of candidate shuffle on that path). Cells wider
+    //    than 4096 drop before the join. The oracle replays the ⌊√n⌋
+    //    choice, the assignment, the cap, and the exact integer margin
+    //    arithmetic ──
     "emb_bitext_mine" -> QueryDef(
       (spark, dir) => Similarity.bitextMarginMine(
           Tables.embeddings(spark, dir), k = 4, marginMilli = 1020L)
         .orderBy(col("x")),
-      """WITH pl AS (
-        |  SELECT greatest(1, (
-        |    SELECT count(*) FROM generate_series(0, 61) g(p)
-        |    WHERE (1::BIGINT << p) < ((SELECT count(*) + 63 FROM embeddings) // 64)
-        |  ))::INT AS planes),
-        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
-        |tp AS (SELECT t, p FROM (SELECT unnest(generate_series(0, 23)) AS t),
-        |    (SELECT unnest(generate_series(0, (SELECT planes FROM pl) - 1)) AS p)),
-        |signs AS (
-        |  SELECT t, p, d,
-        |    CASE WHEN strpos('0123456789abcdef',
-        |           substr(md5(t || ':' || p || ':' || (d // 32)), (d % 32) + 1, 1)) - 1 >= 8
-        |         THEN 1.0 ELSE -1.0 END AS s
-        |  FROM tp, dims),
-        |proj AS (
-        |  SELECT e.vec_id AS id, s.t, s.p,
-        |    sum(e.embedding[s.d + 1]::DOUBLE * s.s) AS pr
-        |  FROM embeddings e, signs s GROUP BY 1, 2, 3),
-        |buckets AS (
-        |  SELECT id, t,
-        |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-        |  FROM proj GROUP BY id, t),
-        |bsz AS (SELECT t, bucket FROM buckets GROUP BY 1, 2
-        |        HAVING count(*) <= 4096),
-        |kept AS (SELECT b.id, b.t, b.bucket
-        |         FROM buckets b JOIN bsz USING (t, bucket)),
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT m FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |memb AS (SELECT id, cid FROM ranked WHERE rnk <= 2),
+        |keptc AS (SELECT cid FROM memb GROUP BY cid HAVING count(*) <= 4096),
+        |kept AS (SELECT mm.id, mm.cid FROM memb mm JOIN keptc USING (cid)),
         |cand AS (
         |  SELECT DISTINCT a.id AS x, b.id AS y
         |  FROM kept a JOIN kept b
-        |    ON a.t = b.t AND a.bucket = b.bucket
-        |   AND a.id % 2 = 0 AND b.id % 2 = 1),
+        |    ON a.cid = b.cid AND a.id % 2 = 0 AND b.id % 2 = 1),
         |sims AS (SELECT * FROM (
         |  SELECT x, y, CAST(floor(list_inner_product(qa.embedding::DOUBLE[],
         |      qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS sim

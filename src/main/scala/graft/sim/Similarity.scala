@@ -56,6 +56,21 @@ object Similarity {
       sig0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
     }
 
+  /** Cell-grain twin of [[dropOversizedBuckets]] for IVF membership
+    * frames (one `cid` key instead of (table, bucket)): drop every
+    * membership row of a cell wider than `maxCell`. Same map-combined
+    * count + broadcast left-anti plan; `Int.MaxValue` = no pass.
+    */
+  private def dropOversizedCells(memb: DataFrame, maxCell: Int): DataFrame =
+    if (maxCell == Int.MaxValue) memb
+    else {
+      val hot = memb.groupBy(col("cid"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") > maxCell)
+        .select(col("cid"))
+      memb.join(broadcast(hot), Seq("cid"), "left_anti")
+    }
+
   /** 6-decimal rounding on the BINARY double (floor(x·10⁶+0.5)/10⁶):
     * engine round() disagrees on representation-boundary rows — see
     * TextAnalysis.round4.
@@ -298,43 +313,92 @@ object Similarity {
     * dropped up front (they can't be mined pairs, and positivity keeps
     * the DIV operands non-negative where Spark DIV ≡ DuckDB floor-div).
     *
-    * Scale posture (same as [[nearDupPairsLsh]]): `planes <= 0` (the
-    * default) auto-sizes the bucket count to track n — with planes FIXED
-    * the candidate join is |X|·|Y|/2^planes, and this path's sibling
-    * configuration DNF'd the r8 100× probe with a full disk of candidate
-    * shuffle. `maxBucket` (default 4096) drops oversized (table, bucket)
-    * groups BEFORE the cross-language join — a bucket that wide is pure
-    * hub mass, exactly what the margin exists to discount; exact audit is
-    * the explicit (`planes > 0`, `maxBucket = Int.MaxValue`) opt-in.
+    * Scale posture: the DEFAULT (`planes <= 0`) generates candidates from
+    * IVF sampled-centroid cells — `⌊√n⌋` centroids (every mod-th vector,
+    * SQL-replayable like [[ivfTopK]]), every vector probing its top
+    * `nprobe` cells, pairs forming only inside shared cells. Sampled
+    * centroids are drawn FROM the data, so cell width tracks density
+    * (~√n members at any n, even on tightly clustered corpora); the r10
+    * 100× embedding-growth probe showed hyperplane buckets do NOT have
+    * that property — 12 auto-sized planes cannot split a tight cluster
+    * (all members agree on every hyperplane sign), leaving many
+    * under-cap mid-size buckets whose cross-language joins filled 80 GB
+    * of candidate shuffle. `maxBucket` (default 4096) drops cells wider
+    * than the cap BEFORE the cross-language join — a cell that wide at
+    * √n centroids is a degenerate clone-mass, pure hub territory the
+    * margin exists to discount. The hyperplane-LSH candidate stage
+    * remains as the explicit `planes > 0` opt-in (the fixed-parameter
+    * paper-replay audit, `emb_bitext_exact`).
     *
     * Returns one row per mined source: (x, y, sim_micro, margin_milli).
     */
   def bitextMarginMine(emb: DataFrame, k: Int, marginMilli: Long,
                        tables: Int = 24, planes: Int = 0, dims: Int = 64,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
-    val nPlanes = resolvePlanes(emb, planes, targetOccupancy)
-    val sig0 = emb.select(col(idCol).as("id"),
-      posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .localCheckpoint(eager = false)
-    // skew guard BEFORE the side split: bucket width is counted over both
-    // languages together (the grain the candidate join shuffles on)
-    val sig = dropOversizedBuckets(sig0, maxBucket)
-    val cand = sig.filter(pmod(col("id"), lit(2)) === 0).as("a")
-      .join(sig.filter(pmod(col("id"), lit(2)) === 1).as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("x"), col("b.id").as("y"))
-      .distinct()
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    // one rescore pass shared by the forward top-k, backward top-k and the
-    // final margin join (checkpoint: no exchange reuse across branches)
-    val sims = cand
-      .join(vecs.select(col("vid").as("x"), col("vv").as("xv")), Seq("x"))
-      .join(vecs.select(col("vid").as("y"), col("vv").as("yv")), Seq("y"))
-      .withColumn("sim", floor(dot(col("xv"), col("yv")) * lit(1e6) + lit(0.5)).cast("long"))
+                       maxBucket: Int = 4096, nprobe: Int = 2): DataFrame = {
+    // each branch yields the deduped rescored candidate set (x, y, sim>0),
+    // shared by the forward top-k, backward top-k and the final margin
+    // join (checkpoint: no exchange reuse across branches)
+    val sims =
+      (if (planes > 0) {
+        // exact-audit opt-in: OR-amplified hyperplane buckets, as
+        // published; pair volume is small by contract here, so the
+        // candidate-then-re-attach shape is fine
+        val sig0 = emb.select(col(idCol).as("id"),
+          posexplode(graft.functions.lsh_sig(col(vecCol), tables, planes, dims)))
+          .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+          .localCheckpoint(eager = false)
+        // skew guard BEFORE the side split: bucket width is counted over
+        // both languages together (the grain the candidate join shuffles on)
+        val sig = dropOversizedBuckets(sig0, maxBucket)
+        val cand = sig.filter(pmod(col("id"), lit(2)) === 0).as("a")
+          .join(sig.filter(pmod(col("id"), lit(2)) === 1).as("b"),
+            col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+          .select(col("a.id").as("x"), col("b.id").as("y"))
+          .distinct()
+        val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+        cand
+          .join(vecs.select(col("vid").as("x"), col("vv").as("xv")), Seq("x"))
+          .join(vecs.select(col("vid").as("y"), col("vv").as("yv")), Seq("y"))
+          .withColumn("sim", floor(dot(col("xv"), col("yv")) * lit(1e6) + lit(0.5)).cast("long"))
+          .select(col("x"), col("y"), col("sim"))
+      } else {
+        // DEFAULT: IVF cells — same sampled-centroid index as [[ivfTopK]]
+        // (the n×m assignment is the deliberate broadcast cross join; the
+        // bounded-heap top-nprobe collapses it to nprobe rows per vector
+        // before any exchange)
+        val mod = math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+        val cents = emb.filter(pmod(col(idCol), lit(mod)) === 0)
+          .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+        val memb = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d", round6(dot(col("v"), col("cv"))))
+          .groupBy(col("id"))
+          .agg(graft.functions.topk_by(col("d"), col("cid"), math.max(nprobe, 1)).as("top"))
+          .select(col("id"), explode(col("top")).as("t"))
+          .select(col("id"), col("t.nid").as("cid"))
+          .localCheckpoint(eager = false)
+        // cell width counted over both languages AND all probe memberships
+        // — exactly the grain the candidate join shuffles on
+        val kept = dropOversizedCells(memb, maxBucket)
+        // vectors ride the MEMBERSHIP rows (2·nprobe·n rows, not one per
+        // pair) and the dot is computed inside the cell join's projection,
+        // so the pair-grain shuffle downstream carries only (x, y, sim) —
+        // re-attaching vectors per PAIR shipped ~0.5 KB × |cand| through
+        // two joins and filled 45 GB of scratch at the r10 100× probe
+        val kv = kept.join(
+          emb.select(col(idCol).as("id"), col(vecCol).as("vv")), Seq("id"))
+        kv.filter(pmod(col("id"), lit(2)) === 0).as("a")
+          .join(kv.filter(pmod(col("id"), lit(2)) === 1).as("b"),
+            col("a.cid") === col("b.cid"))
+          .select(col("a.id").as("x"), col("b.id").as("y"),
+            floor(dot(col("a.vv"), col("b.vv")) * lit(1e6) + lit(0.5))
+              .cast("long").as("sim"))
+          // a pair sharing both probed cells appears twice with the same
+          // deterministic sim — (x, y, sim)-distinct ≡ (x, y)-distinct
+          .distinct()
+      })
       .filter(col("sim") > 0)
-      .select(col("x"), col("y"), col("sim"))
       .localCheckpoint(eager = false)
     // micro-sims are < 2^21, exact in the heap's Double score
     val fwd = sims.groupBy(col("x"))

