@@ -147,19 +147,25 @@ object Similarity {
       .localCheckpoint(eager = false)
     // skew guard on the same (table, bucket) grain the join shuffles on
     val sig = dropOversizedBuckets(sig0, maxBucket)
-    // candidate ids deduped BEFORE vectors are re-attached
-    val cand = sig.as("a").join(sig.as("b"),
+    // vectors ride the SIGNATURE rows (tables·n rows, not one per pair)
+    // and the dot is computed inside the bucket join's projection: the
+    // pair-grain shuffle carries only (i, j, sim) and the threshold
+    // prunes BEFORE the distinct. Re-attaching vectors per PAIR shipped
+    // ~0.5 KB × |cand| through two joins — the shape the r10 100× bitext
+    // probe measured at 45 GB of scratch. A pair co-occurring in several
+    // tables computes its (deterministic) dot once per co-occurrence;
+    // dots are codegen'd and cheap next to pair-grain vector shuffles,
+    // and (i, j, sim)-distinct ≡ (i, j)-distinct.
+    val kv = sig.join(
+        emb.select(col(idCol).as("id"), col(vecCol).as("vv")), Seq("id"))
+      .localCheckpoint(eager = false)
+    kv.as("a").join(kv.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    cand
-      .join(vecs.select(col("vid").as("i"), col("vv").as("va")), Seq("i"))
-      .join(vecs.select(col("vid").as("j"), col("vv").as("vb")), Seq("j"))
-      .withColumn("sim", round6(dot(col("va"), col("vb"))))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        round6(dot(col("a.vv"), col("b.vv"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("i"), col("j"), col("sim"))
+      .distinct()
   }
 
   /** IVF-style ANN: coarse-quantize against a deterministic sampled
@@ -206,21 +212,24 @@ object Similarity {
       .select(col("id"), explode(col("top")).as("t"))
       .select(col("id"), col("t.nid").as("cid"), col("t.rank").as("rnk"))
       .localCheckpoint(eager = false)
-    val cells = pruned.filter(col("rnk") === 1).select(col("id"), col("cid"))
+    // vectors ride the MEMBERSHIP rows (≤ nprobe per vector, n for the
+    // cell side) and the dot is computed inside the cell join's
+    // projection, so no pair-grain shuffle ever carries a vector (see
+    // [[nearDupPairsLsh]] — per-pair re-attach was the 0.5 KB × |cand|
+    // shuffle shape). A (qid, nid) pair can only meet in ONE cell (cells
+    // are top-1 assignments), so no distinct is needed before the heap.
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val cells = pruned.filter(col("rnk") === 1)
+      .join(vecs, col("id") === col("vid"))
+      .select(col("id").as("nid"), col("cid"), col("vv").as("nv"))
     val probes = pruned
       .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
-      .select(col("id").as("qid"), col("cid"))
-    val cand = probes
-      .join(cells.select(col("id").as("nid"), col("cid")), Seq("cid"))
+      .join(vecs, col("id") === col("vid"))
+      .select(col("id").as("qid"), col("cid"), col("vv").as("qv"))
+    probes
+      .join(cells, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-    // same sort-free vector re-attach as lshTopK (SHJ when it fits)
-    val vecs0 = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    val vecs = graft.ops.Hints.shuffleHashIfFits(
-      vecs0, graft.ops.Hints.estimatedBytes(vecs0))
-    cand
-      .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
-      .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
-      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
+      .select(col("qid"), col("nid"), round6(dot(col("qv"), col("nv"))).as("sim"))
       .groupBy(col("qid"))
       .agg(graft.functions.topk_by(col("sim"), col("nid"), k).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
@@ -499,24 +508,22 @@ object Similarity {
     // skew guard: map-combined oversized-bucket count + broadcast anti-join
     // over the checkpointed signature frame — no window sort
     val sig = dropOversizedBuckets(sig0, maxBucket)
-    val cand = sig.as("a").join(sig.as("b"),
+    // vectors ride the SIGNATURE rows and the dot is computed inside the
+    // bucket join's projection (see [[nearDupPairsLsh]] — per-pair vector
+    // re-attach was the 0.5 KB × |cand| shuffle shape). The threshold
+    // prunes before the distinct; the distinct must survive (duplicate
+    // (qid, nid) rows from multi-table co-occurrence would enter the
+    // top-k heap twice).
+    val kv = sig.join(
+        emb.select(col(idCol).as("id"), col(vecCol).as("vv")), Seq("id"))
+      .localCheckpoint(eager = false)
+    val pairs = kv.as("a").join(kv.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("nid"))
-      .distinct()
-    // vector re-attach: the candidate side is tables×occupancy rows PER
-    // POINT (the r8 100× probe: 118M pairs at 200k vectors) — once the
-    // vector table outgrows broadcast, an unhinted plan sort-merge-joins
-    // the pair mass TWICE. SHUFFLE_HASH on the vector side (size-gated)
-    // keeps the big side sort-free: it hash-shuffles and streams.
-    val vecs0 = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    val vecs = graft.ops.Hints.shuffleHashIfFits(
-      vecs0, graft.ops.Hints.estimatedBytes(vecs0))
-    val pairs = cand
-      .join(vecs.select(col("vid").as("qid"), col("vv").as("qv")), Seq("qid"))
-      .join(vecs.select(col("vid").as("nid"), col("vv").as("nv")), Seq("nid"))
-      .withColumn("sim", round6(dot(col("qv"), col("nv"))))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+        round6(dot(col("a.vv"), col("b.vv"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
     // top-k pushdown: the bounded-heap aggregate partial-aggregates map-
     // side, so ≤k candidates per query per partition reach the shuffle —
     // a window row_number would sort EVERY rescored bucket pair per query
