@@ -108,7 +108,11 @@ object Apss {
         col("nsz").as("na")), "aid")
       .join(sets.select(col("id").as("bid"), col("arr").as("lb"),
         col("nsz").as("nb")), "bid")
-      .withColumn("ov", size(array_intersect(col("la"), col("lb"))).cast("long"))
+      // native merge-scan count over the two sorted key arrays — same
+      // value as size(array_intersect(...)) (parity pinned in
+      // FunctionsSpec) without building a hash set + materialized
+      // intersection per pair
+      .withColumn("ov", graft.functions.sorted_intersect_count(col("la"), col("lb")))
       .filter(col("ov") * col("ov") * t2d >= col("na") * col("nb") * t2n)
       .select(col("aid"), col("bid"), col("ov"), col("na"), col("nb"),
         TextAnalysis.round4(col("ov") / sqrt(col("na") * col("nb"))).as("cos_sim"))
