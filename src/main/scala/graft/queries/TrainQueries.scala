@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.mm.Multimodal
-import graft.sim.Similarity
+import graft.sim.{IvfIndex, Similarity}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 
@@ -1439,6 +1439,56 @@ object TrainQueries {
         Similarity.ivfTopK(Tables.embeddings(spark, dir),
           centroidMod = 0, nprobe = 2, k = 5, queryMod = 50)
           .orderBy(col("qid"), col("rank")),
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── persisted-index lifecycle: build the IVF index to parquet ONCE
+    //    (centroids + inverted-file postings), then answer the query
+    //    batch from the index alone — the corpus-wide n·√n assignment is
+    //    paid at build time and amortised across batches, which is how a
+    //    vector store actually runs at 100 TB. Same semantics as
+    //    ann_ivf_auto (query-side re-assignment against the same
+    //    centroids computes the same dots in the same tie order), so the
+    //    oracle replays build+query as one SQL pipeline; parquet
+    //    round-trips float arrays exactly. pid-keyed scratch path — see
+    //    ArchiveQueries.warcTmp for why ──
+    "ann_ivf_persist" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_ivfidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        IvfIndex.build(e, idx)
+        IvfIndex.query(spark, idx,
+            e.filter(pmod(col("vec_id"), lit(50)) === 0), nprobe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
       """WITH md AS (
         |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
         |  FROM embeddings),
