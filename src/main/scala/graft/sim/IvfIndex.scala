@@ -81,6 +81,37 @@ object IvfIndex {
       .write.mode("append").parquet(s"$indexDir/postings")
   }
 
+  /** Rewrite a parquet dir into ⌈bytes/targetBytes⌉ files — the
+    * OPTIMIZE step for a posting store that has taken many [[append]]
+    * batches (each append adds part-files; a long-running ingest
+    * accumulates thousands — the CorpusIngest small-file lesson).
+    * Write-to-sibling + atomic-ish swap: a crash mid-swap leaves either
+    * the old or the new complete dir, never a loss.
+    */
+  private[sim] def compactDir(spark: SparkSession, dir: String,
+                              targetBytes: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(dir + "__compact")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Fold the posting store's accumulated append part-files into
+    * target-sized ones. Results are unaffected (row-set identical);
+    * run after a burst of [[append]] batches.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              targetBytes: Long = 128L << 20): Unit =
+    compactDir(spark, s"$indexDir/postings", targetBytes)
+
   /** Top-k neighbours for `queries` using only the persisted index: the
     * centroid table broadcasts (√n rows), queries pay q·√n assignment
     * dots, and the candidate join shuffles postings on cell id — the

@@ -43,7 +43,7 @@ object Pq {
       .withColumn("norm2", graft.functions.dot_product(col("cw"), col("cw")))
 
   /** (id, s, sub) subvector rows for every vector. */
-  private def subvectors(micro: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[sim] def subvectors(micro: DataFrame, m: Int, subDim: Int): DataFrame =
     micro.select(col("id"), explode(expr(
       s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS sub))"))
       .as("e"))
@@ -55,7 +55,7 @@ object Pq {
     * so the (id, s)-grain rollup is the only shuffle and it carries one
     * struct per subvector.
     */
-  private def assign(sub: DataFrame, cb: DataFrame): DataFrame =
+  private[sim] def assign(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("s"))
       .withColumn("score",
         lit(2.0) * graft.functions.dot_product(col("sub"), col("cw")) - col("norm2"))
@@ -68,7 +68,7 @@ object Pq {
     * exact-integer rounding as Clustering). Codewords that lose all
     * members drop out, as in kmeansAssign.
     */
-  private def refine(sub: DataFrame, cb: DataFrame): DataFrame =
+  private[sim] def refine(sub: DataFrame, cb: DataFrame): DataFrame =
     assign(sub, cb)
       .join(sub, Seq("id", "s"))
       .select(col("s"), col("cid"), posexplode(col("sub")))

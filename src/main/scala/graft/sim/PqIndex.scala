@@ -1,0 +1,157 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: the memory-scale sibling of [[IvfIndex]].
+  *
+  * [[IvfIndex]] postings store the raw vector (~0.5 KB at 64 float
+  * dims); at 100 TB corpus scale that is the index's dominant cost. The
+  * PQ posting stores m ONE-CODEWORD codes instead (m=16 here — bytes in
+  * a production layout; codeword ids here, since the seeded codebook
+  * keys codewords by seed vec_id, which keeps every artifact
+  * SQL-replayable). Queries never touch raw corpus vectors: candidates
+  * come from the coarse inverted file and are priced with PQ-ADC — m
+  * broadcast-LUT lookups per candidate (Jégou et al. 2011 §IV, the
+  * IVFADC composition), built from the QUERY's subvectors only.
+  *
+  * Artifacts under `outDir` (all parquet, all deterministic):
+  *  - `coarse/`   (ccid, cv): ⌊√n⌋ sampled coarse centroids, micro-units
+  *  - `codebook/` (s, cid, cw, norm2): m seeded sub-codebooks, k entries
+  *  - `postings/` (nid, ccid, codes): home cell + the m-array of
+  *    codeword ids ordered by subspace
+  *
+  * [[append]] encodes only the new vectors against the FROZEN coarse
+  * table and codebooks — the incremental path; quantization drift after
+  * heavy growth is a retrain (a fresh [[build]]), exactly as with
+  * [[IvfIndex]] centroids.
+  */
+object PqIndex {
+
+  /** Home cell (top-1 coarse centroid by exact integer dot, ties on
+    * ccid asc) for every vector of `micro` — one broadcast of the
+    * centroid table, map-side bounded-heap, n rows to the exchange.
+    */
+  private def homeCells(micro: DataFrame, cents: DataFrame): DataFrame =
+    micro.crossJoin(broadcast(cents))
+      .withColumn("cd", graft.functions.dot_product(col("vu"), col("cv")))
+      .groupBy(col("id"))
+      .agg(graft.functions.topk_by(col("cd"), col("ccid"), 1).as("top"))
+      .select(col("id"),
+        col("top").getItem(0).getField("nid").as("ccid"))
+
+  /** Encode `micro` against broadcast codebooks: (id, ccid, codes) with
+    * codes = the m codeword ids ordered by subspace. One broadcast
+    * assignment + one (id)-grain rollup.
+    */
+  private def encode(micro: DataFrame, cents: DataFrame, cb: DataFrame,
+                     m: Int, subDim: Int): DataFrame = {
+    val cells = homeCells(micro, cents)
+    val enc = Pq.assign(Pq.subvectors(micro, m, subDim), cb)
+    val codes = enc.groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+    cells.join(codes, Seq("id"))
+      .select(col("id").as("nid"), col("ccid"), col("codes"))
+  }
+
+  /** Build the index under `outDir`. `centroidMod <= 0` auto-sizes the
+    * coarse quantizer to ⌊√n⌋ cells ([[Similarity.ivfTopK]] rationale);
+    * codebooks are the seeded (md5-min) construction of [[Pq.codebook]],
+    * `lloydIters` rounds of refinement away from trained ones.
+    */
+  def build(emb: DataFrame, outDir: String, centroidMod: Int = 0,
+            dims: Int = 64, m: Int = 16, k: Int = 16, lloydIters: Int = 0,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val spark = emb.sparkSession
+    val micro = emb
+      .select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    val mod =
+      if (centroidMod > 0) centroidMod.toLong
+      else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+    micro.filter(pmod(col("id"), lit(mod)) === 0)
+      .select(col("id").as("ccid"), col("vu").as("cv"))
+      .write.mode("overwrite").parquet(s"$outDir/coarse")
+    val sub = Pq.subvectors(micro, m, subDim).localCheckpoint(eager = false)
+    var cb = Pq.codebook(micro, m, subDim, k).localCheckpoint(eager = false)
+    for (_ <- 1 to lloydIters)
+      cb = Pq.refine(sub, cb).localCheckpoint(eager = false)
+    cb.write.mode("overwrite").parquet(s"$outDir/codebook")
+    val cents = spark.read.parquet(s"$outDir/coarse")
+    val book = spark.read.parquet(s"$outDir/codebook")
+    encode(micro, cents, broadcast(book), m, subDim)
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+  }
+
+  /** Encode only `newEmb` against the frozen coarse table + codebooks
+    * and append the postings. Caller owns id uniqueness (append-only
+    * store, as [[IvfIndex.append]]).
+    */
+  def append(spark: SparkSession, indexDir: String, newEmb: DataFrame,
+             dims: Int = 64, m: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val subDim = dims / m
+    val micro = newEmb
+      .select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    val cents = spark.read.parquet(s"$indexDir/coarse")
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    encode(micro, cents, broadcast(book), m, subDim)
+      .write.mode("append").parquet(s"$indexDir/postings")
+  }
+
+  /** Fold the posting store's accumulated append part-files into
+    * target-sized ones (see [[IvfIndex.compactDir]]).
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              targetBytes: Long = 128L << 20): Unit =
+    IvfIndex.compactDir(spark, s"$indexDir/postings", targetBytes)
+
+  /** ADC top-k from the index alone: queries coarse-assign against the
+    * broadcast centroid table (top `nprobe` cells each), candidates are
+    * the probed cells' postings (cell-id shuffle — Σ probed-cell sizes,
+    * never n²), and each candidate costs m LUT lookups against the
+    * query-side distance table (nq·m·k rows, broadcast). Raw corpus
+    * vectors are never read. Output (qid, nid, adc, rank) matches
+    * [[Pq.ivfPqTopK]] bit-for-bit for in-corpus query sets.
+    */
+  def query(spark: SparkSession, indexDir: String, queries: DataFrame,
+            nprobe: Int, topK: Int, dims: Int = 64, m: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dims / m
+    val cents = spark.read.parquet(s"$indexDir/coarse")
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val qmicro = queries
+      .select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    val probes = qmicro.crossJoin(broadcast(cents))
+      .withColumn("cd", graft.functions.dot_product(col("vu"), col("cv")))
+      .groupBy(col("id"))
+      .agg(graft.functions.topk_by(col("cd"), col("ccid"),
+        math.max(nprobe, 1)).as("top"))
+      .select(col("id").as("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("ccid"))
+    val lut = Pq.subvectors(qmicro, m, subDim)
+      .join(broadcast(book), Seq("s"))
+      .select(col("id").as("qid"), col("s"), col("cid"),
+        (graft.functions.dot_product(col("sub"), col("sub"))
+          - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+          + col("norm2")).as("d"))
+    probes.join(postings, Seq("ccid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), posexplode(col("codes")))
+      .select(col("qid"), col("nid"), col("pos").as("s"), col("col").as("cid"))
+      .join(lut, Seq("qid", "s", "cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_by(-col("adc"), col("nid"), topK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (-col("t.sim")).cast("long").as("adc"), col("t.rank").as("rank"))
+  }
+}

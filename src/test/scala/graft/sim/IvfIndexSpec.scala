@@ -72,6 +72,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(qa.nonEmpty)
   }
 
+  test("compact folds append part-files; query results unchanged") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("compact")
+    IvfIndex.build(e.filter($"vec_id" % 3 === 0), idx, centroidMod = 17)
+    IvfIndex.append(spark, idx, e.filter($"vec_id" % 3 === 1))
+    IvfIndex.append(spark, idx, e.filter($"vec_id" % 3 === 2))
+    val q = e.filter($"vec_id" % 50 === 0)
+    val before = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def nFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idx/postings"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    val filesBefore = nFiles
+    IvfIndex.compact(spark, idx)
+    assert(nFiles < filesBefore)
+    val after = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
   test("postings store one row per vector with its top-1 cell") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("postings")

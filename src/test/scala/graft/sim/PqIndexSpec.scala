@@ -1,0 +1,78 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: parity with the inline ivfPqTopK path,
+  * query repeatability, and frozen-codebook incremental append.
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def scratch(tag: String): String =
+    s"/tmp/graft_pqidx_spec/p${java.lang.ProcessHandle.current().pid()}/$tag"
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val s = Paths.get(src)
+    val d = Paths.get(dst)
+    Files.createDirectories(d)
+    Files.walk(s).forEach { p: Path =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("build+query matches the inline ivfPqTopK path bit-for-bit") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("parity")
+    PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
+    val fromIndex = PqIndex
+      .query(spark, idx, e.filter($"vec_id" % 50 === 0),
+        nprobe = 2, topK = 5, dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val inline = Pq
+      .ivfPqTopK(e, centroidMod = 0, nprobe = 2, dims = 64, m = 16,
+        k = 16, topK = 5, queryMod = 50)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("two-batch append equals one-shot encoding against frozen artifacts") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = e.filter($"vec_id" % 5 =!= 0)
+    val extra = e.filter($"vec_id" % 5 === 0)
+    val a = scratch("incrA")
+    PqIndex.build(base, a, centroidMod = 17, dims = 64, m = 16, k = 16)
+    PqIndex.append(spark, a, extra, dims = 64, m = 16)
+    val b = scratch("incrB")
+    copyDir(s"$a/coarse", s"$b/coarse")
+    copyDir(s"$a/codebook", s"$b/codebook")
+    PqIndex.append(spark, b, e, dims = 64, m = 16)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val qa = PqIndex.query(spark, a, q, nprobe = 2, topK = 5, dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val qb = PqIndex.query(spark, b, q, nprobe = 2, topK = 5, dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(qa == qb)
+    assert(qa.nonEmpty)
+  }
+
+  test("postings carry one m-code row per vector, codes reference the codebook") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("postings")
+    PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
+    val post = spark.read.parquet(s"$idx/postings")
+    assert(post.count() == e.count())
+    assert(post.filter(size($"codes") =!= 16).count() == 0)
+    val validCodes = spark.read.parquet(s"$idx/codebook")
+      .select($"cid").distinct().as[Long].collect().toSet
+    val used = post.select(explode($"codes").as("cid"))
+      .distinct().as[Long].collect().toSet
+    assert(used.subsetOf(validCodes))
+  }
+}
