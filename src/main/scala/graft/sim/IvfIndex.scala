@@ -40,14 +40,22 @@ object IvfIndex {
     * one heap before the exchange, so n rows shuffle, never n×m.
     */
   private def assignTop1(emb: DataFrame, cents: DataFrame,
-                         idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+                         idCol: String, vecCol: String): DataFrame = {
+    // group on the SCALAR id only, and REJOIN the vector at membership
+    // grain afterwards: an array grouping key forces the aggregate off
+    // the hash path into a sort over the n·m assignment frame (813 s at
+    // the 100× probe), and even first(v) inside the aggregate drags the
+    // array through every partial buffer (283 s); assign-then-rejoin —
+    // the inline ivfTopK shape — measured fastest, one n-row hash join
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    vecs
       .crossJoin(broadcast(cents))
       .withColumn("d", Similarity.round6(Similarity.dot(col("v"), col("cv"))))
-      .groupBy(col("id"), col("v"))
+      .groupBy(col("id"))
       .agg(graft.functions.topk_by(col("d"), col("cid"), 1).as("top"))
-      .select(col("id"), col("top").getItem(0).getField("nid").as("cid"),
-        col("v"))
+      .select(col("id"), col("top").getItem(0).getField("nid").as("cid"))
+      .join(vecs, Seq("id"))
+  }
 
   /** Build the index under `outDir` (parquet dirs `centroids/` and
     * `postings/`). `centroidMod <= 0` auto-sizes to ⌊√n⌋ cells — the
@@ -128,8 +136,10 @@ object IvfIndex {
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("d", Similarity.round6(Similarity.dot(col("qv"), col("cv"))))
-      .groupBy(col("qid"), col("qv"))
-      .agg(graft.functions.topk_by(col("d"), col("cid"), math.max(nprobe, 1)).as("top"))
+      // scalar grouping key + first(qv) — see assignTop1
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_by(col("d"), col("cid"), math.max(nprobe, 1)).as("top"),
+        first(col("qv")).as("qv"))
       .select(col("qid"), col("qv"), explode(col("top")).as("t"))
       .select(col("qid"), col("qv"), col("t.nid").as("cid"))
     probes.join(postings, Seq("cid"))

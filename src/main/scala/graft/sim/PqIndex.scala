@@ -145,7 +145,10 @@ object PqIndex {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), posexplode(col("codes")))
       .select(col("qid"), col("nid"), col("pos").as("s"), col("col").as("cid"))
-      .join(lut, Seq("qid", "s", "cid"))
+      // the LUT is nq·m·k rows (~1M at the 100× probe's 4k queries) —
+      // above the auto-broadcast threshold but trivially broadcast-size,
+      // and without the hint the m×-candidate ADC fanout shuffles
+      .join(broadcast(lut), Seq("qid", "s", "cid"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("d")).as("adc"))
       .groupBy(col("qid"))

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the persisted index lifecycle (IvfIndex / PqIndex):
+  * measures BUILD and QUERY legs separately at k× organic embedding
+  * growth — the split is the point (a gate run re-pays the build every
+  * time; a deployment pays it once per corpus snapshot and runs many
+  * query batches).
+  *
+  * Usage:
+  *   SPARK_GRAFT_PROBE_EMB=1 SPARK_GRAFT_PROBE_SKIPDOCS=1 \
+  *     sbt "runMain graft.tools.IndexProbe [base] [out] [k]"
+  * Reuses an existing synthesis at `out` (same contract as ScaleProbe's
+  * SPARK_GRAFT_PROBE_REUSE).
+  */
+object IndexProbe {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
+    val k = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()
+    if (!reuse) ScaleProbe.synthesize(spark, base, out, k)
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      dt
+    }
+    // warmup (JIT/codegen)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val idxRoot = s"/tmp/graft_idx_probe/p${java.lang.ProcessHandle.current().pid()}"
+    def probe(tag: String, dir: String): Seq[(String, Double)] = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val ivfDir = s"$idxRoot/${tag}_ivf"
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      rows += (s"${tag}_ivf_build" ->
+        timed(graft.sim.IvfIndex.build(e, ivfDir)))
+      rows += (s"${tag}_ivf_query" ->
+        timed(noop(graft.sim.IvfIndex.query(spark, ivfDir, q, nprobe = 2, k = 5))))
+      rows += (s"${tag}_ivf_query2" ->
+        timed(noop(graft.sim.IvfIndex.query(spark, ivfDir, q, nprobe = 2, k = 5))))
+      val pqDir = s"$idxRoot/${tag}_pq"
+      rows += (s"${tag}_pq_build" ->
+        timed(graft.sim.PqIndex.build(e, pqDir, centroidMod = 0,
+          dims = 64, m = 16, k = 16)))
+      rows += (s"${tag}_pq_query" ->
+        timed(noop(graft.sim.PqIndex.query(spark, pqDir, q,
+          nprobe = 2, topK = 5, dims = 64, m = 16))))
+      rows += (s"${tag}_pq_query2" ->
+        timed(noop(graft.sim.PqIndex.query(spark, pqDir, q,
+          nprobe = 2, topK = 5, dims = 64, m = 16))))
+      rows.toSeq
+    }
+    val all = probe("base", base) ++ probe(s"x$k", out)
+    all.foreach { case (n, t) => println(s"PROBE $n ${fmt(t)}s") }
+    println(all.map { case (n, t) => s""""$n":${fmt(t)}""" }
+      .mkString(s"""{"metric":"index_probe","k":$k,"base":"$base","legs":{""",
+        ",", "}}"))
+    spark.stop()
+  }
+}
