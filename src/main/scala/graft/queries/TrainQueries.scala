@@ -1519,6 +1519,39 @@ object TrainQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── index-health audit: cell-occupancy histogram of the persisted
+    //    IVF index (⌊log2 size⌋ buckets via integer-exact bin-string
+    //    length) — the retrain-due signal for a deployed index: probe
+    //    cost is Σ probed cell sizes, so a fattening right tail after
+    //    append growth means the frozen ⌊√n⌋ centroid set is stale ──
+    "ann_index_stats" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_ivfidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"stats_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        IvfIndex.build(e, idx)
+        IvfIndex.stats(spark, idx)
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |sz AS (SELECT cid, count(*) AS cnt FROM cells GROUP BY 1)
+        |SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(cnt) AS BIGINT) AS n_vecs
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── in-engine ANN quality audit: recall@5 of the IVF path against
     //    the exact baseline, per query — the eval loop a pipeline runs
     //    after every index-parameter change, as a first-class query

@@ -120,6 +120,23 @@ object IvfIndex {
               targetBytes: Long = 128L << 20): Unit =
     compactDir(spark, s"$indexDir/postings", targetBytes)
 
+  /** Index-health audit: cell-occupancy histogram over the posting
+    * store, one row per power-of-two size bucket (bucket = ⌊log2 cell
+    * size⌋ via the integer-exact bin-string length — no float log at
+    * power-of-two edges, so SQL replays it bit-for-bit). After heavy
+    * [[append]] growth the right tail fattens (probe cost is Σ probed
+    * cell sizes) and the cells-per-bucket balance drifts — the signal
+    * that the ⌊√n⌋ centroid set is stale and a rebuild is due. One
+    * cell-grain aggregate + one ≤64-row rollup; never touches vectors.
+    */
+  def stats(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_vecs"))
+      .orderBy(col("bucket"))
+
   /** Top-k neighbours for `queries` using only the persisted index: the
     * centroid table broadcasts (√n rows), queries pay q·√n assignment
     * dots, and the candidate join shuffles postings on cell id — the

@@ -93,6 +93,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.nonEmpty)
   }
 
+  test("stats histogram partitions the corpus: n_vecs sums to vector count") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("stats")
+    IvfIndex.build(e, idx)
+    val st = IvfIndex.stats(spark, idx).collect()
+    assert(st.map(_.getLong(2)).sum == e.count())
+    // buckets are ⌊log2 size⌋: every cell in bucket b has size in [2^b, 2^b+1)
+    val sizes = spark.read.parquet(s"$idx/postings")
+      .groupBy($"cid").count().select($"count").as[Long].collect()
+    val expect = sizes.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .view.mapValues(v => (v.length.toLong, v.sum)).toMap
+    val got = st.map(r => (r.getInt(0).toLong, (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect.map { case (k, v) => (k, v) })
+  }
+
   test("postings store one row per vector with its top-1 cell") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("postings")
