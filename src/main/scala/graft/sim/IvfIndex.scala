@@ -89,6 +89,29 @@ object IvfIndex {
       .write.mode("append").parquet(s"$indexDir/postings")
   }
 
+  /** Idempotent per-batch append for streaming ingest
+    * ([[graft.streaming.EmbIngest]]): batch `batchId`'s postings land in
+    * `postings/b<batchId>` with overwrite semantics, so a REPLAYED
+    * micro-batch (restart from checkpoint) rewrites its own subdir
+    * instead of double-appending — the CorpusIngest store contract.
+    * [[query]]/[[stats]]/[[compact]] read the store recursively, so
+    * flat [[append]] part-files and per-batch subdirs coexist.
+    */
+  def appendBatch(spark: SparkSession, indexDir: String, newEmb: DataFrame,
+                  batchId: Long,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignTop1(newEmb, broadcast(cents), idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$indexDir/postings/b$batchId")
+  }
+
+  /** Posting-store read: recursive, so the flat layout and the
+    * streaming per-batch subdir layout both resolve.
+    */
+  private[sim] def readPostings(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$indexDir/postings")
+
   /** Rewrite a parquet dir into ⌈bytes/targetBytes⌉ files — the
     * OPTIMIZE step for a posting store that has taken many [[append]]
     * batches (each append adds part-files; a long-running ingest
@@ -106,7 +129,8 @@ object IvfIndex {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new Path(dir + "__compact")
     fs.delete(tmp, true)
-    spark.read.parquet(dir).coalesce(nOut)
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
@@ -128,10 +152,13 @@ object IvfIndex {
     * cell sizes) and the cells-per-bucket balance drifts — the signal
     * that the ⌊√n⌋ centroid set is stale and a rebuild is due. One
     * cell-grain aggregate + one ≤64-row rollup; never touches vectors.
+    * `cellCol` names the posting store's cell key ("ccid" for the
+    * [[PqIndex]] store).
     */
-  def stats(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
-      .groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+  def stats(spark: SparkSession, indexDir: String,
+            cellCol: String = "cid"): DataFrame =
+    readPostings(spark, indexDir)
+      .groupBy(col(cellCol).as("cid")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_vecs"))
@@ -149,7 +176,7 @@ object IvfIndex {
             nprobe: Int, k: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = readPostings(spark, indexDir)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("d", Similarity.round6(Similarity.dot(col("qv"), col("cv"))))

@@ -110,6 +110,12 @@ object PqIndex {
               targetBytes: Long = 128L << 20): Unit =
     IvfIndex.compactDir(spark, s"$indexDir/postings", targetBytes)
 
+  /** Cell-occupancy histogram of the code-posting store (see
+    * [[IvfIndex.stats]] — same retrain-due signal, cell key `ccid`).
+    */
+  def stats(spark: SparkSession, indexDir: String): DataFrame =
+    IvfIndex.stats(spark, indexDir, cellCol = "ccid")
+
   /** ADC top-k from the index alone: queries coarse-assign against the
     * broadcast centroid table (top `nprobe` cells each), candidates are
     * the probed cells' postings (cell-id shuffle — Σ probed-cell sizes,
@@ -124,7 +130,7 @@ object PqIndex {
     val subDim = dims / m
     val cents = spark.read.parquet(s"$indexDir/coarse")
     val book = spark.read.parquet(s"$indexDir/codebook")
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = IvfIndex.readPostings(spark, indexDir)
     val qmicro = queries
       .select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.sim.IvfIndex
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming embedding ingest that maintains a queryable persisted IVF
+  * index: each micro-batch of (vec_id, embedding) rows is assigned
+  * against the index's FROZEN centroid table and lands as an idempotent
+  * per-batch posting subdir ([[IvfIndex.appendBatch]] — a replayed
+  * batch after a checkpoint restart rewrites its own subdir, never
+  * double-appends). The index stays queryable throughout:
+  * [[IvfIndex.query]]/[[IvfIndex.stats]] read the store recursively.
+  *
+  * Contract: [[IvfIndex.build]] the index from the base corpus snapshot
+  * FIRST (the stream never retrains centroids — centroid drift under
+  * heavy growth shows up in [[IvfIndex.stats]]'s fattening right tail,
+  * and the answer is a rebuild, as with [[CorpusIngest]]'s signature
+  * store). Run [[IvfIndex.compact]] as offline maintenance between
+  * stream runs, not inside the loop — compaction rewrites subdirs that
+  * a checkpoint replay might still want to overwrite.
+  */
+object EmbIngest {
+
+  /** foreachBatch writer appending each micro-batch to `indexDir`. */
+  def writer(emb: DataFrame, indexDir: String,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataStreamWriter[Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        IvfIndex.appendBatch(batch.sparkSession, indexDir, batch.toDF(),
+          id, idCol, vecCol)
+        ()
+      }
+}

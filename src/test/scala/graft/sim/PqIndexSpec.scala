@@ -62,6 +62,13 @@ class PqIndexSpec extends SparkSpec {
     assert(qa.nonEmpty)
   }
 
+  test("stats histogram over the code store partitions the corpus") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("stats")
+    PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
+    assert(PqIndex.stats(spark, idx).collect().map(_.getLong(2)).sum == e.count())
+  }
+
   test("postings carry one m-code row per vector, codes reference the codebook") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("postings")

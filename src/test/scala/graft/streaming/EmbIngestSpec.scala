@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sim.IvfIndex
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding ingest into a persisted IVF index: streamed
+  * batches equal one-shot append against the same frozen centroids, and
+  * batch replay is idempotent.
+  */
+class EmbIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def scratch(tag: String): String =
+    s"/tmp/graft_embingest_spec/p${java.lang.ProcessHandle.current().pid()}/$tag"
+
+  /** Land `df` as parquet files inside the stream-watched dir (write to
+    * a sibling, move the part files in — the file source picks up new
+    * files per batch; parquet keeps float arrays exact, unlike JSON).
+    */
+  private def landParquet(df: org.apache.spark.sql.DataFrame,
+                          watchDir: String, tag: String): Unit = {
+    val tmp = s"$watchDir-stage/$tag"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    Files.createDirectories(Paths.get(watchDir))
+    Files.list(Paths.get(tmp))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .forEach(p => Files.move(p,
+        Paths.get(watchDir, s"${tag}_${p.getFileName.toString}")))
+  }
+
+  test("streamed batches == one-shot append against the same frozen centroids") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = e.filter($"vec_id" % 3 === 0)
+    val ex1 = e.filter($"vec_id" % 3 === 1)
+    val ex2 = e.filter($"vec_id" % 3 === 2)
+
+    val streamedIdx = scratch("streamed")
+    IvfIndex.build(base, streamedIdx, centroidMod = 17)
+    val watch = scratch("in")
+    Files.createDirectories(Paths.get(watch))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(watch)
+    val q = EmbIngest.writer(stream, streamedIdx)
+      .option("checkpointLocation", scratch("ckpt")).start()
+    landParquet(ex1.select($"vec_id", $"embedding"), watch, "x1")
+    q.processAllAvailable()
+    landParquet(ex2.select($"vec_id", $"embedding"), watch, "x2")
+    q.processAllAvailable()
+    q.stop()
+
+    val oneShotIdx = scratch("oneshot")
+    IvfIndex.build(base, oneShotIdx, centroidMod = 17)
+    IvfIndex.append(spark, oneShotIdx, ex1.unionByName(ex2))
+
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val a = IvfIndex.query(spark, streamedIdx, queries, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = IvfIndex.query(spark, oneShotIdx, queries, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    // the store partitions the full corpus exactly once
+    assert(IvfIndex.stats(spark, streamedIdx).collect()
+      .map(_.getLong(2)).sum == e.count())
+  }
+
+  test("replaying a batch id rewrites its subdir instead of double-appending") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = e.filter($"vec_id" % 2 === 0)
+    val extra = e.filter($"vec_id" % 2 === 1)
+    val idx = scratch("replay")
+    IvfIndex.build(base, idx, centroidMod = 17)
+    IvfIndex.appendBatch(spark, idx, extra, batchId = 7L)
+    val n1 = IvfIndex.stats(spark, idx).collect().map(_.getLong(2)).sum
+    IvfIndex.appendBatch(spark, idx, extra, batchId = 7L) // the replay
+    val n2 = IvfIndex.stats(spark, idx).collect().map(_.getLong(2)).sum
+    assert(n1 == e.count())
+    assert(n2 == n1)
+  }
+}
