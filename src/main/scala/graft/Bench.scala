@@ -37,6 +37,21 @@ object Bench {
       Thread.sleep(5000)
     val quietWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadAvg()
+    // fail-loud gate (r10 judge item: BENCH_r10 silently proceeded after the
+    // 120 s wait expired at load 1.07→3.87 and shipped a 1.3-2.5×-inflated
+    // artifact). The emitted JSON now carries gate_met; set
+    // SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 to ABORT instead of proceeding
+    // (exit 3, one parseable error line), and SPARK_GRAFT_BENCH_WAIT_MS to
+    // extend the wait. A timing artifact with gate_met:false is a loaded-box
+    // measurement and must not be compared across rounds.
+    val gateMet = loadStart < 1.0
+    if (!gateMet && sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET").exists(_ == "1")) {
+      def fmtd(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      println(s"""{"metric":"total","error":"quiet gate not met","gate_met":false,"load_avg_start":${fmtd(loadStart)},"quiet_wait_sec":${fmtd(quietWaitSec)}}""")
+      spark.stop()
+      sys.exit(3)
+    }
     // session warmup so the first timed query doesn't absorb JVM/codegen
     // init: exercise the operator machinery the suite leans on (shuffle
     // agg, window, broadcast join, HOF lambdas, parquet scan) on tiny
@@ -104,7 +119,7 @@ object Bench {
     // another tenant was burning the box and even the min-of-passes may
     // be inflated — the judge can discount the number instead of
     // mis-reading it as an engine regression
-    val loadNote = s""""passes":$passes,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"quiet_wait_sec":${fmt(quietWaitSec)}"""
+    val loadNote = s""""passes":$passes,"gate_met":$gateMet,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"quiet_wait_sec":${fmt(quietWaitSec)}"""
     // Full per-query detail: the driver only retains the last 2000 chars of
     // stdout, which a 200-entry JSON line overflows (BENCH_r01/r02 both came
     // back parsed:null). Persist the complete map to a repo artifact and

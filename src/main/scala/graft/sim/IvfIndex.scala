@@ -105,40 +105,114 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$indexDir/postings/b$batchId")
   }
 
-  /** Posting-store read: recursive, so the flat layout and the
-    * streaming per-batch subdir layout both resolve.
+  /** Heal a dir from a [[compactDir]] swap interrupted between the two
+    * renames: canonical missing + the rename-aside `__old` survivor
+    * present → rename it back. Idempotent; called by readers and by
+    * compactDir itself, so a crashed compaction never needs manual
+    * repair.
     */
-  private[sim] def readPostings(spark: SparkSession, indexDir: String): DataFrame =
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
+  /** Posting-store read: recursive, so the flat layout and the
+    * streaming per-batch subdir layout both resolve; self-heals a
+    * store whose compaction swap was interrupted (see [[compactDir]]).
+    */
+  private[sim] def readPostings(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    recoverDir(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$indexDir/postings")
+  }
 
   /** Rewrite a parquet dir into ⌈bytes/targetBytes⌉ files — the
     * OPTIMIZE step for a posting store that has taken many [[append]]
     * batches (each append adds part-files; a long-running ingest
     * accumulates thousands — the CorpusIngest small-file lesson).
-    * Write-to-sibling + atomic-ish swap: a crash mid-swap leaves either
-    * the old or the new complete dir, never a loss.
+    *
+    * Two invariants (both spec-pinned by a kill at every step):
+    *
+    *  - '''No loss at any crash point.''' The compacted tree is fully
+    *    written to an invisible `__compact` sibling first, then swapped
+    *    in by rename-old-aside (`__old`) → rename-new-in → delete-old.
+    *    The canonical path is complete-old before the first rename and
+    *    complete-new after the second; in the one window where it is
+    *    absent the data exists at BOTH siblings and [[recoverDir]]
+    *    (invoked on every read and on the next compact) renames `__old`
+    *    back. The r10 shape (delete-then-rename) had a window that left
+    *    the canonical path empty — closed here.
+    *  - '''The streaming replay boundary survives.''' Per-batch `b<N>`
+    *    subdirs are [[appendBatch]]'s idempotent overwrite units; a
+    *    checkpoint restart replays at most the ONE batch whose offsets
+    *    committed but whose batch didn't — always the newest-numbered
+    *    dir. Compaction folds everything EXCEPT the newest `b<N>` into
+    *    flat target-sized files and rewrites the newest as its own
+    *    compacted subdir, so a replayed batch still overwrites exactly
+    *    its own rows, never double-counts against folded copies.
+    *    (Contract as [[graft.streaming.CorpusIngest]]: a fresh
+    *    checkpoint over an existing store is a misuse on every path.)
+    *
+    * `failAfter` is a test-only kill switch (throws after swap step k).
     */
   private[sim] def compactDir(spark: SparkSession, dir: String,
-                              targetBytes: Long): Unit = {
+                              targetBytes: Long,
+                              failAfter: Int = Int.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, p)
     if (!fs.exists(p)) return
-    val bytes = fs.getContentSummary(p).getLength
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val old = new Path(dir + "__old")
     val tmp = new Path(dir + "__compact")
-    fs.delete(tmp, true)
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
-      .coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    fs.delete(old, true) // stray from a crash after rename-new-in
+    fs.delete(tmp, true) // stray partial from a crash before the swap
+    val entries = fs.listStatus(p)
+    // newest b<N> = the only dir a checkpoint restart can still replay
+    val batchDirs = entries.filter(s => s.isDirectory &&
+      s.getPath.getName.matches("b\\d+"))
+    val newest = batchDirs.map(_.getPath.getName.drop(1).toLong)
+      .sorted.lastOption
+    val foldInputs = entries
+      .filterNot(s => newest.contains(
+        scala.util.Try(s.getPath.getName.drop(1).toLong).getOrElse(-1L))
+        && s.getPath.getName.matches("b\\d+"))
+      .filterNot(s => s.isFile &&
+        (s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+      .map(_.getPath)
+    def nFiles(bytes: Long): Int =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (foldInputs.nonEmpty) {
+      val bytes = foldInputs.map(fp => fs.getContentSummary(fp).getLength).sum
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(foldInputs.map(_.toString).toIndexedSeq: _*)
+        .coalesce(nFiles(bytes))
+        .write.mode("overwrite").parquet(tmp.toString)
+    } else fs.mkdirs(tmp)
+    newest.foreach { b =>
+      val bp = new Path(p, s"b$b")
+      spark.read.parquet(bp.toString)
+        .coalesce(nFiles(fs.getContentSummary(bp).getLength))
+        .write.mode("overwrite").parquet(new Path(tmp, s"b$b").toString)
+    }
+    def kill(k: Int): Unit =
+      if (failAfter <= k) throw new IllegalStateException(
+        s"compactDir test kill at step $k")
+    kill(1)             // canonical untouched; tmp is a stray
+    fs.rename(p, old)
+    kill(2)             // canonical absent; complete at __old AND __compact
     fs.rename(tmp, p)
+    kill(3)             // canonical new; __old is a stray
+    fs.delete(old, true)
   }
 
   /** Fold the posting store's accumulated append part-files into
     * target-sized ones. Results are unaffected (row-set identical);
-    * run after a burst of [[append]] batches.
+    * run after a burst of [[append]] batches — and safe between stream
+    * runs: the newest `b<N>` replay unit is preserved (see
+    * [[compactDir]]).
     */
   def compact(spark: SparkSession, indexDir: String,
               targetBytes: Long = 128L << 20): Unit =

@@ -101,9 +101,18 @@ object CorpusIngest {
     * from a crash re-fold under the next trigger's fresh name, and
     * duplicate rows are collapsed per group by id.
     * Returns the number of subdirs folded.
+    *
+    * Crash-window audit (the IvfIndex.compactDir lesson applied here):
+    * there is NO delete-before-copy window — every c-dir group is fully
+    * committed before any input subdir is removed, so a kill at any
+    * point leaves the full id set readable (possibly with duplicate
+    * rows, which change no decision: candidate pairs are `distinct()`
+    * and `dup_of` is a min). `failBeforeInputDelete` is the test-only
+    * kill for the widest window (all outputs written, no input deleted).
     */
   def compactStore(spark: SparkSession, storeDir: String, currentBatch: Long,
-                   minDirs: Int = 16, targetBytes: Long = 128L << 20): Int = {
+                   minDirs: Int = 16, targetBytes: Long = 128L << 20,
+                   failBeforeInputDelete: Boolean = false): Int = {
     import spark.implicits._
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,6 +139,8 @@ object CorpusIngest {
     }
     // inputs removed only after EVERY group committed — a crash before
     // this point leaves duplicates, never losses
+    if (failBeforeInputDelete) throw new IllegalStateException(
+      "compactStore test kill before input delete")
     subdirs.foreach(s => fs.delete(s.getPath, true))
     subdirs.length
   }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * heavy growth shows up in [[IvfIndex.stats]]'s fattening right tail,
   * and the answer is a rebuild, as with [[CorpusIngest]]'s signature
   * store). Run [[IvfIndex.compact]] as offline maintenance between
-  * stream runs, not inside the loop — compaction rewrites subdirs that
-  * a checkpoint replay might still want to overwrite.
+  * stream runs — safe even when the last micro-batch was written but
+  * not yet committed to the checkpoint: compaction preserves the
+  * newest `b<N>` subdir as its own replay unit, so the restart's
+  * replay overwrites exactly its own rows (see [[IvfIndex.compactDir]]).
   */
 object EmbIngest {
 

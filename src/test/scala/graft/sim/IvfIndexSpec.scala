@@ -13,19 +13,6 @@ class IvfIndexSpec extends SparkSpec {
   private def scratch(tag: String): String =
     s"/tmp/graft_ivfidx_spec/p${java.lang.ProcessHandle.current().pid()}/$tag"
 
-  private def copyDir(src: String, dst: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val s = Paths.get(src)
-    val d = Paths.get(dst)
-    Files.createDirectories(d)
-    Files.walk(s).forEach { p: Path =>
-      val t = d.resolve(s.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   test("build+query matches the inline ivfTopK path bit-for-bit") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("parity")
@@ -81,9 +68,8 @@ class IvfIndexSpec extends SparkSpec {
     val q = e.filter($"vec_id" % 50 === 0)
     val before = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
       .as[(Long, Long, Double, Int)].collect().toSet
-    def nFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$idx/postings"))
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    def nFiles = listDir(s"$idx/postings")
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
     val filesBefore = nFiles
     IvfIndex.compact(spark, idx)
     assert(nFiles < filesBefore)
@@ -106,6 +92,57 @@ class IvfIndexSpec extends SparkSpec {
       .view.mapValues(v => (v.length.toLong, v.sum)).toMap
     val got = st.map(r => (r.getInt(0).toLong, (r.getLong(1), r.getLong(2)))).toMap
     assert(got == expect.map { case (k, v) => (k, v) })
+  }
+
+  test("compact swap: a kill at every step loses nothing (reads self-heal)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val master = scratch("crash_master")
+    IvfIndex.build(e.filter($"vec_id" % 3 === 0), master, centroidMod = 17)
+    IvfIndex.appendBatch(spark, master, e.filter($"vec_id" % 3 === 1), 0L)
+    IvfIndex.appendBatch(spark, master, e.filter($"vec_id" % 3 === 2), 1L)
+    val q = e.filter($"vec_id" % 50 === 0)
+    def answer(idx: String) = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val expected = answer(master)
+    assert(expected.nonEmpty)
+    (1 to 3).foreach { k =>
+      val idx = scratch(s"crash_k$k")
+      copyDir(master, idx)
+      val died = intercept[IllegalStateException] {
+        IvfIndex.compactDir(spark, s"$idx/postings", 128L << 20, failAfter = k)
+      }
+      assert(died.getMessage.contains(s"step $k"))
+      // the VERY NEXT read self-heals and sees the complete row set
+      assert(answer(idx) == expected, s"after kill at step $k")
+      // and a re-run of compaction completes and still answers identically
+      IvfIndex.compact(spark, idx)
+      assert(answer(idx) == expected, s"after recompact from step-$k kill")
+      // no stray swap siblings survive the successful re-run
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/postings__old")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/postings__compact")))
+    }
+  }
+
+  test("compact preserves the newest b<N> replay unit; a replayed batch never double-counts") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("replay_boundary")
+    IvfIndex.build(e.filter($"vec_id" % 3 === 0), idx, centroidMod = 17)
+    val b1 = e.filter($"vec_id" % 3 === 1)
+    val b2 = e.filter($"vec_id" % 3 === 2)
+    IvfIndex.appendBatch(spark, idx, b1, 0L)
+    IvfIndex.appendBatch(spark, idx, b2, 1L) // newest = the one a restart can replay
+    IvfIndex.compact(spark, idx)
+    val names = listDir(s"$idx/postings").map(_.getFileName.toString)
+    assert(names.contains("b1"), s"newest batch dir folded away: $names")
+    assert(!names.contains("b0"), s"committed batch dir not folded: $names")
+    val n1 = IvfIndex.stats(spark, idx).collect().map(_.getLong(2)).sum
+    assert(n1 == e.count())
+    // checkpoint-restart replay of the uncommitted newest batch
+    IvfIndex.appendBatch(spark, idx, b2, 1L)
+    val n2 = IvfIndex.stats(spark, idx).collect().map(_.getLong(2)).sum
+    assert(n2 == n1)
   }
 
   test("postings store one row per vector with its top-1 cell") {

@@ -13,19 +13,6 @@ class PqIndexSpec extends SparkSpec {
   private def scratch(tag: String): String =
     s"/tmp/graft_pqidx_spec/p${java.lang.ProcessHandle.current().pid()}/$tag"
 
-  private def copyDir(src: String, dst: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val s = Paths.get(src)
-    val d = Paths.get(dst)
-    Files.createDirectories(d)
-    Files.walk(s).forEach { p: Path =>
-      val t = d.resolve(s.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   test("build+query matches the inline ivfPqTopK path bit-for-bit") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("parity")

@@ -25,9 +25,9 @@ class EmbIngestSpec extends SparkSpec {
     val tmp = s"$watchDir-stage/$tag"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     Files.createDirectories(Paths.get(watchDir))
-    Files.list(Paths.get(tmp))
+    listDir(tmp)
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .forEach(p => Files.move(p,
+      .foreach(p => Files.move(p,
         Paths.get(watchDir, s"${tag}_${p.getFileName.toString}")))
   }
 
