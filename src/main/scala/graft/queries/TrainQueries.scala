@@ -1552,6 +1552,69 @@ object TrainQueries {
         |  CAST(sum(cnt) AS BIGINT) AS n_vecs
         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── actionable rebuild policy (the signal ann_index_stats only
+    //    displayed): build the index, append a tight clone cluster (half
+    //    the corpus cloned from vec 0 — all land in ONE cell the frozen
+    //    ⌊√n⌋ centroids can't split), and read IvfIndex.health — the fat-
+    //    cell tail share crosses 25% and needs_rebuild flips true. All
+    //    integer policy arithmetic (DIV, bin-length log2), so DuckDB
+    //    replays build + append + histogram + decision bit-for-bit ──
+    "ann_index_health" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_ivfidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"health_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        IvfIndex.build(e, idx)
+        val seed = e.filter(col("vec_id") === 0).select(col("embedding"))
+        val clones = spark.range(e.count() / 2)
+          .select((col("id") + 10000000L).as("vec_id"))
+          .crossJoin(broadcast(seed))
+        IvfIndex.append(spark, idx, clones)
+        IvfIndex.health(spark, idx)
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod,
+        |    count(*) AS n
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |clones AS (
+        |  SELECT 10000000 + i AS vec_id,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS embedding
+        |  FROM (SELECT unnest(generate_series(0,
+        |    CAST((SELECT n FROM md) // 2 AS BIGINT) - 1)) AS i)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM clones),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM corpus e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |sz AS (SELECT cid, count(*) AS cnt FROM cells GROUP BY 1),
+        |hist AS (
+        |  SELECT length(bin(cnt)) - 1 AS bucket, count(*) AS b_cells,
+        |    sum(cnt) AS b_vecs
+        |  FROM sz GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(b_cells) AS BIGINT) AS n_cells,
+        |    CAST(sum(b_vecs) AS BIGINT) AS n_vecs
+        |  FROM hist),
+        |m AS (
+        |  SELECT n_cells, n_vecs,
+        |    CAST(length(bin(n_vecs // n_cells)) - 1 AS INT) AS mean_bucket
+        |  FROM tot)
+        |SELECT m.n_cells, m.n_vecs, m.mean_bucket,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) AS BIGINT) AS tail_vecs,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) * 1000000 // m.n_vecs AS BIGINT) AS tail_share_micro,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) * 1000000 // m.n_vecs AS BIGINT) >= 250000 AS needs_rebuild
+        |FROM hist h CROSS JOIN m
+        |GROUP BY m.n_cells, m.n_vecs, m.mean_bucket""".stripMargin),
+
     // ── in-engine ANN quality audit: recall@5 of the IVF path against
     //    the exact baseline, per query — the eval loop a pipeline runs
     //    after every index-parameter change, as a first-class query

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sim.IvfIndex
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming embedding ingest that maintains a queryable persisted IVF
@@ -24,14 +25,25 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object EmbIngest {
 
-  /** foreachBatch writer appending each micro-batch to `indexDir`. */
+  /** foreachBatch writer appending each micro-batch to `indexDir`.
+    * After each append it records [[IvfIndex.health]] (one row) under
+    * `indexDir/health/b<batchId>` — idempotent like the postings, so a
+    * replayed batch rewrites its own health row — giving the operator
+    * the per-batch `needs_rebuild` signal instead of a comment
+    * (`trackHealth = false` opts out for latency-critical sinks).
+    */
   def writer(emb: DataFrame, indexDir: String,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataStreamWriter[Row] =
+             vecCol: String = "embedding",
+             trackHealth: Boolean = true): DataStreamWriter[Row] =
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         IvfIndex.appendBatch(batch.sparkSession, indexDir, batch.toDF(),
           id, idCol, vecCol)
+        if (trackHealth)
+          IvfIndex.health(batch.sparkSession, indexDir)
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
         ()
       }
 }

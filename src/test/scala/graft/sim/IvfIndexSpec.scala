@@ -145,6 +145,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(n2 == n1)
   }
 
+  test("needsRebuild flips when append plants a cluster the frozen centroids can't split") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("drift")
+    IvfIndex.build(e, idx)
+    assert(!IvfIndex.needsRebuild(spark, idx),
+      "fresh balanced index must not demand a rebuild")
+    // tight clone cluster: half the corpus again, all one vector → one cell
+    val seed = e.filter($"vec_id" === 0).select($"embedding")
+    val clones = spark.range(e.count() / 2)
+      .select(($"id" + 10000000L).as("vec_id"))
+      .crossJoin(broadcast(seed))
+    IvfIndex.append(spark, idx, clones)
+    assert(IvfIndex.needsRebuild(spark, idx),
+      "a third of the corpus in one fat cell must flip the flag")
+    val h = IvfIndex.health(spark, idx).collect()
+    assert(h.length == 1)
+    assert(h(0).getAs[Long]("tail_share_micro") >= 250000L)
+  }
+
   test("postings store one row per vector with its top-1 cell") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("postings")

@@ -66,6 +66,13 @@ class EmbIngestSpec extends SparkSpec {
     // the store partitions the full corpus exactly once
     assert(IvfIndex.stats(spark, streamedIdx).collect()
       .map(_.getLong(2)).sum == e.count())
+    // each batch surfaced an idempotent per-batch health row with the
+    // rebuild decision (balanced organic growth → no rebuild demanded)
+    Seq("b0", "b1").foreach { b =>
+      val h = spark.read.parquet(s"$streamedIdx/health/$b").collect()
+      assert(h.length == 1, s"health/$b must hold exactly one row")
+      assert(!h(0).getAs[Boolean]("needs_rebuild"))
+    }
   }
 
   test("replaying a batch id rewrites its subdir instead of double-appending") {
