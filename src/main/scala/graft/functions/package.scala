@@ -26,6 +26,14 @@ package object functions {
     graftbridge.column(DotProductExpr(
       graftbridge.expression(a), graftbridge.expression(b)))
 
+  /** int array (unsigned-byte values) → m-byte binary (PQ code layout). */
+  def pack_bytes(a: Column): Column =
+    graftbridge.column(PackBytesExpr(graftbridge.expression(a)))
+
+  /** m-byte binary → int array of unsigned byte values. */
+  def unpack_bytes(b: Column): Column =
+    graftbridge.column(UnpackBytesExpr(graftbridge.expression(b)))
+
   /** k-seed MinHash signature of a shingle array (one pass, reused md5). */
   def minhash_sig(shingles: Column, k: Int): Column =
     graftbridge.column(MinHashSigExpr(graftbridge.expression(shingles), k))

@@ -7,19 +7,23 @@ import org.apache.spark.sql.functions._
   *
   * [[IvfIndex]] postings store the raw vector (~0.5 KB at 64 float
   * dims); at 100 TB corpus scale that is the index's dominant cost. The
-  * PQ posting stores m ONE-CODEWORD codes instead (m=16 here — bytes in
-  * a production layout; codeword ids here, since the seeded codebook
-  * keys codewords by seed vec_id, which keeps every artifact
-  * SQL-replayable). Queries never touch raw corpus vectors: candidates
-  * come from the coarse inverted file and are priced with PQ-ADC — m
-  * broadcast-LUT lookups per candidate (Jégou et al. 2011 §IV, the
-  * IVFADC composition), built from the QUERY's subvectors only.
+  * PQ posting stores the PRODUCTION byte layout instead: m sub-quantizer
+  * ordinals packed into an m-byte binary (m=16 → 16 bytes/vector, the
+  * m·log2(k)-bit code of Jégou et al. 2011 §II). Codewords stay keyed
+  * by seed vec_id inside the codebook — which keeps every artifact
+  * SQL-replayable — and each carries its per-subspace ordinal `ord`
+  * (rank of cid within s), the byte actually stored. Queries never
+  * touch raw corpus vectors: candidates come from the coarse inverted
+  * file and are priced with PQ-ADC — m broadcast-LUT lookups per
+  * candidate (Jégou et al. 2011 §IV, the IVFADC composition), built
+  * from the QUERY's subvectors only.
   *
   * Artifacts under `outDir` (all parquet, all deterministic):
   *  - `coarse/`   (ccid, cv): ⌊√n⌋ sampled coarse centroids, micro-units
-  *  - `codebook/` (s, cid, cw, norm2): m seeded sub-codebooks, k entries
-  *  - `postings/` (nid, ccid, codes): home cell + the m-array of
-  *    codeword ids ordered by subspace
+  *  - `codebook/` (s, cid, ord, cw, norm2): m seeded sub-codebooks,
+  *    k entries each; ord = rank of cid within its subspace
+  *  - `postings/` (nid, ccid, codes): home cell + the m-BYTE packed
+  *    ordinal code, subspace order
   *
   * [[append]] encodes only the new vectors against the FROZEN coarse
   * table and codebooks — the incremental path; quantization drift after
@@ -41,16 +45,19 @@ object PqIndex {
         col("top").getItem(0).getField("nid").as("ccid"))
 
   /** Encode `micro` against broadcast codebooks: (id, ccid, codes) with
-    * codes = the m codeword ids ordered by subspace. One broadcast
-    * assignment + one (id)-grain rollup.
+    * codes = the m codeword ORDINALS packed into an m-byte binary,
+    * subspace order. One broadcast assignment + one (id)-grain rollup.
     */
   private def encode(micro: DataFrame, cents: DataFrame, cb: DataFrame,
                      m: Int, subDim: Int): DataFrame = {
     val cells = homeCells(micro, cents)
     val enc = Pq.assign(Pq.subvectors(micro, m, subDim), cb)
+      .join(broadcast(cb.select(col("s"), col("cid"), col("ord"))),
+        Seq("s", "cid"))
     val codes = enc.groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("cid")))),
-        x => x.getField("cid")).as("codes"))
+      .agg(graft.functions.pack_bytes(
+        transform(array_sort(collect_list(struct(col("s"), col("ord")))),
+          x => x.getField("ord"))).as("codes"))
     cells.join(codes, Seq("id"))
       .select(col("id").as("nid"), col("ccid"), col("codes"))
   }
@@ -75,11 +82,18 @@ object PqIndex {
     micro.filter(pmod(col("id"), lit(mod)) === 0)
       .select(col("id").as("ccid"), col("vu").as("cv"))
       .write.mode("overwrite").parquet(s"$outDir/coarse")
+    require(k <= 256, s"k=$k codewords exceed one byte per subspace")
     val sub = Pq.subvectors(micro, m, subDim).localCheckpoint(eager = false)
     var cb = Pq.codebook(micro, m, subDim, k).localCheckpoint(eager = false)
     for (_ <- 1 to lloydIters)
       cb = Pq.refine(sub, cb).localCheckpoint(eager = false)
-    cb.write.mode("overwrite").parquet(s"$outDir/codebook")
+    // per-subspace ordinal (rank of cid): the byte a posting stores.
+    // Persisted WITH the codebook so append-time encoding can never
+    // re-derive a different numbering. Window over k·m ≤ 4096 rows.
+    cb.withColumn("ord",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("cid"))) - 1).cast("int"))
+      .write.mode("overwrite").parquet(s"$outDir/codebook")
     val cents = spark.read.parquet(s"$outDir/coarse")
     val book = spark.read.parquet(s"$outDir/codebook")
     encode(micro, cents, broadcast(book), m, subDim)
@@ -143,18 +157,19 @@ object PqIndex {
       .select(col("qid"), col("t.nid").as("ccid"))
     val lut = Pq.subvectors(qmicro, m, subDim)
       .join(broadcast(book), Seq("s"))
-      .select(col("id").as("qid"), col("s"), col("cid"),
+      .select(col("id").as("qid"), col("s"), col("ord"),
         (graft.functions.dot_product(col("sub"), col("sub"))
           - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
           + col("norm2")).as("d"))
     probes.join(postings, Seq("ccid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), posexplode(col("codes")))
-      .select(col("qid"), col("nid"), col("pos").as("s"), col("col").as("cid"))
+      .select(col("qid"), col("nid"),
+        posexplode(graft.functions.unpack_bytes(col("codes"))))
+      .select(col("qid"), col("nid"), col("pos").as("s"), col("col").as("ord"))
       // the LUT is nq·m·k rows (~1M at the 100× probe's 4k queries) —
       // above the auto-broadcast threshold but trivially broadcast-size,
       // and without the hint the m×-candidate ADC fanout shuffles
-      .join(broadcast(lut), Seq("qid", "s", "cid"))
+      .join(broadcast(lut), Seq("qid", "s", "ord"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("d")).as("adc"))
       .groupBy(col("qid"))
