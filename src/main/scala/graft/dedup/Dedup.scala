@@ -113,7 +113,7 @@ object Dedup {
     * zero further exchange or sort. `maxDf <= 0` = exact opt-in (no cap,
     * no extra pass).
     */
-  private def dropHotShingles(sh: DataFrame, maxDf: Long): DataFrame =
+  private[graft] def dropHotShingles(sh: DataFrame, maxDf: Long): DataFrame =
     (if (maxDf <= 0L) sh
      else {
        import org.apache.spark.sql.expressions.Window
@@ -123,15 +123,23 @@ object Dedup {
          .drop("df")
      }).localCheckpoint(eager = false) // one materialization feeds sizes + both join sides
 
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   maxDf: Long = 4096L): DataFrame = {
-    // one shingling pass: the self-join sides reuse one materialization,
-    // and the sizes branch reads it instead of re-shingling. Only the
-    // hashed key leaves the shingling stage — never the string.
-    val sh0 = spread(docs).select(col(idCol).as("id"),
+  /** (id, shingle) postings of a document frame — one shingling pass,
+    * only the 60-bit hashed key leaves the stage, never the string.
+    * The grain [[DedupIndex]] persists and every shingle pair-join reads.
+    */
+  private[graft] def shinglePostings(docs: DataFrame, n: Int,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text"): DataFrame =
+    spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
       .select(col("id"), shingleKey(col("s")).as("shingle"))
+
+  /** Jaccard scoring over an existing (id, shingle) postings frame —
+    * factored out of [[jaccardPairs]] so [[DedupIndex]] mines from its
+    * persisted posting store without re-shingling the corpus.
+    */
+  private[graft] def jaccardPairsFromPostings(sh0: DataFrame, threshold: Double,
+                                              maxDf: Long): DataFrame = {
     // df cap (default 4096, the pair-join family's skew knob): a hot
     // boilerplate shingle is quadratic join mass; see dropHotShingles
     val sh = dropHotShingles(sh0, maxDf)
@@ -150,6 +158,12 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDf: Long = 4096L): DataFrame =
+    jaccardPairsFromPostings(shinglePostings(docs, n, idCol, textCol),
+      threshold, maxDf)
+
   /** Containment scoring over the same shingle join as `jaccardPairs`:
     * containment = |A∩B| / min(|A|,|B|) catches SUBSET duplication
     * (a doc embedded inside a larger one) that symmetric Jaccard dilutes —
@@ -161,9 +175,7 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text",
                        maxDf: Long = 4096L): DataFrame = {
     // same fixed-width hashed key as jaccardPairs (collision note there)
-    val sh0 = spread(docs).select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
-      .select(col("id"), shingleKey(col("s")).as("shingle"))
+    val sh0 = shinglePostings(docs, n, idCol, textCol)
     // same df cap as jaccardPairs — containment's min-size denominator is
     // MORE exposed to boilerplate (a tiny doc of pure template text scores
     // 1.0 against everything without it)

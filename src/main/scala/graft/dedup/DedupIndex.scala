@@ -1,0 +1,193 @@
+package graft.dedup
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted corpus-dedup lineage store: mine pairs once, export
+  * provenance many times.
+  *
+  * Per-doc dedup provenance (cluster, keep/remove, reason) is the
+  * user-facing export of corpus dedup, and a pipeline exports it daily
+  * against a corpus that changed by 0.1% — recomputing the pair →
+  * connected-components lineage per export re-pays the candidate mining
+  * every time. This store splits the lifecycle the way
+  * [[graft.sim.IvfIndex]] does for ANN (and the way the reference
+  * reloads saved state instead of recomputing,
+  * `testing/tre_editorial_integration/tre_editorial_integration.py:511-517`):
+  *
+  *  - [[build]] persists three parquet frames under the index dir:
+  *    `postings/` (id, 60-bit hashed shingle — the raw candidate grain),
+  *    `pairs/` (i, j, jaccard ≥ threshold), and `labels/` (id, cluster —
+  *    connected components over the pairs). Mining runs ONCE; a re-build
+  *    over the same corpus is idempotent (same frames, swap-replaced).
+  *  - [[provenance]] is the daily export: one left join of the doc list
+  *    against the ≤pair-participant-sized label frame. No mining, no
+  *    clustering, no shingling.
+  *  - [[append]] admits new docs incrementally: their postings append,
+  *    only candidate pairs TOUCHING a new doc are scored (new-postings ×
+  *    union-postings on the shingle key — never old×old again), the new
+  *    pairs append, and labels recompute from the persisted PAIR set —
+  *    pair grain, orders of magnitude below corpus grain. With the df
+  *    cap not binding (or stable), append-then-export equals a from-
+  *    scratch rebuild exactly; under a shifting cap the already-mined
+  *    pairs keep their original scores (monotone: pairs are never lost).
+  *
+  * `labels/` is rewritten on every build/append, so it uses the
+  * rename-aside swap (write `__new` → rename old aside → rename new in →
+  * delete old; readers self-heal) — the [[graft.sim.IvfIndex.compactDir]]
+  * ordering, with the same no-loss-at-any-crash-point property.
+  */
+object DedupIndex {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Swap-replace `dir` with the content of frame `df` (rename-aside
+    * ordering; see class doc).
+    */
+  private def swapWrite(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    val tmp = new Path(dir + "__new")
+    val old = new Path(dir + "__old")
+    recover(spark, dir)
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+  }
+
+  /** Heal an interrupted [[swapWrite]]: canonical missing + `__old`
+    * survivor present → rename back.
+    */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    val old = new Path(dir + "__old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
+  private def readDir(spark: SparkSession, dir: String): DataFrame = {
+    recover(spark, dir)
+    // recursive: flat build layout and per-batch append subdirs coexist
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+  }
+
+  /** Mine the corpus once and persist postings + pairs + labels.
+    * Overwrites any prior index at the path (idempotent refresh).
+    */
+  def build(docs: DataFrame, outDir: String, n: Int = 3,
+            threshold: Double = 0.10, maxDf: Long = 4096L,
+            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // fused: one shingling materialization feeds the store write AND the
+    // mining pass; one pair materialization feeds the pair write AND the
+    // clustering (re-reading each stage from parquet measured +60% on
+    // the whole build at sf0.1 for no correctness gain — the persisted
+    // bytes and the checkpointed rows are the same deterministic frames)
+    val sh = Dedup.shinglePostings(docs, n, idCol, textCol)
+      .localCheckpoint(eager = false)
+    swapWrite(sh, s"$outDir/postings")
+    val pairs = Dedup.jaccardPairsFromPostings(sh, threshold, maxDf)
+      .localCheckpoint(eager = false)
+    swapWrite(pairs, s"$outDir/pairs")
+    swapWrite(Dedup.clusters(pairs), s"$outDir/labels")
+  }
+
+  /** [[build]] only when no usable index exists at the path — the
+    * entry point for export jobs that share a long-lived store (a fresh
+    * process pays the build once; every later [[provenance]] call is
+    * the cheap join). Freshness is the caller's contract, exactly as
+    * with [[graft.sim.IvfIndex]] centroids.
+    */
+  def buildIfAbsent(docs: DataFrame, outDir: String, n: Int = 3,
+                    threshold: Double = 0.10, maxDf: Long = 4096L,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    recover(spark, s"$outDir/labels")
+    if (!fsOf(spark, outDir).exists(new Path(s"$outDir/labels")))
+      build(docs, outDir, n, threshold, maxDf, idCol, textCol)
+  }
+
+  /** Admit `newDocs` (caller owns id uniqueness, as with every
+    * append-only store here): append their postings, score only
+    * candidates touching a new doc, append the pairs, recompute labels
+    * from the persisted pair set. Pass `batchId` to make the append an
+    * idempotent replay unit: postings and pairs land in `b<id>` subdirs
+    * with overwrite semantics (the [[graft.streaming.CorpusIngest]] /
+    * [[graft.sim.IvfIndex.appendBatch]] store contract), so a crashed
+    * retry rewrites its own rows instead of double-appending — a
+    * duplicated posting row would otherwise inflate `n_common` and
+    * corrupt the Jaccard ratio.
+    */
+  def append(spark: SparkSession, indexDir: String, newDocs: DataFrame,
+             n: Int = 3, threshold: Double = 0.10, maxDf: Long = 4096L,
+             idCol: String = "doc_id", textCol: String = "text",
+             batchId: Option[Long] = None): Unit = {
+    def land(df: DataFrame, dir: String): Unit = batchId match {
+      case Some(b) => df.write.mode("overwrite").parquet(s"$dir/b$b")
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    land(Dedup.shinglePostings(newDocs, n, idCol, textCol),
+      s"$indexDir/postings")
+    val all = readDir(spark, s"$indexDir/postings")
+    // df cap over the UNION (one linear pass), as a full rebuild would
+    val capped = Dedup.dropHotShingles(all, maxDf)
+    val newIds = newDocs.select(col(idCol).cast("long").as("id"))
+      .withColumn("is_new", lit(true))
+    val flagged = capped.join(broadcast(newIds), Seq("id"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+      .localCheckpoint(eager = false)
+    // renamed sides (DetectAmbiguousSelfJoin fires on shared lineage).
+    // Join condition counts each candidate pair exactly once: new×new
+    // ordered (ai < bi), new×old in either direction via the new side
+    val lhs = flagged.filter(col("is_new"))
+      .select(col("id").as("ai"), col("shingle").as("ash"))
+    val rhs = flagged
+      .select(col("id").as("bi"), col("shingle").as("bsh"),
+        col("is_new").as("bnew"))
+    val cand = lhs.join(rhs, col("ash") === col("bsh") &&
+        ((!col("bnew") && col("ai") =!= col("bi")) ||
+          (col("bnew") && col("ai") < col("bi"))))
+      .groupBy(least(col("ai"), col("bi")).as("i"),
+        greatest(col("ai"), col("bi")).as("j"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val newPairs = cand
+      .join(sizes.select(col("id"), col("n_sh").as("n_i")),
+        col("i") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n_sh").as("n_j")),
+        col("j") === col("id")).drop("id")
+      .withColumn("jaccard",
+        graft.text.TextAnalysis.round4(
+          col("n_common") / (col("n_i") + col("n_j") - col("n_common"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+    land(newPairs, s"$indexDir/pairs")
+    swapWrite(Dedup.clusters(readDir(spark, s"$indexDir/pairs")),
+      s"$indexDir/labels")
+  }
+
+  /** The persisted (id, cluster) label frame. */
+  def labels(spark: SparkSession, indexDir: String): DataFrame =
+    readDir(spark, s"$indexDir/labels")
+
+  /** The daily export: every doc with its cluster, keep decision and
+    * reason ('unique' | 'representative' | 'near_dup') — ONE left join
+    * against the persisted label frame.
+    */
+  def provenance(spark: SparkSession, indexDir: String, docs: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(labels(spark, indexDir).select(col("id"), col("cluster")),
+        col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        when(col("cluster").isNull, lit("unique"))
+          .when(col("cluster") === col(idCol), lit("representative"))
+          .otherwise(lit("near_dup")).as("reason"))
+      .withColumn("kept", col("reason") =!= "near_dup")
+}

