@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
@@ -14,8 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   * k ≤ 256 round-trips exactly; [[UnpackBytesExpr]] restores the int
   * array for the ADC LUT join.
   */
-case class PackBytesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PackBytesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
@@ -28,6 +27,21 @@ case class PackBytesExpr(child: Expression)
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $c.numElements();
+         |final byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) ($c.getInt($i) & 0xFF);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): PackBytesExpr =
     copy(child = c)
   override def prettyName: String = "pack_bytes"
@@ -37,8 +51,7 @@ case class PackBytesExpr(child: Expression)
   * unsigned byte values. Runs per ADC candidate (the query hot path) —
   * one tight loop, no per-element lambda dispatch.
   */
-case class UnpackBytesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class UnpackBytesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -49,6 +62,25 @@ case class UnpackBytesExpr(child: Expression)
     while (i < b.length) { out(i) = b(i) & 0xFF; i += 1 }
     new GenericArrayData(out)
   }
+
+  // real codegen: this runs per ADC candidate inside a generator chain —
+  // a CodegenFallback here splits the whole-stage span around the
+  // explode (the r11 100× probe measured the PQ query leg 2.6× slower
+  // on the fallback)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $c.length;
+         |final int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $c[$i] & 0xFF;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): UnpackBytesExpr =
     copy(child = c)

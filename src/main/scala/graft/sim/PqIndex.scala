@@ -46,14 +46,24 @@ object PqIndex {
 
   /** Encode `micro` against broadcast codebooks: (id, ccid, codes) with
     * codes = the m codeword ORDINALS packed into an m-byte binary,
-    * subspace order. One broadcast assignment + one (id)-grain rollup.
+    * subspace order. One broadcast assignment + one (id)-grain rollup —
+    * the ordinal RIDES the argmin struct (after cid, so the tie order is
+    * unchanged — ord is a bijection of cid within s) instead of a second
+    * join against the codebook, which would add an (id, s)-grain shuffle
+    * for nothing (the r11 100× probe caught that shape doubling build).
     */
   private def encode(micro: DataFrame, cents: DataFrame, cb: DataFrame,
                      m: Int, subDim: Int): DataFrame = {
     val cells = homeCells(micro, cents)
-    val enc = Pq.assign(Pq.subvectors(micro, m, subDim), cb)
-      .join(broadcast(cb.select(col("s"), col("cid"), col("ord"))),
-        Seq("s", "cid"))
+    val enc = Pq.subvectors(micro, m, subDim)
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("score",
+        lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+          - col("norm2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"),
+        col("ord"))).as("a"))
+      .select(col("id"), col("s"), col("a.ord").as("ord"))
     val codes = enc.groupBy(col("id"))
       .agg(graft.functions.pack_bytes(
         transform(array_sort(collect_list(struct(col("s"), col("ord")))),

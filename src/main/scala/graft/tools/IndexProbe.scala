@@ -73,6 +73,25 @@ object IndexProbe {
       rows += (s"${tag}_pq_query2" ->
         timed(noop(graft.sim.PqIndex.query(spark, pqDir, q,
           nprobe = 2, topK = 5, dims = 64, m = 16))))
+      // dedup-lineage store (r11): mine-once vs export-per-day split,
+      // plus the incremental admit of a 0.1% batch — the three costs a
+      // deployment actually pays. Skipped when the synthesis skipped docs.
+      // plain-path guard: driver-written testdata has no _SUCCESS marker
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val dedupDir = s"$idxRoot/${tag}_dedup"
+        rows += (s"${tag}_dedup_build" ->
+          timed(graft.dedup.DedupIndex.build(d, dedupDir, 3, 0.10)))
+        rows += (s"${tag}_dedup_export" ->
+          timed(noop(graft.dedup.DedupIndex.provenance(spark, dedupDir, d))))
+        rows += (s"${tag}_dedup_export2" ->
+          timed(noop(graft.dedup.DedupIndex.provenance(spark, dedupDir, d))))
+        val newDocs = d.orderBy(col("doc_id")).limit((d.count() / 1000).toInt max 1)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+        rows += (s"${tag}_dedup_append_0.1pct" ->
+          timed(graft.dedup.DedupIndex.append(spark, dedupDir, newDocs,
+            3, 0.10, batchId = Some(0L))))
+      }
       rows.toSeq
     }
     val all = probe("base", base) ++ probe(s"x$k", out)
