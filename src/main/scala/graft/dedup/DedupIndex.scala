@@ -131,31 +131,47 @@ object DedupIndex {
       case Some(b) => df.write.mode("overwrite").parquet(s"$dir/b$b")
       case None    => df.write.mode("append").parquet(dir)
     }
+    // read OLD labels/pairs before any write (incremental relabel below)
+    val oldLabels = labels(spark, indexDir).localCheckpoint(eager = true)
+    val oldPairs = readDir(spark, s"$indexDir/pairs")
+      .localCheckpoint(eager = true)
     land(Dedup.shinglePostings(newDocs, n, idCol, textCol),
       s"$indexDir/postings")
     val all = readDir(spark, s"$indexDir/postings")
-    // df cap over the UNION (one linear pass), as a full rebuild would
-    val capped = Dedup.dropHotShingles(all, maxDf)
+    // GLOBAL df over the union (required: rebuild-parity denominators),
+    // but as a map-combined hash AGG + tiny broadcast hot set — not the
+    // window sort the build self-join wants. The hot set is ≤ |postings|
+    // / maxDf shingles by construction.
+    val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+      .localCheckpoint(eager = true)
+    val cappedAll = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // the new batch is ≪ the corpus: BROADCAST its capped postings, so
+    // the candidate join streams the standing postings map-side — the
+    // posting store never shuffles. Condition counts each pair once:
+    // new×new ordered (ai < bi), new×old in either direction.
     val newIds = newDocs.select(col(idCol).cast("long").as("id"))
-      .withColumn("is_new", lit(true))
-    val flagged = capped.join(broadcast(newIds), Seq("id"), "left")
-      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
-      .localCheckpoint(eager = false)
-    // renamed sides (DetectAmbiguousSelfJoin fires on shared lineage).
-    // Join condition counts each candidate pair exactly once: new×new
-    // ordered (ai < bi), new×old in either direction via the new side
-    val lhs = flagged.filter(col("is_new"))
+    val cappedNew = Dedup.shinglePostings(newDocs, n, idCol, textCol)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("id").as("ai"), col("shingle").as("ash"))
-    val rhs = flagged
+    val rhs = cappedAll.join(broadcast(newIds.withColumn("bnew", lit(true))),
+        Seq("id"), "left")
       .select(col("id").as("bi"), col("shingle").as("bsh"),
-        col("is_new").as("bnew"))
-    val cand = lhs.join(rhs, col("ash") === col("bsh") &&
+        coalesce(col("bnew"), lit(false)).as("bnew"))
+    val cand = broadcast(cappedNew).join(rhs, col("ash") === col("bsh") &&
         ((!col("bnew") && col("ai") =!= col("bi")) ||
           (col("bnew") && col("ai") < col("bi"))))
       .groupBy(least(col("ai"), col("bi")).as("i"),
         greatest(col("ai"), col("bi")).as("j"))
       .agg(count(lit(1)).as("n_common"))
-    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(eager = true)
+    // sizes only for docs that actually appear in a candidate pair —
+    // a broadcast semi-join filters the store before the id rollup, so
+    // the sizes shuffle carries candidate docs' postings, not the corpus
+    val candIds = cand.select(col("i").as("id"))
+      .unionByName(cand.select(col("j").as("id"))).distinct()
+    val sizes = cappedAll.join(broadcast(candIds), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val newPairs = cand
       .join(sizes.select(col("id"), col("n_sh").as("n_i")),
         col("i") === col("id")).drop("id")
@@ -166,9 +182,44 @@ object DedupIndex {
           col("n_common") / (col("n_i") + col("n_j") - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
+      .localCheckpoint(eager = true)
     land(newPairs, s"$indexDir/pairs")
-    swapWrite(Dedup.clusters(readDir(spark, s"$indexDir/pairs")),
+    // INCREMENTAL relabel: only components a new pair touches recompute.
+    // Affected = every member of an old cluster containing a new-pair
+    // endpoint (+ the new ids themselves); the subgraph = the old pairs
+    // inside those clusters ∪ the new pairs. Label propagation over that
+    // subgraph converges to the same per-component min id as a full
+    // relabel (old labels of untouched components already equal it), so
+    // append stays exactly rebuild-equivalent at pair grain — without
+    // re-propagating the 99.9% of components that didn't change.
+    val touched = newPairs.select(col("i").as("id"))
+      .unionByName(newPairs.select(col("j").as("id"))).distinct()
+    val touchedClusters = oldLabels
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val affected = oldLabels
+      .join(broadcast(touchedClusters), Seq("cluster"), "left_semi")
+      .select(col("id"))
+    val subPairs = oldPairs
+      .join(broadcast(affected), oldPairs("i") === affected("id"), "left_semi")
+      .select(col("i"), col("j"))
+      .unionByName(newPairs.select(col("i"), col("j")))
+    val subLabels = Dedup.clusters(subPairs)
+    val kept = oldLabels
+      .join(broadcast(touchedClusters), Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+    swapWrite(kept.unionByName(subLabels.select(col("id"), col("cluster"))),
       s"$indexDir/labels")
+  }
+
+  /** Fold the posting and pair stores' accumulated append artifacts into
+    * target-sized files — same crash-safe swap and newest-`b<N>`
+    * replay-unit preservation as [[graft.sim.IvfIndex.compact]].
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              targetBytes: Long = 128L << 20): Unit = {
+    graft.sim.IvfIndex.compactDir(spark, s"$indexDir/postings", targetBytes)
+    graft.sim.IvfIndex.compactDir(spark, s"$indexDir/pairs", targetBytes)
   }
 
   /** The persisted (id, cluster) label frame. */

@@ -157,7 +157,7 @@ object IvfIndex {
     *
     * `failAfter` is a test-only kill switch (throws after swap step k).
     */
-  private[sim] def compactDir(spark: SparkSession, dir: String,
+  private[graft] def compactDir(spark: SparkSession, dir: String,
                               targetBytes: Long,
                               failAfter: Int = Int.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path

@@ -62,6 +62,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(prov(inc) == prov(full))
   }
 
+  test("append merging two standing clusters relabels exactly like a rebuild") {
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val tb = "one two three four five six seven"
+    val base = Seq((1L, ta), (2L, ta), (10L, tb), (11L, tb))
+      .toDF("doc_id", "text")
+    val bridge = Seq((20L, s"$ta $tb")).toDF("doc_id", "text")
+    val inc = scratch("bridge_inc")
+    DedupIndex.build(base, inc, n = 3, threshold = 0.10)
+    // two standing clusters before the bridge
+    assert(DedupIndex.labels(spark, inc).select($"cluster")
+      .distinct().as[Long].collect().toSet == Set(1L, 10L))
+    DedupIndex.append(spark, inc, bridge, n = 3, threshold = 0.10)
+    val full = scratch("bridge_full")
+    DedupIndex.build(base.unionByName(bridge), full, n = 3, threshold = 0.10)
+    val incLabels = DedupIndex.labels(spark, inc)
+      .as[(Long, Long)].collect().toSet
+    assert(incLabels == DedupIndex.labels(spark, full)
+      .as[(Long, Long)].collect().toSet)
+    // the bridge merged everything into the min-id component
+    assert(incLabels.map(_._2) == Set(1L))
+    assert(incLabels.map(_._1) == Set(1L, 2L, 10L, 11L, 20L))
+  }
+
+  test("compact folds append artifacts; provenance unchanged") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val idx = scratch("compact")
+    DedupIndex.build(base, idx, n = 3, threshold = 0.10)
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    val before = prov(idx)
+    DedupIndex.compact(spark, idx)
+    assert(prov(idx) == before)
+  }
+
   test("batch append replays idempotently (crashed-retry contract)") {
     val base = docs().filter($"doc_id" % 5 =!= 0)
     val extra = docs().filter($"doc_id" % 5 === 0)
