@@ -1567,6 +1567,102 @@ object TrainQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // ── metadata-FILTERED vector search (FAISS IDSelector semantics —
+    //    the feature every production store grows): top-k among probed-
+    //    cell candidates that pass a predicate, applied inside the cell
+    //    join so rejected candidates never reach the per-query heap.
+    //    Shares one pid-keyed index build with retro_neighbors ──
+    "ann_ivf_filtered" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_ivfidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"filtered_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+          IvfIndex.build(e, idx)
+        IvfIndex.queryFiltered(spark, idx,
+            e.filter(pmod(col("vec_id"), lit(50)) === 0), nprobe = 2, k = 5,
+            keep = (_, nid) => pmod(nid, lit(3)) === 0)
+          .orderBy(col("qid"), col("rank"))
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid AND m.id % 3 = 0),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── RETRO-style retrieval prep (Borgeaud et al. 2022 §2.3): each
+    //    query chunk retrieves neighbours EXCLUDING its own document
+    //    (vec_id DIV 100 as the document key here) — the leakage guard
+    //    retrieval-augmented training data requires; per-query exclusion
+    //    predicate inside the cell join, same probed-cell semantics ──
+    "retro_neighbors" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_ivfidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"filtered_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+          IvfIndex.build(e, idx)
+        IvfIndex.queryFiltered(spark, idx,
+            e.filter(pmod(col("vec_id"), lit(50)) === 0), nprobe = 2, k = 5,
+            keep = (qid, nid) =>
+              qid.cast("long").divide(lit(100)).cast("long") =!=
+                nid.cast("long").divide(lit(100)).cast("long"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid AND (p.qid // 100) <> (m.id // 100)),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // ── index-health audit: cell-occupancy histogram of the persisted
     //    IVF index (⌊log2 size⌋ buckets via integer-exact bin-string
     //    length) — the retrain-due signal for a deployed index: probe

@@ -294,7 +294,31 @@ object IvfIndex {
     */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
             nprobe: Int, k: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    queryFiltered(spark, indexDir, queries, nprobe, k,
+      (_, _) => lit(true), idCol, vecCol)
+
+  /** [[query]] with a candidate predicate `keep(qid, nid)` — the
+    * filtered vector search every production store grows (FAISS
+    * IDSelector, metadata-filtered ANN): language/source gating, or
+    * RETRO-style neighbour retrieval that must EXCLUDE the query's own
+    * document to avoid leakage (Borgeaud et al. 2022 §2.3 exclude
+    * same-document neighbours when building retrieval training data).
+    *
+    * The predicate is applied INSIDE the cell join's projection, before
+    * the per-query heap — rejected candidates never reach the top-k
+    * aggregate, and the posting scan stays a plain cell-key join
+    * (predicates on nid prune map-side). Recall semantics: top-k among
+    * the SURVIVORS of the probed cells — a highly selective predicate
+    * wants a larger `nprobe`, exactly as in FAISS.
+    */
+  def queryFiltered(spark: SparkSession, indexDir: String,
+                    queries: DataFrame, nprobe: Int, k: Int,
+                    keep: (org.apache.spark.sql.Column,
+                           org.apache.spark.sql.Column) =>
+                      org.apache.spark.sql.Column,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val postings = readPostings(spark, indexDir)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -307,7 +331,7 @@ object IvfIndex {
       .select(col("qid"), col("qv"), explode(col("top")).as("t"))
       .select(col("qid"), col("qv"), col("t.nid").as("cid"))
     probes.join(postings, Seq("cid"))
-      .filter(col("qid") =!= col("id"))
+      .filter(col("qid") =!= col("id") && keep(col("qid"), col("id")))
       .select(col("qid"), col("id").as("nid"),
         Similarity.round6(Similarity.dot(col("qv"), col("v"))).as("sim"))
       .groupBy(col("qid"))

@@ -164,6 +164,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(h(0).getAs[Long]("tail_share_micro") >= 250000L)
   }
 
+  test("queryFiltered: predicate candidates only; true-predicate equals query()") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("filtered")
+    IvfIndex.build(e, idx)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val plain = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val trueFiltered = IvfIndex
+      .queryFiltered(spark, idx, q, nprobe = 2, k = 5, (_, _) => lit(true))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(trueFiltered == plain)
+    // even-nid filter: every result passes, and the top-k equals the
+    // post-filtered re-rank of an exhaustive unfiltered run (k big
+    // enough to keep every probed candidate)
+    val filtered = IvfIndex.queryFiltered(spark, idx, q, nprobe = 2, k = 5,
+        (_, nid) => nid % 2 === 0)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 % 2 == 0))
+    val exhaustive = IvfIndex.query(spark, idx, q, nprobe = 2, k = 1000000)
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = exhaustive.filter(_._2 % 2 == 0).groupBy(_._1).toSeq
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, nid, sim, _), i) => (qid, nid, sim, i + 1) }
+      }.toSet
+    assert(filtered.toSet == expected)
+  }
+
   test("postings store one row per vector with its top-1 cell") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("postings")
