@@ -97,7 +97,7 @@ object Bench {
       // plan BETWEEN queries, outside the timed window, so each query is
       // measured against a clean block manager like a fresh session.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       dt
     }

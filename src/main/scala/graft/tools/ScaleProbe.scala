@@ -70,7 +70,7 @@ object ScaleProbe {
       // same per-query hygiene as Bench: dead checkpoint blocks must not
       // bleed into the next measurement
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       dt
     }
