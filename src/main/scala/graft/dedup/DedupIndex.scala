@@ -95,6 +95,12 @@ object DedupIndex {
       .localCheckpoint(eager = false)
     swapWrite(pairs, s"$outDir/pairs")
     swapWrite(Dedup.clusters(pairs), s"$outDir/labels")
+    // version log: a fresh build resets history; the built labels
+    // snapshot as version `base` (tiny frame — label grain)
+    fsOf(docs.sparkSession, outDir)
+      .delete(new Path(s"$outDir/labels_log"), true)
+    readDir(docs.sparkSession, s"$outDir/labels")
+      .write.mode("overwrite").parquet(s"$outDir/labels_log/base")
   }
 
   /** [[build]] only when no usable index exists at the path — the
@@ -210,6 +216,14 @@ object DedupIndex {
       .select(col("id"), col("cluster"))
     swapWrite(kept.unionByName(subLabels.select(col("id"), col("cluster"))),
       s"$indexDir/labels")
+    // version log: batch appends snapshot the post-append labels as
+    // `b<batchId>` with overwrite semantics (a replayed batch rewrites
+    // its own snapshot). Unbatched appends keep no history — versioned
+    // provenance requires the batch contract.
+    batchId.foreach { b =>
+      readDir(spark, s"$indexDir/labels")
+        .write.mode("overwrite").parquet(s"$indexDir/labels_log/b$b")
+    }
   }
 
   /** Fold the posting and pair stores' accumulated append artifacts into
@@ -226,14 +240,10 @@ object DedupIndex {
   def labels(spark: SparkSession, indexDir: String): DataFrame =
     readDir(spark, s"$indexDir/labels")
 
-  /** The daily export: every doc with its cluster, keep decision and
-    * reason ('unique' | 'representative' | 'near_dup') — ONE left join
-    * against the persisted label frame.
-    */
-  def provenance(spark: SparkSession, indexDir: String, docs: DataFrame,
-                 idCol: String = "doc_id"): DataFrame =
+  private def provenanceAgainst(labelFrame: DataFrame, docs: DataFrame,
+                                idCol: String): DataFrame =
     docs.select(col(idCol))
-      .join(labels(spark, indexDir).select(col("id"), col("cluster")),
+      .join(labelFrame.select(col("id"), col("cluster")),
         col(idCol) === col("id"), "left")
       .select(col(idCol),
         coalesce(col("cluster"), col(idCol)).as("cluster"),
@@ -241,4 +251,34 @@ object DedupIndex {
           .when(col("cluster") === col(idCol), lit("representative"))
           .otherwise(lit("near_dup")).as("reason"))
       .withColumn("kept", col("reason") =!= "near_dup")
+
+  /** The daily export: every doc with its cluster, keep decision and
+    * reason ('unique' | 'representative' | 'near_dup') — ONE left join
+    * against the persisted label frame.
+    */
+  def provenance(spark: SparkSession, indexDir: String, docs: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    provenanceAgainst(labels(spark, indexDir), docs, idCol)
+
+  /** Time-travel export: [[provenance]] as of a logged label version —
+    * `"base"` (the build) or `"b<batchId>"` (after that batch append).
+    * The question an audited pipeline actually gets asked ("was this
+    * doc a duplicate YESTERDAY, before batch 7 landed?"); answered from
+    * the tiny label snapshots, no re-mining. A doc admitted after the
+    * requested version reads 'unique' — it did not exist in that view.
+    */
+  def provenanceAsOf(spark: SparkSession, indexDir: String,
+                     docs: DataFrame, version: String,
+                     idCol: String = "doc_id"): DataFrame =
+    provenanceAgainst(
+      spark.read.parquet(s"$indexDir/labels_log/$version"), docs, idCol)
+
+  /** Logged label versions, oldest-first (`base`, then batch order). */
+  def versions(spark: SparkSession, indexDir: String): Seq[String] = {
+    val p = new Path(s"$indexDir/labels_log")
+    val fs = fsOf(spark, s"$indexDir/labels_log")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .sortBy(n => if (n == "base") -1L else n.drop(1).toLong).toSeq
+  }
 }

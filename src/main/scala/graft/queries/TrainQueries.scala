@@ -637,6 +637,49 @@ object TrainQueries {
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          |ORDER BY d.doc_id""".stripMargin),
 
+    // ── time-travel provenance: the audited-pipeline question ("was
+    //    this doc a duplicate BEFORE batch 0 landed?") answered from the
+    //    DedupIndex label-version log — build on 4/5 of the corpus,
+    //    batch-append the rest, export the BASE view for ALL docs: docs
+    //    admitted later read 'unique' (they did not exist in that view),
+    //    base clusters reflect base-only mining. Oracle replays the
+    //    pipeline on the base subset and left-joins the full doc list ──
+    "dedup_provenance_asof" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val idx = s"/tmp/graft_dedupidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$idx/labels_log/b0/_SUCCESS").exists()) {
+          DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            idx, n = 3, threshold = 0.10)
+          DedupIndex.append(spark, idx,
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            n = 3, threshold = 0.10, batchId = Some(0L))
+        }
+        DedupIndex.provenanceAsOf(spark, idx, docs, "base")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10")
+           .replace("FROM documents", "FROM documents WHERE doc_id % 5 <> 0")
+           .replace("\n", " ")}),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+         |  CASE WHEN l.cluster IS NULL THEN 'unique'
+         |       WHEN l.cluster = d.doc_id THEN 'representative'
+         |       ELSE 'near_dup' END AS reason,
+         |  CASE WHEN l.cluster IS NULL THEN TRUE
+         |       WHEN l.cluster = d.doc_id THEN TRUE ELSE FALSE END AS kept
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         |ORDER BY d.doc_id""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

@@ -85,6 +85,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(incLabels.map(_._1) == Set(1L, 2L, 10L, 11L, 20L))
   }
 
+  test("as-of provenance: base view survives appends; batch view tracks them") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val idx = scratch("asof")
+    DedupIndex.build(base, idx, n = 3, threshold = 0.10)
+    val baseView = DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    assert(DedupIndex.versions(spark, idx) == Seq("base", "b0"))
+    // the base view is immutable under appends
+    assert(DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect().toSet == baseView)
+    // docs admitted by b0 read 'unique' in the base view
+    assert(baseView.filter(r => r._1 % 5 == 0).forall(_._3 == "unique"))
+    // the b0 view equals current provenance, and a replayed batch
+    // rewrites its own snapshot
+    val b0 = DedupIndex.provenanceAsOf(spark, idx, docs(), "b0")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(b0 == prov(idx))
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    assert(DedupIndex.provenanceAsOf(spark, idx, docs(), "b0")
+      .as[(Long, Long, String, Boolean)].collect().toSet == b0)
+  }
+
   test("compact folds append artifacts; provenance unchanged") {
     val base = docs().filter($"doc_id" % 5 =!= 0)
     val extra = docs().filter($"doc_id" % 5 === 0)
