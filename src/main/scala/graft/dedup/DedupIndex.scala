@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * every time. This store splits the lifecycle the way
   * [[graft.sim.IvfIndex]] does for ANN (and the way the reference
   * reloads saved state instead of recomputing,
-  * `testing/tre_editorial_integration/tre_editorial_integration.py:511-517`):
+  * `lambda_functions/tre-editorial-integration/tre_editorial_integration.py:516-517`):
   *
   *  - [[build]] persists three parquet frames under the index dir:
   *    `postings/` (id, 60-bit hashed shingle — the raw candidate grain),
@@ -114,7 +114,14 @@ object DedupIndex {
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     recover(spark, s"$outDir/labels")
-    if (!fsOf(spark, outDir).exists(new Path(s"$outDir/labels")))
+    val fs = fsOf(spark, outDir)
+    // a usable store needs BOTH the label frame and the committed base
+    // version snapshot: build writes labels (swap) before labels_log, so
+    // a crash in between would otherwise leave a store this check deems
+    // complete whose provenanceAsOf("base")/versions fail until a manual
+    // rebuild. _SUCCESS (not just the dir) guards a crash mid-snapshot.
+    if (!fs.exists(new Path(s"$outDir/labels")) ||
+        !fs.exists(new Path(s"$outDir/labels_log/base/_SUCCESS")))
       build(docs, outDir, n, threshold, maxDf, idCol, textCol)
   }
 
@@ -137,34 +144,54 @@ object DedupIndex {
       case Some(b) => df.write.mode("overwrite").parquet(s"$dir/b$b")
       case None    => df.write.mode("append").parquet(dir)
     }
-    // read OLD labels/pairs before any write (incremental relabel below)
+    // read OLD labels/pairs before any write (incremental relabel below).
+    // Broadcast budgets come from PRE-checkpoint subtrees (Hints class
+    // doc): batch-derived frames are bounded by the batch source ×2
+    // (shingle keys are 8-byte hashes, ≤ text bytes for real text),
+    // label-derived frames by the persisted label parquet ×2.
+    val labelBytes = graft.ops.Hints.estimatedBytes(labels(spark, indexDir)) * 2
     val oldLabels = labels(spark, indexDir).localCheckpoint(eager = true)
     val oldPairs = readDir(spark, s"$indexDir/pairs")
       .localCheckpoint(eager = true)
+    val newBytes = graft.ops.Hints.estimatedBytes(
+      newDocs.select(col(idCol), col(textCol))) * 2
+    // every broadcast below is size-gated: the designed admit shape (a
+    // small batch into a large store) broadcasts batch-derived frames so
+    // the posting store never shuffles, but a bulk BACKFILL or a
+    // mega-cluster merge makes those frames unbounded — above the budget
+    // the hint drops and the planner degrades to a shuffle join (which
+    // spills) instead of OOMing the driver
+    def bNew(df: DataFrame): DataFrame =
+      graft.ops.Hints.broadcastIfFits(df, newBytes)
+    def bLbl(df: DataFrame): DataFrame =
+      graft.ops.Hints.broadcastIfFits(df, labelBytes)
     land(Dedup.shinglePostings(newDocs, n, idCol, textCol),
       s"$indexDir/postings")
     val all = readDir(spark, s"$indexDir/postings")
     // GLOBAL df over the union (required: rebuild-parity denominators),
-    // but as a map-combined hash AGG + tiny broadcast hot set — not the
+    // but as a map-combined hash AGG + broadcast hot set — not the
     // window sort the build self-join wants. The hot set is ≤ |postings|
-    // / maxDf shingles by construction.
+    // / maxDf shingles by construction (gate bound: store bytes / maxDf,
+    // ×4 for the posting-row-to-bare-shingle width ratio slack).
+    val hotBytes = graft.ops.Hints.estimatedBytes(all) /
+      BigInt(math.max(maxDf, 1L)) * 4
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
       .localCheckpoint(eager = true)
-    val cappedAll = all.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // the new batch is ≪ the corpus: BROADCAST its capped postings, so
-    // the candidate join streams the standing postings map-side — the
-    // posting store never shuffles. Condition counts each pair once:
-    // new×new ordered (ai < bi), new×old in either direction.
+    def bHot(df: DataFrame): DataFrame =
+      graft.ops.Hints.broadcastIfFits(df, hotBytes)
+    val cappedAll = all.join(bHot(hot), Seq("shingle"), "left_anti")
+    // condition counts each pair once: new×new ordered (ai < bi),
+    // new×old in either direction
     val newIds = newDocs.select(col(idCol).cast("long").as("id"))
     val cappedNew = Dedup.shinglePostings(newDocs, n, idCol, textCol)
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .join(bHot(hot), Seq("shingle"), "left_anti")
       .select(col("id").as("ai"), col("shingle").as("ash"))
-    val rhs = cappedAll.join(broadcast(newIds.withColumn("bnew", lit(true))),
+    val rhs = cappedAll.join(bNew(newIds.withColumn("bnew", lit(true))),
         Seq("id"), "left")
       .select(col("id").as("bi"), col("shingle").as("bsh"),
         coalesce(col("bnew"), lit(false)).as("bnew"))
-    val cand = broadcast(cappedNew).join(rhs, col("ash") === col("bsh") &&
+    val cand = bNew(cappedNew).join(rhs, col("ash") === col("bsh") &&
         ((!col("bnew") && col("ai") =!= col("bi")) ||
           (col("bnew") && col("ai") < col("bi"))))
       .groupBy(least(col("ai"), col("bi")).as("i"),
@@ -176,7 +203,9 @@ object DedupIndex {
     // the sizes shuffle carries candidate docs' postings, not the corpus
     val candIds = cand.select(col("i").as("id"))
       .unionByName(cand.select(col("j").as("id"))).distinct()
-    val sizes = cappedAll.join(broadcast(candIds), Seq("id"), "left_semi")
+    val sizes = cappedAll.join(
+        graft.ops.Hints.broadcastIfFits(candIds, newBytes + labelBytes),
+        Seq("id"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val newPairs = cand
       .join(sizes.select(col("id"), col("n_sh").as("n_i")),
@@ -201,18 +230,21 @@ object DedupIndex {
     val touched = newPairs.select(col("i").as("id"))
       .unionByName(newPairs.select(col("j").as("id"))).distinct()
     val touchedClusters = oldLabels
-      .join(broadcast(touched), Seq("id"), "left_semi")
+      .join(graft.ops.Hints.broadcastIfFits(touched, newBytes + labelBytes),
+        Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
+    // affected ≤ the label frame, but ONE mega-cluster merge can pull a
+    // huge member list — gated like every other label-derived frame
     val affected = oldLabels
-      .join(broadcast(touchedClusters), Seq("cluster"), "left_semi")
+      .join(bLbl(touchedClusters), Seq("cluster"), "left_semi")
       .select(col("id"))
     val subPairs = oldPairs
-      .join(broadcast(affected), oldPairs("i") === affected("id"), "left_semi")
+      .join(bLbl(affected), oldPairs("i") === affected("id"), "left_semi")
       .select(col("i"), col("j"))
       .unionByName(newPairs.select(col("i"), col("j")))
     val subLabels = Dedup.clusters(subPairs)
     val kept = oldLabels
-      .join(broadcast(touchedClusters), Seq("cluster"), "left_anti")
+      .join(bLbl(touchedClusters), Seq("cluster"), "left_anti")
       .select(col("id"), col("cluster"))
     swapWrite(kept.unionByName(subLabels.select(col("id"), col("cluster"))),
       s"$indexDir/labels")
@@ -228,12 +260,29 @@ object DedupIndex {
 
   /** Fold the posting and pair stores' accumulated append artifacts into
     * target-sized files — same crash-safe swap and newest-`b<N>`
-    * replay-unit preservation as [[graft.sim.IvfIndex.compact]].
+    * replay-unit preservation as [[graft.sim.IvfIndex.compact]] — and
+    * bound the version log: every batch append snapshots the FULL label
+    * frame, so a daily-append pipeline accumulates a label copy per day
+    * unbounded unless compaction prunes. `keepVersions` batch snapshots
+    * survive (newest-first) plus `base`; surviving versions answer
+    * [[provenanceAsOf]] byte-identically, pruned ones fail loudly there.
     */
   def compact(spark: SparkSession, indexDir: String,
-              targetBytes: Long = 128L << 20): Unit = {
+              targetBytes: Long = 128L << 20,
+              keepVersions: Int = 8): Unit = {
     graft.sim.IvfIndex.compactDir(spark, s"$indexDir/postings", targetBytes)
     graft.sim.IvfIndex.compactDir(spark, s"$indexDir/pairs", targetBytes)
+    pruneVersions(spark, indexDir, keepVersions)
+  }
+
+  /** Delete all but the newest `keep` batch snapshots from the version
+    * log (`base` — the build view — is always retained: it anchors the
+    * audit trail and is the one version [[build]] guarantees).
+    */
+  def pruneVersions(spark: SparkSession, indexDir: String, keep: Int): Unit = {
+    val fs = fsOf(spark, s"$indexDir/labels_log")
+    versions(spark, indexDir).filter(_ != "base").dropRight(math.max(keep, 0))
+      .foreach(v => fs.delete(new Path(s"$indexDir/labels_log/$v"), true))
   }
 
   /** The persisted (id, cluster) label frame. */
@@ -269,9 +318,16 @@ object DedupIndex {
     */
   def provenanceAsOf(spark: SparkSession, indexDir: String,
                      docs: DataFrame, version: String,
-                     idCol: String = "doc_id"): DataFrame =
+                     idCol: String = "doc_id"): DataFrame = {
+    if (!fsOf(spark, indexDir).exists(
+        new Path(s"$indexDir/labels_log/$version")))
+      throw new java.util.NoSuchElementException(
+        s"label version '$version' is not in the log at $indexDir " +
+          s"(pruned by compact(keepVersions=…) or never written); " +
+          s"available: ${versions(spark, indexDir).mkString(", ")}")
     provenanceAgainst(
       spark.read.parquet(s"$indexDir/labels_log/$version"), docs, idCol)
+  }
 
   /** Logged label versions, oldest-first (`base`, then batch order). */
   def versions(spark: SparkSession, indexDir: String): Seq[String] = {

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -17,6 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
 case class PackBytesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
+
+  // values are truncated to their low byte (x & 0xFF) by contract —
+  // callers own the 0..255 range (PqIndex requires k ≤ 256); the type
+  // check below rejects the silent array<bigint> mis-read, where
+  // getInt would return the wrong half of the word
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_bytes expects ARRAY<INT>, got ${other.sql}")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -54,6 +65,12 @@ case class PackBytesExpr(child: Expression) extends UnaryExpression {
 case class UnpackBytesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unpack_bytes expects BINARY, got ${other.sql}")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]

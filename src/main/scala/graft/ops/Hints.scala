@@ -48,4 +48,19 @@ object Hints {
     */
   def shuffleHashIfFits(df: DataFrame, buildBytes: BigInt): DataFrame =
     if (fitsLocalHashMap(df, buildBytes)) df.hint("SHUFFLE_HASH") else df
+
+  /** `broadcast(df)` when `buildBytes` fits the session's
+    * autoBroadcastJoinThreshold — the driver must hold (and every
+    * executor replicate) the whole frame, so an unconditional broadcast
+    * of an unbounded input OOMs instead of degrading. Above the budget
+    * the frame is returned unhinted and the planner falls back to a
+    * shuffle join (which spills). Same caveat as [[shuffleHashIfFits]]:
+    * pass the estimate from a PRE-checkpoint subtree.
+    */
+  def broadcastIfFits(df: DataFrame, buildBytes: BigInt): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && buildBytes < BigInt(threshold))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

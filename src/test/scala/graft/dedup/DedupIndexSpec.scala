@@ -123,6 +123,74 @@ class DedupIndexSpec extends SparkSpec {
     assert(prov(idx) == before)
   }
 
+  test("backfill append with broadcasts gated OFF still equals a rebuild") {
+    // a bulk backfill (here half the corpus) must not depend on the
+    // broadcast hints: with the auto-broadcast budget disabled every
+    // size-gated hint drops and the append runs its shuffle-join
+    // fallback — parity with a from-scratch rebuild must hold unchanged
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = docs().filter($"doc_id" % 2 =!= 0)
+      val backfill = docs().filter($"doc_id" % 2 === 0)
+      val inc = scratch("backfill_inc")
+      DedupIndex.build(base, inc, n = 3, threshold = 0.10)
+      DedupIndex.append(spark, inc, backfill, n = 3, threshold = 0.10)
+      val full = scratch("backfill_full")
+      DedupIndex.build(docs(), full, n = 3, threshold = 0.10)
+      assert(DedupIndex.labels(spark, inc)
+        .as[(Long, Long)].collect().toSet ==
+        DedupIndex.labels(spark, full)
+          .as[(Long, Long)].collect().toSet)
+      assert(prov(inc) == prov(full))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("compact prunes the version log; survivors byte-identical, pruned fail loudly") {
+    val idx = scratch("prune")
+    val parts = (0 to 2).map(r => docs().filter($"doc_id" % 5 === r))
+    val rest = docs().filter($"doc_id" % 5 > 2)
+    DedupIndex.build(rest, idx, n = 3, threshold = 0.10)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      DedupIndex.append(spark, idx, p, n = 3, threshold = 0.10,
+        batchId = Some(i.toLong))
+    }
+    assert(DedupIndex.versions(spark, idx) == Seq("base", "b0", "b1", "b2"))
+    val baseView = DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    val b2View = DedupIndex.provenanceAsOf(spark, idx, docs(), "b2")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    DedupIndex.compact(spark, idx, keepVersions = 1)
+    // base always survives; only the newest batch snapshot is retained
+    assert(DedupIndex.versions(spark, idx) == Seq("base", "b2"))
+    assert(DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect().toSet == baseView)
+    assert(DedupIndex.provenanceAsOf(spark, idx, docs(), "b2")
+      .as[(Long, Long, String, Boolean)].collect().toSet == b2View)
+    val err = intercept[java.util.NoSuchElementException] {
+      DedupIndex.provenanceAsOf(spark, idx, docs(), "b0")
+    }
+    assert(err.getMessage.contains("b0") && err.getMessage.contains("base"))
+  }
+
+  test("buildIfAbsent detects a store whose version log is missing") {
+    val idx = scratch("halfbuilt")
+    DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
+    val before = prov(idx)
+    // simulate a crash between the labels swap and the labels_log write:
+    // labels present, version log gone — the store must not be treated
+    // as complete (provenanceAsOf("base") would fail until rebuild)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/labels_log"), true)
+    DedupIndex.buildIfAbsent(docs(), idx, n = 3, threshold = 0.10)
+    assert(DedupIndex.versions(spark, idx) == Seq("base"))
+    assert(prov(idx) == before)
+    assert(DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect().toSet == before)
+  }
+
   test("batch append replays idempotently (crashed-retry contract)") {
     val base = docs().filter($"doc_id" % 5 =!= 0)
     val extra = docs().filter($"doc_id" % 5 === 0)
