@@ -108,6 +108,11 @@ object PqIndex {
     val book = spark.read.parquet(s"$outDir/codebook")
     encode(micro, cents, broadcast(book), m, subDim)
       .write.mode("overwrite").parquet(s"$outDir/postings")
+    // cells sidecar (see IvfIndex.maintainCells): per-cell counts so
+    // stats/health merge deltas instead of re-scanning code postings
+    spark.read.parquet(s"$outDir/postings")
+      .groupBy(col("ccid").as("cid")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$outDir/cells")
   }
 
   /** Encode only `newEmb` against the frozen coarse table + codebooks
@@ -123,16 +128,20 @@ object PqIndex {
       .localCheckpoint(eager = false)
     val cents = spark.read.parquet(s"$indexDir/coarse")
     val book = spark.read.parquet(s"$indexDir/codebook")
-    encode(micro, cents, broadcast(book), m, subDim)
-      .write.mode("append").parquet(s"$indexDir/postings")
+    val encoded = encode(micro, cents, broadcast(book), m, subDim)
+      .localCheckpoint(eager = false)
+    encoded.write.mode("append").parquet(s"$indexDir/postings")
+    IvfIndex.maintainCells(spark, indexDir, encoded, None, cellCol = "ccid")
   }
 
   /** Fold the posting store's accumulated append part-files into
     * target-sized ones (see [[IvfIndex.compactDir]]).
     */
   def compact(spark: SparkSession, indexDir: String,
-              targetBytes: Long = 128L << 20): Unit =
+              targetBytes: Long = 128L << 20): Unit = {
     IvfIndex.compactDir(spark, s"$indexDir/postings", targetBytes)
+    IvfIndex.compactDir(spark, s"$indexDir/cells", targetBytes)
+  }
 
   /** Cell-occupancy histogram of the code-posting store (see
     * [[IvfIndex.stats]] — same retrain-due signal, cell key `ccid`).
@@ -150,7 +159,28 @@ object PqIndex {
     */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
             nprobe: Int, topK: Int, dims: Int = 64, m: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    queryFiltered(spark, indexDir, queries, nprobe, topK,
+      (_, _) => lit(true), dims, m, idCol, vecCol)
+
+  /** [[query]] with a candidate predicate `keep(qid, nid)` — FAISS
+    * IDSelector semantics composed with IVF-PQ ([[IvfIndex
+    * .queryFiltered]] covers the raw-vector store; at 100 TB the
+    * memory-scale ADC store is the one users actually query, and the
+    * predicate composes identically). Applied INSIDE the candidate
+    * join, before codes unpack: rejected candidates never fan out into
+    * the m-row ADC lookup, so selectivity cuts the LUT-join volume
+    * m-fold, not just the heap. Recall semantics as FAISS: top-k among
+    * the probed cells' SURVIVORS — selective predicates want a larger
+    * `nprobe`.
+    */
+  def queryFiltered(spark: SparkSession, indexDir: String,
+                    queries: DataFrame, nprobe: Int, topK: Int,
+                    keep: (org.apache.spark.sql.Column,
+                           org.apache.spark.sql.Column) =>
+                      org.apache.spark.sql.Column,
+                    dims: Int = 64, m: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val subDim = dims / m
     val cents = spark.read.parquet(s"$indexDir/coarse")
     val book = spark.read.parquet(s"$indexDir/codebook")
@@ -172,7 +202,7 @@ object PqIndex {
           - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
           + col("norm2")).as("d"))
     probes.join(postings, Seq("ccid"))
-      .filter(col("qid") =!= col("nid"))
+      .filter(col("qid") =!= col("nid") && keep(col("qid"), col("nid")))
       .select(col("qid"), col("nid"),
         posexplode(graft.functions.unpack_bytes(col("codes"))))
       .select(col("qid"), col("nid"), col("pos").as("s"), col("col").as("ord"))

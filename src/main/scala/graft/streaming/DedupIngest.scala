@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.dedup.DedupIndex
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming dedup admission over a persisted [[DedupIndex]]: each
+  * micro-batch of (doc_id, text) rows is admitted into the lineage
+  * store under its batchId (an idempotent replay unit — a replayed
+  * batch rewrites its own postings, pairs and label snapshot), then
+  * ROUTED by its post-admission provenance: docs that land as
+  * `near_dup` go to the DLQ table, everything else to the admitted
+  * table. This is the reference's duplicate-delivery posture — the
+  * same consignment delivered twice in parallel must not produce two
+  * admitted packages (the unresolved duplicate-resend scenario at
+  * `testing/tre_module_test/tests/test_tdr_duplicate_resend_parallel.py:15-40`)
+  * — generalized from exact ids to near-duplicate content.
+  *
+  * Contract: [[DedupIndex.build]] the store from the base corpus snapshot
+  * FIRST. Routing uses the batch's provenance AT ADMISSION TIME: a doc
+  * unique today may become `representative` (or `near_dup`, via a later
+  * cluster merge toward a smaller id) as the corpus grows — the routing
+  * decision is the at-ingest one, while [[DedupIndex.provenance]] over
+  * the store stays the current global truth and equals a from-scratch
+  * rebuild over everything admitted (spec-pinned, and gated under
+  * `dedup_stream_admit`'s full SQL replay).
+  *
+  * Near-dups are NOT dropped from the store: their postings must stand
+  * so future copies of the same content keep hashing into the same
+  * cluster (and so provenance can name the cluster each DLQ'd doc
+  * collided with). Both routed tables land as per-batch `b<id>` subdirs
+  * with overwrite semantics, so a checkpoint-restart replay rewrites
+  * its own rows in the store AND in both routes — never double-admits,
+  * never double-DLQs.
+  */
+object DedupIngest {
+
+  /** foreachBatch writer: admit into `indexDir`, route the batch's
+    * rows (with payload) to `admittedDir`/`dlqDir` by post-admission
+    * reason.
+    */
+  def writer(docs: DataFrame, indexDir: String, admittedDir: String,
+             dlqDir: String, n: Int = 3, threshold: Double = 0.10,
+             maxDf: Long = 4096L, idCol: String = "doc_id",
+             textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        // the admission reads the batch several times (postings, pair
+        // mining, sizes) — materialize once
+        val b = batch.toDF().localCheckpoint(eager = true)
+        DedupIndex.append(spark, indexDir, b, n, threshold, maxDf,
+          idCol, textCol, batchId = Some(id))
+        val routed = DedupIndex.provenance(spark, indexDir, b, idCol)
+          .join(b, Seq(idCol)) // carry the payload into the routes
+          .localCheckpoint(eager = true)
+        routed.filter(col("reason") === "near_dup")
+          .write.mode("overwrite").parquet(s"$dlqDir/b$id")
+        routed.filter(col("reason") =!= "near_dup")
+          .write.mode("overwrite").parquet(s"$admittedDir/b$id")
+        ()
+      }
+
+  /** All routed rows across batches (recursive read of the per-batch
+    * subdirs); empty-schema-safe only once at least one batch landed.
+    */
+  def readRoute(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+}

@@ -164,6 +164,138 @@ class IvfIndexSpec extends SparkSpec {
     assert(h(0).getAs[Long]("tail_share_micro") >= 250000L)
   }
 
+  test("stats/health merge the cells sidecar and never touch a posting file") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("cells")
+    IvfIndex.build(e.filter($"vec_id" % 3 === 0), idx, centroidMod = 17)
+    IvfIndex.append(spark, idx, e.filter($"vec_id" % 3 === 1))
+    IvfIndex.appendBatch(spark, idx, e.filter($"vec_id" % 3 === 2), 0L)
+    // sidecar counts == a direct posting-store recount, through every
+    // write path (build / flat append / batched append)
+    val viaCells = IvfIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val scan = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$idx/postings")
+      .groupBy($"cid").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin($"cnt")) - 1).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_cells"), sum($"cnt").as("n_vecs"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCells == scan)
+    val healthBefore = IvfIndex.health(spark, idx).collect().toSeq
+    // structural proof the probe is O(cells), not O(corpus): with the
+    // posting store physically absent, stats/health still answer — the
+    // r11 shape re-scanned postings per probe and would throw here
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"))
+    try {
+      assert(IvfIndex.stats(spark, idx).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet == viaCells)
+      assert(IvfIndex.health(spark, idx).collect().toSeq == healthBefore)
+    } finally
+      fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"),
+        new org.apache.hadoop.fs.Path(s"$idx/postings"))
+    // compacting the sidecar changes neither view
+    IvfIndex.compact(spark, idx)
+    assert(IvfIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet == viaCells)
+  }
+
+  /** Planted drift a RETRAIN can fix: a cap of distinct vectors around
+    * corpus direction v1 (never in the `id % mod = 0` centroid sample).
+    * Against the frozen build centroids the whole cap lands in ~one cell
+    * (tail ≈ 50%, flag ON); a retrain samples ~16 centroids inside the
+    * cap and Voronoi-splits it (tail ≈ 0%). Identical clones would NOT
+    * split (no quantizer separates identical points — the health-gate
+    * fixture keeps that shape deliberately).
+    */
+  private def plantedCap(e: org.apache.spark.sql.DataFrame) = {
+    val seed = e.filter($"vec_id" === 1).select($"embedding".as("c"))
+    e.crossJoin(broadcast(seed))
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        zip_with($"c", $"embedding",
+          (a, b) => a + lit(0.3f) * b).as("w"))
+      .withColumn("nrm", sqrt(aggregate($"w", lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select($"vec_id",
+        transform($"w", x => (x.cast("double") / $"nrm").cast("float"))
+          .as("embedding"))
+  }
+
+  test("rebuild consumes needsRebuild: drift cleared, parity with a fresh build") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("rebuild")
+    IvfIndex.build(e, idx)
+    val planted = plantedCap(e).localCheckpoint(eager = true)
+    IvfIndex.append(spark, idx, planted)
+    assert(IvfIndex.needsRebuild(spark, idx), "planted cap must flip the flag")
+    assert(IvfIndex.rebuildIfNeeded(spark, idx), "must act on the flag")
+    assert(!IvfIndex.needsRebuild(spark, idx),
+      "retrained centroids must Voronoi-split the cap")
+    assert(!IvfIndex.rebuildIfNeeded(spark, idx), "no further action due")
+    // the rebuilt store ≡ a fresh auto-sized build over the grown corpus
+    // (same ⌊√n⌋ sample over the same id population → same centroids)
+    val fresh = scratch("rebuild_fresh")
+    IvfIndex.build(
+      e.select($"vec_id", $"embedding").unionByName(planted), fresh)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val a = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = IvfIndex.query(spark, fresh, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    // cells sidecar was rebuilt in lockstep
+    assert(IvfIndex.stats(spark, idx).collect().map(_.getLong(2)).sum ==
+      e.count() * 2)
+  }
+
+  test("rebuild swap: a kill at every step self-heals to old or new, never loses") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val master = scratch("rb_crash_master")
+    IvfIndex.build(e.filter($"vec_id" % 2 === 0), master, centroidMod = 17)
+    IvfIndex.appendBatch(spark, master, e.filter($"vec_id" % 2 === 1), 0L)
+    val q = e.filter($"vec_id" % 50 === 0)
+    def answer(idx: String) = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val oldAnswer = answer(master)
+    val done = scratch("rb_crash_done")
+    copyDir(master, done)
+    IvfIndex.rebuild(spark, done)
+    val newAnswer = answer(done)
+    assert(oldAnswer.nonEmpty && newAnswer.nonEmpty)
+    (1 to 7).foreach { k =>
+      val idx = scratch(s"rb_crash_k$k")
+      copyDir(master, idx)
+      val died = intercept[IllegalStateException] {
+        IvfIndex.rebuild(spark, idx, failAfter = k)
+      }
+      assert(died.getMessage.contains(s"step $k"))
+      // the next read self-heals: complete OLD before the marker goes
+      // up (step 1), complete NEW once it has (stages are fully staged)
+      val healed = answer(idx)
+      assert(healed == (if (k == 1) oldAnswer else newAnswer),
+        s"after kill at step $k")
+      // a re-run completes; the store answers as a finished rebuild
+      IvfIndex.rebuild(spark, idx)
+      assert(answer(idx) == newAnswer, s"after re-rebuild from step-$k kill")
+      // newest b0 replay unit survived every path
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/postings/b0")))
+      // no stray swap artifacts remain
+      Seq("centroids", "postings", "cells").foreach { d =>
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/${d}__stage")), s"$d stage stray k=$k")
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/${d}__old")), s"$d old stray k=$k")
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/_rebuild_swap")))
+    }
+  }
+
   test("queryFiltered: predicate candidates only; true-predicate equals query()") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("filtered")

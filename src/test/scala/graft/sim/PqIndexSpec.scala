@@ -29,6 +29,40 @@ class PqIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("queryFiltered: exhaustive post-filter re-rank parity; true-predicate equals query()") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("filtered")
+    PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
+    val q = e.filter($"vec_id" % 50 === 0)
+    // the oracle: ADC-price EVERY probed candidate (topK >> cell sizes),
+    // apply the predicate afterwards, re-rank, cut at 5 — filtering
+    // inside the join must be indistinguishable from filtering after
+    val exhaustive = PqIndex
+      .query(spark, idx, q, nprobe = 2, topK = 1000000, dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect()
+      .filter(_._2 % 3 == 0)
+      .groupBy(_._1).iterator.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, nid, adc, _), i) => (qid, nid, adc, i + 1) }
+      }.toSet
+    val filtered = PqIndex.queryFiltered(spark, idx, q, nprobe = 2,
+        topK = 5, keep = (_, nid) => pmod(nid, lit(3)) === 0,
+        dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(filtered == exhaustive)
+    assert(filtered.nonEmpty)
+    // and every survivor passes the predicate
+    assert(filtered.forall(_._2 % 3 == 0))
+    // keep ≡ true degenerates to the unfiltered query
+    val unfiltered = PqIndex
+      .query(spark, idx, q, nprobe = 2, topK = 5, dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val trueKeep = PqIndex.queryFiltered(spark, idx, q, nprobe = 2,
+        topK = 5, keep = (_, _) => lit(true), dims = 64, m = 16)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(trueKeep == unfiltered)
+  }
+
   test("two-batch append equals one-shot encoding against frozen artifacts") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = e.filter($"vec_id" % 5 =!= 0)

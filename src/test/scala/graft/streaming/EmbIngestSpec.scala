@@ -88,4 +88,74 @@ class EmbIngestSpec extends SparkSpec {
     assert(n1 == e.count())
     assert(n2 == n1)
   }
+
+  test("healthEvery samples the probe; keepHealth prunes old snapshots") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("hsample")
+    IvfIndex.build(e.filter($"vec_id" % 4 === 0), idx, centroidMod = 17)
+    val watch = scratch("hsample_in")
+    Files.createDirectories(Paths.get(watch))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(watch)
+    val q = EmbIngest.writer(stream, idx, healthEvery = 2, keepHealth = 1)
+      .option("checkpointLocation", scratch("hsample_ckpt")).start()
+    (1 to 3).foreach { r =>
+      landParquet(e.filter($"vec_id" % 4 === r)
+        .select($"vec_id", $"embedding"), watch, s"x$r")
+      q.processAllAvailable()
+    }
+    q.stop()
+    // batches 0 and 2 probed (id % 2 == 0), batch 1 skipped; retention
+    // keeps only the newest snapshot
+    val snaps = listDir(s"$idx/health").map(_.getFileName.toString)
+      .filter(_.matches("b\\d+"))
+    assert(snaps == Seq("b2"), s"got $snaps")
+  }
+
+  test("rebuildOnDrift closes the loop: a drifting stream retrains mid-ingest") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("drift")
+    IvfIndex.build(e, idx)
+    // a cap of distinct vectors around corpus direction v1 (see
+    // IvfIndexSpec.plantedCap): collapses into ~one cell under the
+    // frozen centroids, Voronoi-splits under a retrain
+    val seed = e.filter($"vec_id" === 1).select($"embedding".as("c"))
+    val planted = e.crossJoin(broadcast(seed))
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        zip_with($"c", $"embedding", (a, b) => a + lit(0.3f) * b).as("w"))
+      .withColumn("nrm", sqrt(aggregate($"w", lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select($"vec_id",
+        transform($"w", x => (x.cast("double") / $"nrm").cast("float"))
+          .as("embedding"))
+      .localCheckpoint(eager = true)
+    val watch = scratch("drift_in")
+    Files.createDirectories(Paths.get(watch))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(watch)
+    val q = EmbIngest.writer(stream, idx, rebuildOnDrift = true)
+      .option("checkpointLocation", scratch("drift_ckpt")).start()
+    landParquet(planted.select($"vec_id", $"embedding"), watch, "cap")
+    q.processAllAvailable()
+    q.stop()
+    // the probe recorded the drift…
+    val h = spark.read.parquet(s"$idx/health/b0").collect()
+    assert(h.length == 1 && h(0).getAs[Boolean]("needs_rebuild"),
+      "the batch's health row must have flagged the drift")
+    // …and the inline rebuild consumed it
+    assert(!IvfIndex.needsRebuild(spark, idx),
+      "rebuildOnDrift must have retrained the index")
+    // the retrained store ≡ a fresh auto-sized build over the union
+    val fresh = scratch("drift_fresh")
+    IvfIndex.build(
+      e.select($"vec_id", $"embedding").unionByName(planted), fresh)
+    val qs = e.filter($"vec_id" % 50 === 0)
+    val a = IvfIndex.query(spark, idx, qs, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == IvfIndex.query(spark, fresh, qs, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet)
+    assert(a.nonEmpty)
+  }
 }
