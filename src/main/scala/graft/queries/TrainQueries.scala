@@ -54,6 +54,50 @@ object TrainQueries {
        |WHERE floor(nc / (si.n + sj.n - nc) * 10000.0 + 0.5) / 10000.0 >= $t""".stripMargin
   }
 
+  /** Run (once per JVM — pid-keyed, marker-guarded) the DedupIngest
+    * streaming-admission fixture for `dir`: build the lineage store on
+    * doc_id%5≠0, then stream %10==0 and %10==5 as two file-source
+    * micro-batches through [[graft.streaming.DedupIngest.writer]]
+    * (admit → near-dups to `dlq/`, rest to `admitted/`, store snapshots
+    * under `idx/`). Returns the fixture root. Shared by
+    * `dedup_stream_admit` (final-provenance gate) and
+    * `dedup_admit_routes` (at-admission routing gate).
+    */
+  private def streamAdmitRoot(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+    val root = s"/tmp/graft_dedupingest/p${java.lang.ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = s"$root/idx"
+    if (!new java.io.File(s"$idx/labels_log/b1/_SUCCESS").exists()) {
+      DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        idx, n = 3, threshold = 0.10)
+      val watch = s"$root/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val stage = s"$root/stage/$tag"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .forEach(f => java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
+      }
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(watch)
+      val q = graft.streaming.DedupIngest.writer(stream, idx,
+          s"$root/admitted", s"$root/dlq", n = 3, threshold = 0.10)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      land(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text")), "x0")
+      q.processAllAvailable()
+      land(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("text")), "x1")
+      q.processAllAvailable()
+      q.stop()
+    }
+    root
+  }
+
   /** Full-corpus per-doc provenance oracle (pair mining -> recursive
     * reachability -> min-id labels -> reason/kept) — shared by the
     * store-export gate (dedup_provenance) and the streaming-admission
@@ -753,39 +797,73 @@ object TrainQueries {
     //    the same full-corpus SQL as dedup_provenance ──
     "dedup_stream_admit" -> QueryDef(
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
-        val root = s"/tmp/graft_dedupingest/p${java.lang.ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
-        val idx = s"$root/idx"
-        if (!new java.io.File(s"$idx/labels_log/b1/_SUCCESS").exists()) {
-          DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-            idx, n = 3, threshold = 0.10)
-          val watch = s"$root/in"
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-          def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-            val stage = s"$root/stage/$tag"
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-              .filter(f => f.getFileName.toString.endsWith(".parquet"))
-              .forEach(f => java.nio.file.Files.move(f,
-                java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
-          }
-          val stream = spark.readStream.schema("doc_id LONG, text STRING")
-            .parquet(watch)
-          val q = graft.streaming.DedupIngest.writer(stream, idx,
-              s"$root/admitted", s"$root/dlq", n = 3, threshold = 0.10)
-            .option("checkpointLocation", s"$root/ckpt").start()
-          land(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-            .select(col("doc_id"), col("text")), "x0")
-          q.processAllAvailable()
-          land(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-            .select(col("doc_id"), col("text")), "x1")
-          q.processAllAvailable()
-          q.stop()
-        }
-        DedupIndex.provenance(spark, idx, docs).orderBy(col("doc_id"))
+        val root = streamAdmitRoot(spark, dir)
+        DedupIndex.provenance(spark, s"$root/idx", Tables.documents(spark, dir))
+          .orderBy(col("doc_id"))
       },
       dedupProvenanceSql),
+
+
+    // ── AT-ADMISSION routing audit for the streaming dedup ingest: the
+    //    route each streamed doc actually took (near-dup → dlq, else
+    //    admitted) is a function of the corpus AT ITS ADMISSION TIME —
+    //    batch 0 routes against base ∪ b0, batch 1 against everything.
+    //    The oracle replays BOTH corpus states as two full mining
+    //    pipelines (nested recursive CTEs) and derives each batch's
+    //    routes from its phase's labels — pinning that the incremental
+    //    store admission equals the subset rebuild at every step, not
+    //    just at the end ──
+    "dedup_admit_routes" -> QueryDef(
+      (spark, dir) => {
+        val root = streamAdmitRoot(spark, dir)
+        val dlq = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/dlq")
+          .select(col("doc_id"), lit("dlq").as("route"))
+        val adm = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/admitted")
+          .select(col("doc_id"), lit("admitted").as("route"))
+        adm.unionByName(dlq).orderBy(col("doc_id"))
+      },
+      s"""WITH l0 AS (
+         |  SELECT id, cluster FROM (
+         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10")
+             .replace("FROM documents",
+               "FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0")
+             .replace("\n", " ")}),
+         |    edges AS (SELECT i AS src, j AS dst FROM pairs
+         |              UNION SELECT j, i FROM pairs),
+         |    reach AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |    labels AS (
+         |      SELECT src AS id, least(src, min(dst)) AS cluster
+         |      FROM reach GROUP BY src)
+         |    SELECT id, cluster FROM labels) t0),
+         |l1 AS (
+         |  SELECT id, cluster FROM (
+         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |    edges AS (SELECT i AS src, j AS dst FROM pairs
+         |              UNION SELECT j, i FROM pairs),
+         |    reach AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |    labels AS (
+         |      SELECT src AS id, least(src, min(dst)) AS cluster
+         |      FROM reach GROUP BY src)
+         |    SELECT id, cluster FROM labels) t1)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 10 = 0
+         |       THEN CASE WHEN l0.cluster IS NOT NULL AND l0.cluster <> d.doc_id
+         |                 THEN 'dlq' ELSE 'admitted' END
+         |       ELSE CASE WHEN l1.cluster IS NOT NULL AND l1.cluster <> d.doc_id
+         |                 THEN 'dlq' ELSE 'admitted' END END AS route
+         |FROM documents d
+         |LEFT JOIN l0 ON d.doc_id = l0.id
+         |LEFT JOIN l1 ON d.doc_id = l1.id
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY d.doc_id""".stripMargin),
 
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(

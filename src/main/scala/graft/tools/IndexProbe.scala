@@ -73,6 +73,21 @@ object IndexProbe {
       rows += (s"${tag}_pq_query2" ->
         timed(noop(graft.sim.PqIndex.query(spark, pqDir, q,
           nprobe = 2, topK = 5, dims = 64, m = 16))))
+      // r12: per-batch health readout — cells-sidecar merge vs the
+      // pre-sidecar posting re-scan (the per-micro-batch cost EmbIngest
+      // pays; the sidecar path must stay flat as the store grows)
+      rows += (s"${tag}_ivf_health_sidecar" ->
+        timed(noop(graft.sim.IvfIndex.health(spark, ivfDir))))
+      val cellsP = new org.apache.hadoop.fs.Path(s"$ivfDir/cells")
+      val cfs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hidden = new org.apache.hadoop.fs.Path(s"$ivfDir/cells_hidden")
+      cfs.rename(cellsP, hidden)
+      rows += (s"${tag}_ivf_health_scan" ->
+        timed(noop(graft.sim.IvfIndex.health(spark, ivfDir))))
+      cfs.rename(hidden, cellsP)
+      // r12: the rebuild maintenance op (retrain + full reassign + swap)
+      rows += (s"${tag}_ivf_rebuild" ->
+        timed(graft.sim.IvfIndex.rebuild(spark, ivfDir)))
       // dedup-lineage store (r11): mine-once vs export-per-day split,
       // plus the incremental admit of a 0.1% batch — the three costs a
       // deployment actually pays. Skipped when the synthesis skipped docs.
@@ -91,6 +106,13 @@ object IndexProbe {
         rows += (s"${tag}_dedup_append_0.1pct" ->
           timed(graft.dedup.DedupIndex.append(spark, dedupDir, newDocs,
             3, 0.10, batchId = Some(0L))))
+        // r12: the BACKFILL shape (10% of corpus in one batch) — the
+        // size-gated broadcasts must degrade to shuffle joins, not OOM
+        val backfill = d.orderBy(col("doc_id")).limit((d.count() / 10).toInt max 1)
+          .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+        rows += (s"${tag}_dedup_append_10pct" ->
+          timed(graft.dedup.DedupIndex.append(spark, dedupDir, backfill,
+            3, 0.10, batchId = Some(1L))))
       }
       rows.toSeq
     }
