@@ -134,6 +134,29 @@ object PqIndex {
     IvfIndex.maintainCells(spark, indexDir, encoded, None, cellCol = "ccid")
   }
 
+  /** Idempotent per-batch append for streaming ingest
+    * ([[graft.streaming.PqIngest]]): the batch's code postings land in
+    * `postings/b<batchId>` with overwrite semantics plus the
+    * replay-paired `cells/b<batchId>` count delta — the
+    * [[IvfIndex.appendBatch]] store contract, so a checkpoint-replayed
+    * micro-batch rewrites exactly its own rows and counts.
+    */
+  def appendBatch(spark: SparkSession, indexDir: String, newEmb: DataFrame,
+                  batchId: Long, dims: Int = 64, m: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val subDim = dims / m
+    val micro = newEmb
+      .select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
+      .localCheckpoint(eager = false)
+    val cents = spark.read.parquet(s"$indexDir/coarse")
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    val encoded = encode(micro, cents, broadcast(book), m, subDim)
+      .localCheckpoint(eager = false)
+    encoded.write.mode("overwrite").parquet(s"$indexDir/postings/b$batchId")
+    IvfIndex.maintainCells(spark, indexDir, encoded, Some(batchId),
+      cellCol = "ccid")
+  }
+
   /** Fold the posting store's accumulated append part-files into
     * target-sized ones (see [[IvfIndex.compactDir]]).
     */

@@ -43,7 +43,9 @@ object DedupIngest {
   def writer(docs: DataFrame, indexDir: String, admittedDir: String,
              dlqDir: String, n: Int = 3, threshold: Double = 0.10,
              maxDf: Long = 4096L, idCol: String = "doc_id",
-             textCol: String = "text"): DataStreamWriter[Row] =
+             textCol: String = "text",
+             compactEvery: Int = 0,
+             keepVersions: Int = 8): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
@@ -59,6 +61,11 @@ object DedupIngest {
           .write.mode("overwrite").parquet(s"$dlqDir/b$id")
         routed.filter(col("reason") =!= "near_dup")
           .write.mode("overwrite").parquet(s"$admittedDir/b$id")
+        // in-sink maintenance every K batches: fold posting/pair batch
+        // dirs (newest b<N> — this batch — survives as its own replay
+        // unit) and prune the label-version log to base + newest K
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          DedupIndex.compact(spark, indexDir, keepVersions = keepVersions)
         ()
       }
 

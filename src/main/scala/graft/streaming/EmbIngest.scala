@@ -51,11 +51,18 @@ object EmbIngest {
              trackHealth: Boolean = true,
              healthEvery: Int = 1,
              keepHealth: Int = 8,
-             rebuildOnDrift: Boolean = false): DataStreamWriter[Row] =
+             rebuildOnDrift: Boolean = false,
+             compactEvery: Int = 0,
+             targetBytes: Long = 128L << 20): DataStreamWriter[Row] =
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
         IvfIndex.appendBatch(spark, indexDir, batch.toDF(), id, idCol, vecCol)
+        // in-sink compaction every K batches: safe mid-stream because
+        // compactDir preserves the newest b<N> — the batch just written
+        // — as its own replay unit
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          IvfIndex.compact(spark, indexDir, targetBytes)
         if (trackHealth && id % math.max(healthEvery, 1) == 0) {
           IvfIndex.health(spark, indexDir)
             .withColumn("batch_id", lit(id))

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.sim.PqIndex
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming ingest for the MEMORY-SCALE vector store: each micro-batch
+  * of (vec_id, embedding) rows is encoded against the index's FROZEN
+  * coarse table + codebooks and lands as an idempotent per-batch code
+  * posting subdir plus its replay-paired cell-count delta
+  * ([[PqIndex.appendBatch]]). The [[EmbIngest]] composition for the
+  * IVF-PQ store — at 100 TB the m-byte code postings are the index a
+  * retrieval corpus actually serves from, so the ingest path must keep
+  * THAT store growing, not just the raw-vector one.
+  *
+  * Contract as [[EmbIngest]]: [[PqIndex.build]] from the base corpus
+  * snapshot FIRST (the stream never retrains coarse centroids or
+  * codebooks — quantization drift is a retrain, i.e. a fresh build);
+  * the store stays queryable throughout ([[PqIndex.query]] reads
+  * recursively). `compactEvery = K` folds accumulated batch subdirs
+  * every K batches from INSIDE the sink — safe mid-stream because
+  * [[graft.sim.IvfIndex.compactDir]] always preserves the
+  * newest-numbered `b<N>` (the batch just written) as its own replay
+  * unit.
+  */
+object PqIngest {
+
+  def writer(emb: DataFrame, indexDir: String,
+             dims: Int = 64, m: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             compactEvery: Int = 0,
+             targetBytes: Long = 128L << 20): DataStreamWriter[Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        PqIndex.appendBatch(spark, indexDir, batch.toDF(), id, dims, m,
+          idCol, vecCol)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          PqIndex.compact(spark, indexDir, targetBytes)
+        ()
+      }
+}

@@ -98,6 +98,34 @@ class DedupIngestSpec extends SparkSpec {
     assert(admitted.union(dlq) == streamed)
   }
 
+  test("compactEvery maintains the store mid-stream; provenance and versions intact") {
+    val root = scratch("maint")
+    DedupIndex.build(base(), s"$root/idx", n = 3, threshold = 0.10)
+    val watch = s"$root/in"
+    Files.createDirectories(Paths.get(watch))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(watch)
+    val q = DedupIngest.writer(stream, s"$root/idx",
+        s"$root/admitted", s"$root/dlq", n = 3, threshold = 0.10,
+        compactEvery = 1, keepVersions = 1)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    landParquet(b0(), watch, "x0")
+    q.processAllAvailable()
+    landParquet(b1(), watch, "x1")
+    q.processAllAvailable()
+    q.stop()
+    // pruned to base + the newest snapshot, which answers identically
+    // to current provenance
+    assert(DedupIndex.versions(spark, s"$root/idx") == Seq("base", "b1"))
+    val cur = prov(s"$root/idx")
+    assert(DedupIndex.provenanceAsOf(spark, s"$root/idx", docs(), "b1")
+      .as[(Long, Long, String, Boolean)].collect().toSet == cur)
+    // and the maintained store still equals one mining pass over all
+    val full = scratch("maint_full")
+    DedupIndex.build(docs(), full, n = 3, threshold = 0.10)
+    assert(cur == prov(full))
+  }
+
   test("checkpoint replay re-runs the last batch; store and routes unchanged") {
     val root = scratch("replay")
     DedupIndex.build(base(), s"$root/idx", n = 3, threshold = 0.10)
