@@ -45,7 +45,9 @@ object DedupIngest {
              maxDf: Long = 4096L, idCol: String = "doc_id",
              textCol: String = "text",
              compactEvery: Int = 0,
-             keepVersions: Int = 8): DataStreamWriter[Row] =
+             keepVersions: Int = 8,
+             trackStats: Boolean = true,
+             keepStats: Int = 64): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
@@ -61,6 +63,25 @@ object DedupIngest {
           .write.mode("overwrite").parquet(s"$dlqDir/b$id")
         routed.filter(col("reason") =!= "near_dup")
           .write.mode("overwrite").parquet(s"$admittedDir/b$id")
+        // per-batch admission stats (ONE row, from the already-
+        // materialized routed frame): the dup-rate signal an ingest
+        // operator alerts on — a DLQ-share spike means a duplicate
+        // delivery storm upstream (the reference's resend scenario).
+        // Idempotent like the routes; newest `keepStats` rows retained.
+        if (trackStats) {
+          routed.agg(
+              count(lit(1)).as("n_docs"),
+              sum(when(col("reason") === "near_dup", 1L).otherwise(0L))
+                .as("n_dlq"),
+              countDistinct(col("cluster")).as("n_clusters"))
+            .withColumn("n_admitted", col("n_docs") - col("n_dlq"))
+            .withColumn("dlq_share_micro",
+              when(col("n_docs") > 0,
+                expr("n_dlq * 1000000 DIV n_docs")).otherwise(0L))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").parquet(s"$indexDir/stats/b$id")
+          prune(spark, s"$indexDir/stats", keepStats)
+        }
         // in-sink maintenance every K batches: fold posting/pair batch
         // dirs (newest b<N> — this batch — survives as its own replay
         // unit) and prune the label-version log to base + newest K
@@ -68,6 +89,19 @@ object DedupIngest {
           DedupIndex.compact(spark, indexDir, keepVersions = keepVersions)
         ()
       }
+
+  /** Drop all but the newest `keep` per-batch subdirs under `dir`. */
+  private def prune(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+      .dropRight(math.max(keep, 0))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** All routed rows across batches (recursive read of the per-batch
     * subdirs); empty-schema-safe only once at least one batch landed.

@@ -74,8 +74,8 @@ object EmbIngest {
       }
 
   /** Drop all but the newest `keep` per-batch health snapshots. */
-  private def pruneHealth(spark: org.apache.spark.sql.SparkSession,
-                          indexDir: String, keep: Int): Unit = {
+  private[streaming] def pruneHealth(spark: org.apache.spark.sql.SparkSession,
+                                     indexDir: String, keep: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/health")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return

@@ -29,7 +29,10 @@ object PqIngest {
              dims: Int = 64, m: Int = 16,
              idCol: String = "vec_id", vecCol: String = "embedding",
              compactEvery: Int = 0,
-             targetBytes: Long = 128L << 20): DataStreamWriter[Row] =
+             targetBytes: Long = 128L << 20,
+             trackHealth: Boolean = true,
+             healthEvery: Int = 1,
+             keepHealth: Int = 8): DataStreamWriter[Row] =
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
@@ -37,6 +40,15 @@ object PqIngest {
           idCol, vecCol)
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           PqIndex.compact(spark, indexDir, targetBytes)
+        // same per-batch drift signal as EmbIngest (cells-sidecar merge,
+        // O(cells + deltas)); no rebuildOnDrift here — PQ codes are
+        // lossy, a retrain is a fresh PqIndex.build from the corpus
+        if (trackHealth && id % math.max(healthEvery, 1) == 0) {
+          graft.sim.IvfIndex.health(spark, indexDir, cellCol = "ccid")
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+            .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
+          EmbIngest.pruneHealth(spark, indexDir, keepHealth)
+        }
         ()
       }
 }

@@ -252,6 +252,32 @@ class IvfIndexSpec extends SparkSpec {
       e.count() * 2)
   }
 
+  test("rebuild upgrades a pre-sidecar store: scan fallback before, cells after") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("upgrade")
+    IvfIndex.build(e, idx, centroidMod = 17)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a store built before the sidecar existed
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/cells"), true)
+    val viaScan = IvfIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaScan.nonEmpty, "fallback scan must still answer")
+    IvfIndex.rebuild(spark, idx, centroidMod = 17)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/cells")),
+      "rebuild must create the sidecar for an old-format store")
+    // same centroid rule → same cells → same histogram, now sidecar-served
+    val after = IvfIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == viaScan)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"))
+    try assert(IvfIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet == viaScan)
+    finally fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings"))
+  }
+
   test("rebuild swap: a kill at every step self-heals to old or new, never loses") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val master = scratch("rb_crash_master")

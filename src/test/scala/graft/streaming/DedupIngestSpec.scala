@@ -96,6 +96,19 @@ class DedupIngestSpec extends SparkSpec {
     val dlq = route(root, "dlq").select($"doc_id").as[Long].collect().toSet
     assert(admitted.intersect(dlq).isEmpty)
     assert(admitted.union(dlq) == streamed)
+    // the per-batch admission stats row carries the operator's dup-rate
+    // signal, consistent with the routed tables
+    Seq((0L, twinDlq0), (1L, twinDlq1)).foreach { case (b, twinDlq) =>
+      val st = spark.read.parquet(s"$root/idx/stats/b$b").collect()
+      assert(st.length == 1, s"stats/b$b must hold one row")
+      val r = st(0)
+      assert(r.getAs[Long]("n_dlq") == twinDlq.size)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_admitted") + r.getAs[Long]("n_dlq"))
+      assert(r.getAs[Long]("dlq_share_micro") ==
+        twinDlq.size * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("batch_id") == b)
+    }
   }
 
   test("compactEvery maintains the store mid-stream; provenance and versions intact") {

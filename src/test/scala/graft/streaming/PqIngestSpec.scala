@@ -69,6 +69,13 @@ class PqIngestSpec extends SparkSpec {
     // sidecar tracked every batch delta
     assert(PqIndex.stats(spark, streamedIdx).collect()
       .map(_.getLong(2)).sum == e.count())
+    // each batch recorded its one-row health snapshot off the sidecar
+    // (organic growth → no retrain demanded)
+    Seq("b0", "b1").foreach { b =>
+      val h = spark.read.parquet(s"$streamedIdx/health/$b").collect()
+      assert(h.length == 1, s"health/$b must hold exactly one row")
+      assert(!h(0).getAs[Boolean]("needs_rebuild"))
+    }
   }
 
   test("replayed batch rewrites its subdir and its cells delta") {
