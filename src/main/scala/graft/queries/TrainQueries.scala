@@ -865,6 +865,76 @@ object TrainQueries {
          |WHERE d.doc_id % 5 = 0
          |ORDER BY d.doc_id""".stripMargin),
 
+
+    // ── per-batch admission STATS under SQL replay: the one-row
+    //    dup-rate signal DedupIngest records per micro-batch
+    //    (n_docs / n_admitted / n_dlq / n_clusters / dlq_share_micro)
+    //    derived by the oracle from the same two phase-corpus mining
+    //    pipelines as dedup_admit_routes, aggregated per batch ──
+    "dedup_admit_stats" -> QueryDef(
+      (spark, dir) => {
+        val root = streamAdmitRoot(spark, dir)
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/idx/stats")
+          .select(col("batch_id"), col("n_docs"), col("n_admitted"),
+            col("n_dlq"), col("n_clusters"), col("dlq_share_micro"))
+          .orderBy(col("batch_id"))
+      },
+      s"""WITH l0 AS (
+         |  SELECT id, cluster FROM (
+         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10")
+             .replace("FROM documents",
+               "FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0")
+             .replace("\n", " ")}),
+         |    edges AS (SELECT i AS src, j AS dst FROM pairs
+         |              UNION SELECT j, i FROM pairs),
+         |    reach AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |    labels AS (
+         |      SELECT src AS id, least(src, min(dst)) AS cluster
+         |      FROM reach GROUP BY src)
+         |    SELECT id, cluster FROM labels) t0),
+         |l1 AS (
+         |  SELECT id, cluster FROM (
+         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |    edges AS (SELECT i AS src, j AS dst FROM pairs
+         |              UNION SELECT j, i FROM pairs),
+         |    reach AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |    labels AS (
+         |      SELECT src AS id, least(src, min(dst)) AS cluster
+         |      FROM reach GROUP BY src)
+         |    SELECT id, cluster FROM labels) t1),
+         |r0 AS (
+         |  SELECT coalesce(l0.cluster, d.doc_id) AS cluster,
+         |    CASE WHEN l0.cluster IS NOT NULL AND l0.cluster <> d.doc_id
+         |         THEN 1 ELSE 0 END AS dlq
+         |  FROM documents d LEFT JOIN l0 ON d.doc_id = l0.id
+         |  WHERE d.doc_id % 10 = 0),
+         |r1 AS (
+         |  SELECT coalesce(l1.cluster, d.doc_id) AS cluster,
+         |    CASE WHEN l1.cluster IS NOT NULL AND l1.cluster <> d.doc_id
+         |         THEN 1 ELSE 0 END AS dlq
+         |  FROM documents d LEFT JOIN l1 ON d.doc_id = l1.id
+         |  WHERE d.doc_id % 10 = 5),
+         |agg AS (
+         |  SELECT CAST(0 AS BIGINT) AS batch_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dlq) AS BIGINT) AS n_dlq,
+         |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+         |  FROM r0
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |    CAST(sum(dlq) AS BIGINT), CAST(count(DISTINCT cluster) AS BIGINT)
+         |  FROM r1)
+         |SELECT batch_id, n_docs, n_docs - n_dlq AS n_admitted, n_dlq,
+         |  n_clusters, CAST(n_dlq * 1000000 // n_docs AS BIGINT) AS dlq_share_micro
+         |FROM agg ORDER BY batch_id""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)
@@ -1771,6 +1841,78 @@ object TrainQueries {
         |cents AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
         |  WHERE vec_id % (SELECT mod FROM md) = 0),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS qid, cid FROM ranked WHERE rnk <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT p.qid, m.id AS nid
+        |  FROM probes p JOIN cells m ON p.cid = m.cid
+        |  WHERE m.id <> p.qid),
+        |pairs AS (
+        |  SELECT qid, nid,
+        |    floor(list_inner_product(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand JOIN embeddings qa ON qid = qa.vec_id
+        |            JOIN embeddings qb ON nid = qb.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // ── the STREAMED store under full SQL replay: build the IVF index
+    //    on the even-id half, stream the odd half in two file-source
+    //    micro-batches through EmbIngest (per-batch postings/b<N> +
+    //    cells/b<N> + health rows), then answer the query batch from
+    //    the grown store. Oracle = the persist pipeline with the coarse
+    //    quantizer derived from the BASE subset (⌊√(n/2)⌋ sample over
+    //    even ids — the frozen-centroid contract) and assignment over
+    //    the full corpus ──
+    "ann_ivf_stream" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val root = s"/tmp/graft_embingest/p${java.lang.ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val idx = s"$root/idx"
+        if (!new java.io.File(s"$idx/postings/b1/_SUCCESS").exists()) {
+          IvfIndex.build(e.filter(pmod(col("vec_id"), lit(2)) === 0), idx)
+          val watch = s"$root/in"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+          def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+            val stage = s"$root/stage/$tag"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+              .filter(f => f.getFileName.toString.endsWith(".parquet"))
+              .forEach(f => java.nio.file.Files.move(f,
+                java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
+          }
+          val stream = spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(watch)
+          val q = graft.streaming.EmbIngest.writer(stream, idx)
+            .option("checkpointLocation", s"$root/ckpt").start()
+          land(e.filter(pmod(col("vec_id"), lit(4)) === 1)
+            .select(col("vec_id"), col("embedding")), "x0")
+          q.processAllAvailable()
+          land(e.filter(pmod(col("vec_id"), lit(4)) === 3)
+            .select(col("vec_id"), col("embedding")), "x1")
+          q.processAllAvailable()
+          q.stop()
+        }
+        IvfIndex.query(spark, idx,
+            e.filter(pmod(col("vec_id"), lit(50)) === 0), nprobe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id % (SELECT mod FROM md) = 0),
         |assign AS (
         |  SELECT e.vec_id AS id, c.cid,
         |    floor(list_inner_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS d
