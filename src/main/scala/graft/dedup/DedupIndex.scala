@@ -289,6 +289,25 @@ object DedupIndex {
   def labels(spark: SparkSession, indexDir: String): DataFrame =
     readDir(spark, s"$indexDir/labels")
 
+  /** Cluster-size audit over the persisted label frame: one row per
+    * ⌊log2 size⌋ bucket — `(bucket, n_clusters, n_docs)`, integer-exact
+    * via bin-string length (the [[graft.sim.IvfIndex.stats]] bucket
+    * rule, so a SQL oracle replays it bit-for-bit). The signal a corpus
+    * operator watches for TEMPLATE SPAM: a near-dup cluster holding
+    * thousands of docs (boilerplate pages, mirrored dumps) fattens the
+    * top buckets, and its members all survive-or-drop on ONE
+    * representative — the Gopher/RefinedWeb lesson that dedup quality
+    * is judged by the cluster-size tail, not the pair count. Label
+    * grain only (pair participants; singletons never enter the store).
+    */
+  def stats(spark: SparkSession, indexDir: String): DataFrame =
+    labels(spark, indexDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cnt")).as("n_docs"))
+      .orderBy(col("bucket"))
+
   private def provenanceAgainst(labelFrame: DataFrame, docs: DataFrame,
                                 idCol: String): DataFrame =
     docs.select(col(idCol))

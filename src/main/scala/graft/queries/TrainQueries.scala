@@ -935,6 +935,37 @@ object TrainQueries {
          |  n_clusters, CAST(n_dlq * 1000000 // n_docs AS BIGINT) AS dlq_share_micro
          |FROM agg ORDER BY batch_id""".stripMargin),
 
+
+    // ── cluster-size audit of the dedup store (the template-spam
+    //    signal: a near-dup cluster holding thousands of docs fattens
+    //    the top ⌊log2⌋ buckets and survives-or-drops on ONE
+    //    representative — dedup quality is judged by this tail, not the
+    //    pair count): histogram over the persisted label frame, shared
+    //    buildIfAbsent store with dedup_provenance ──
+    "dedup_cluster_stats" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val idx = s"/tmp/graft_dedupidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        DedupIndex.buildIfAbsent(docs, idx, n = 3, threshold = 0.10)
+        DedupIndex.stats(spark, idx)
+      },
+      s"""WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, count(*) AS cnt FROM labels GROUP BY 1)
+         |SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

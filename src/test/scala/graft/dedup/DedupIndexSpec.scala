@@ -191,6 +191,29 @@ class DedupIndexSpec extends SparkSpec {
       .as[(Long, Long, String, Boolean)].collect().toSet == before)
   }
 
+  test("stats: cluster-size histogram matches a direct recount; giant cluster fattens the tail") {
+    val idx = scratch("stats")
+    DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
+    val viaStats = DedupIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = DedupIndex.labels(spark, idx)
+      .groupBy($"cluster").count()
+      .select($"count".as[Long]).collect()
+      .groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, v) => (b.toInt, v.length.toLong, v.sum) }.toSet
+    assert(viaStats == direct)
+    assert(viaStats.map(_._3).sum == DedupIndex.labels(spark, idx).count())
+    // template spam: 40 copies of one page → a bucket-5 cluster appears
+    val spam = (0 until 40)
+      .map(i => (900000L + i, "identical boilerplate page body alpha beta gamma"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(spark, idx, spam, n = 3, threshold = 0.10)
+    val after = DedupIndex.stats(spark, idx).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(after.contains(5), s"40-doc cluster must land in bucket 5: $after")
+    assert(after(5)._2 >= 40L)
+  }
+
   test("batch append replays idempotently (crashed-retry contract)") {
     val base = docs().filter($"doc_id" % 5 =!= 0)
     val extra = docs().filter($"doc_id" % 5 === 0)
