@@ -34,7 +34,16 @@ case class PackBytesExpr(child: Expression) extends UnaryExpression {
     val n = a.numElements()
     val out = new Array[Byte](n)
     var i = 0
-    while (i < n) { out(i) = (a.getInt(i) & 0xFF).toByte; i += 1 }
+    while (i < n) {
+      // fail loudly: getInt on a null slot reads garbage (0 for unsafe
+      // arrays) and would silently encode a wrong code byte — nullable
+      // element types (containsNull=true) pass the static check because
+      // transform/collect_list infer them even over non-null data
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"pack_bytes: null array element at index $i")
+      out(i) = (a.getInt(i) & 0xFF).toByte
+      i += 1
+    }
     out
   }
 
@@ -47,6 +56,10 @@ case class PackBytesExpr(child: Expression) extends UnaryExpression {
          |final int $n = $c.numElements();
          |final byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "pack_bytes: null array element at index " + $i);
+         |  }
          |  $out[$i] = (byte) ($c.getInt($i) & 0xFF);
          |}
          |${ev.value} = $out;

@@ -921,29 +921,21 @@ object CorpusOpsQueries {
         val root = s"/tmp/graft_pqingest/p${java.lang.ProcessHandle.current().pid()}/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
         val idx = s"$root/idx"
-        if (!new java.io.File(s"$idx/postings/b1/_SUCCESS").exists()) {
+        Fixtures.onceClean(root, "idx/postings/b1/_SUCCESS") {
           graft.sim.PqIndex.build(e.filter(pmod(col("vec_id"), lit(2)) === 0),
             idx, centroidMod = 0, dims = 64, m = 16, k = 16)
           val watch = s"$root/in"
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-          def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-            val stage = s"$root/stage/$tag"
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-              .filter(f => f.getFileName.toString.endsWith(".parquet"))
-              .forEach(f => java.nio.file.Files.move(f,
-                java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
-          }
           val stream = spark.readStream
             .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(watch)
           val q = graft.streaming.PqIngest.writer(stream, idx,
               dims = 64, m = 16)
             .option("checkpointLocation", s"$root/ckpt").start()
-          land(e.filter(pmod(col("vec_id"), lit(4)) === 1)
-            .select(col("vec_id"), col("embedding")), "x0")
+          Fixtures.land(e.filter(pmod(col("vec_id"), lit(4)) === 1)
+            .select(col("vec_id"), col("embedding")), root, watch, "x0")
           q.processAllAvailable()
-          land(e.filter(pmod(col("vec_id"), lit(4)) === 3)
-            .select(col("vec_id"), col("embedding")), "x1")
+          Fixtures.land(e.filter(pmod(col("vec_id"), lit(4)) === 3)
+            .select(col("vec_id"), col("embedding")), root, watch, "x1")
           q.processAllAvailable()
           q.stop()
         }

@@ -69,33 +69,50 @@ object TrainQueries {
     val root = s"/tmp/graft_dedupingest/p${java.lang.ProcessHandle.current().pid()}/" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     val idx = s"$root/idx"
-    if (!new java.io.File(s"$idx/labels_log/b1/_SUCCESS").exists()) {
+    Fixtures.onceClean(root, "idx/labels_log/b1/_SUCCESS") {
       DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         idx, n = 3, threshold = 0.10)
       val watch = s"$root/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-      def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-        val stage = s"$root/stage/$tag"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-          .filter(f => f.getFileName.toString.endsWith(".parquet"))
-          .forEach(f => java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
-      }
       val stream = spark.readStream.schema("doc_id LONG, text STRING")
         .parquet(watch)
       val q = graft.streaming.DedupIngest.writer(stream, idx,
           s"$root/admitted", s"$root/dlq", n = 3, threshold = 0.10)
         .option("checkpointLocation", s"$root/ckpt").start()
-      land(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"), col("text")), "x0")
+      Fixtures.land(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text")), root, watch, "x0")
       q.processAllAvailable()
-      land(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-        .select(col("doc_id"), col("text")), "x1")
+      Fixtures.land(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("text")), root, watch, "x1")
       q.processAllAvailable()
       q.stop()
     }
     root
+  }
+
+  /** One phase-corpus mining pipeline as a nested recursive-CTE block
+    * — `SELECT id, cluster FROM (WITH RECURSIVE …) t` — over `documents`
+    * optionally restricted by `pred`. The admission-audit oracles
+    * (dedup_admit_routes / dedup_admit_stats) instantiate it once per
+    * corpus STATE (after batch 0, after batch 1); nesting keeps the two
+    * pipelines' CTE names from colliding in one statement.
+    */
+  private def phaseLabelsSql(pred: Option[String]): String = {
+    val jac = pred.fold(jaccardSql("0.10"))(w =>
+        jaccardSql("0.10").replace("FROM documents", s"FROM documents WHERE $w"))
+      .replace("\n", " ")
+    s"""SELECT id, cluster FROM (
+       |    WITH RECURSIVE pairs AS ($jac),
+       |    edges AS (SELECT i AS src, j AS dst FROM pairs
+       |              UNION SELECT j, i FROM pairs),
+       |    reach AS (
+       |      SELECT src, dst FROM edges
+       |      UNION
+       |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |    labels AS (
+       |      SELECT src AS id, least(src, min(dst)) AS cluster
+       |      FROM reach GROUP BY src)
+       |    SELECT id, cluster FROM labels) t""".stripMargin
   }
 
   /** Full-corpus per-doc provenance oracle (pair mining -> recursive
@@ -825,45 +842,21 @@ object TrainQueries {
         adm.unionByName(dlq).orderBy(col("doc_id"))
       },
       s"""WITH l0 AS (
-         |  SELECT id, cluster FROM (
-         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10")
-             .replace("FROM documents",
-               "FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0")
-             .replace("\n", " ")}),
-         |    edges AS (SELECT i AS src, j AS dst FROM pairs
-         |              UNION SELECT j, i FROM pairs),
-         |    reach AS (
-         |      SELECT src, dst FROM edges
-         |      UNION
-         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |    labels AS (
-         |      SELECT src AS id, least(src, min(dst)) AS cluster
-         |      FROM reach GROUP BY src)
-         |    SELECT id, cluster FROM labels) t0),
+         |  ${phaseLabelsSql(Some("doc_id % 5 <> 0 OR doc_id % 10 = 0"))}),
          |l1 AS (
-         |  SELECT id, cluster FROM (
-         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
-         |    edges AS (SELECT i AS src, j AS dst FROM pairs
-         |              UNION SELECT j, i FROM pairs),
-         |    reach AS (
-         |      SELECT src, dst FROM edges
-         |      UNION
-         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |    labels AS (
-         |      SELECT src AS id, least(src, min(dst)) AS cluster
-         |      FROM reach GROUP BY src)
-         |    SELECT id, cluster FROM labels) t1)
-         |SELECT d.doc_id,
-         |  CASE WHEN d.doc_id % 10 = 0
-         |       THEN CASE WHEN l0.cluster IS NOT NULL AND l0.cluster <> d.doc_id
-         |                 THEN 'dlq' ELSE 'admitted' END
-         |       ELSE CASE WHEN l1.cluster IS NOT NULL AND l1.cluster <> d.doc_id
-         |                 THEN 'dlq' ELSE 'admitted' END END AS route
-         |FROM documents d
-         |LEFT JOIN l0 ON d.doc_id = l0.id
-         |LEFT JOIN l1 ON d.doc_id = l1.id
-         |WHERE d.doc_id % 5 = 0
-         |ORDER BY d.doc_id""".stripMargin),
+         |  ${phaseLabelsSql(None)}),
+         |r AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 = 0
+         |         THEN CASE WHEN l0.cluster IS NOT NULL AND l0.cluster <> d.doc_id
+         |                   THEN 'dlq' ELSE 'admitted' END
+         |         ELSE CASE WHEN l1.cluster IS NOT NULL AND l1.cluster <> d.doc_id
+         |                   THEN 'dlq' ELSE 'admitted' END END AS route
+         |  FROM documents d
+         |  LEFT JOIN l0 ON d.doc_id = l0.id
+         |  LEFT JOIN l1 ON d.doc_id = l1.id
+         |  WHERE d.doc_id % 5 = 0)
+         |SELECT doc_id, route FROM r ORDER BY doc_id""".stripMargin),
 
 
     // ── per-batch admission STATS under SQL replay: the one-row
@@ -881,34 +874,9 @@ object TrainQueries {
           .orderBy(col("batch_id"))
       },
       s"""WITH l0 AS (
-         |  SELECT id, cluster FROM (
-         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10")
-             .replace("FROM documents",
-               "FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0")
-             .replace("\n", " ")}),
-         |    edges AS (SELECT i AS src, j AS dst FROM pairs
-         |              UNION SELECT j, i FROM pairs),
-         |    reach AS (
-         |      SELECT src, dst FROM edges
-         |      UNION
-         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |    labels AS (
-         |      SELECT src AS id, least(src, min(dst)) AS cluster
-         |      FROM reach GROUP BY src)
-         |    SELECT id, cluster FROM labels) t0),
+         |  ${phaseLabelsSql(Some("doc_id % 5 <> 0 OR doc_id % 10 = 0"))}),
          |l1 AS (
-         |  SELECT id, cluster FROM (
-         |    WITH RECURSIVE pairs AS (${jaccardSql("0.10").replace("\n", " ")}),
-         |    edges AS (SELECT i AS src, j AS dst FROM pairs
-         |              UNION SELECT j, i FROM pairs),
-         |    reach AS (
-         |      SELECT src, dst FROM edges
-         |      UNION
-         |      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |    labels AS (
-         |      SELECT src AS id, least(src, min(dst)) AS cluster
-         |      FROM reach GROUP BY src)
-         |    SELECT id, cluster FROM labels) t1),
+         |  ${phaseLabelsSql(None)}),
          |r0 AS (
          |  SELECT coalesce(l0.cluster, d.doc_id) AS cluster,
          |    CASE WHEN l0.cluster IS NOT NULL AND l0.cluster <> d.doc_id
@@ -1910,27 +1878,19 @@ object TrainQueries {
         val root = s"/tmp/graft_embingest/p${java.lang.ProcessHandle.current().pid()}/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
         val idx = s"$root/idx"
-        if (!new java.io.File(s"$idx/postings/b1/_SUCCESS").exists()) {
+        Fixtures.onceClean(root, "idx/postings/b1/_SUCCESS") {
           IvfIndex.build(e.filter(pmod(col("vec_id"), lit(2)) === 0), idx)
           val watch = s"$root/in"
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-          def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-            val stage = s"$root/stage/$tag"
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-              .filter(f => f.getFileName.toString.endsWith(".parquet"))
-              .forEach(f => java.nio.file.Files.move(f,
-                java.nio.file.Paths.get(watch, tag + "_" + f.getFileName)))
-          }
           val stream = spark.readStream
             .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(watch)
           val q = graft.streaming.EmbIngest.writer(stream, idx)
             .option("checkpointLocation", s"$root/ckpt").start()
-          land(e.filter(pmod(col("vec_id"), lit(4)) === 1)
-            .select(col("vec_id"), col("embedding")), "x0")
+          Fixtures.land(e.filter(pmod(col("vec_id"), lit(4)) === 1)
+            .select(col("vec_id"), col("embedding")), root, watch, "x0")
           q.processAllAvailable()
-          land(e.filter(pmod(col("vec_id"), lit(4)) === 3)
-            .select(col("vec_id"), col("embedding")), "x1")
+          Fixtures.land(e.filter(pmod(col("vec_id"), lit(4)) === 3)
+            .select(col("vec_id"), col("embedding")), root, watch, "x1")
           q.processAllAvailable()
           q.stop()
         }

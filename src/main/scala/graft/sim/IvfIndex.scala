@@ -65,6 +65,11 @@ object IvfIndex {
     */
   def build(emb: DataFrame, outDir: String, centroidMod: Int = 0,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // a fresh build SUPERSEDES any crashed rebuild: drop its marker and
+    // staged/aside artifacts FIRST — recoverRebuild would otherwise
+    // finish the stale swap on the next read and silently clobber this
+    // build's dirs with the pre-crash staged ones
+    clearRebuildState(emb.sparkSession, outDir)
     val mod =
       if (centroidMod > 0) centroidMod.toLong
       else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
@@ -452,6 +457,23 @@ object IvfIndex {
     * Idempotent; invoked by every reader/writer entry point, so a store
     * killed mid-swap needs no manual repair.
     */
+  /** Abandon a crashed [[rebuild]] outright (marker + staged + aside
+    * artifacts deleted) — for writers that are about to overwrite every
+    * canonical dir anyway ([[build]]), where finishing the stale swap
+    * would clobber the new data. Any canonical dir a crashed swap left
+    * missing is recreated by the caller's overwrite writes.
+    */
+  private def clearRebuildState(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$indexDir/_rebuild_swap")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    Seq("centroids", "postings", "cells").foreach { d =>
+      fs.delete(new Path(s"$indexDir/${d}__stage"), true)
+      fs.delete(new Path(s"$indexDir/${d}__old"), true)
+    }
+  }
+
   private[sim] def recoverRebuild(spark: SparkSession, indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(s"$indexDir/_rebuild_swap")

@@ -51,6 +51,7 @@ object DedupIngest {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
+        Maintenance.withBlockCleanup(spark) {
         // the admission reads the batch several times (postings, pair
         // mining, sizes) — materialize once
         val b = batch.toDF().localCheckpoint(eager = true)
@@ -71,8 +72,10 @@ object DedupIngest {
         if (trackStats) {
           routed.agg(
               count(lit(1)).as("n_docs"),
-              sum(when(col("reason") === "near_dup", 1L).otherwise(0L))
-                .as("n_dlq"),
+              // sum over an EMPTY batch (a restart's final commit batch)
+              // is NULL, not 0 — coalesce so the stats row stays numeric
+              coalesce(sum(when(col("reason") === "near_dup", 1L)
+                .otherwise(0L)), lit(0L)).as("n_dlq"),
               countDistinct(col("cluster")).as("n_clusters"))
             .withColumn("n_admitted", col("n_docs") - col("n_dlq"))
             .withColumn("dlq_share_micro",
@@ -80,28 +83,16 @@ object DedupIngest {
                 expr("n_dlq * 1000000 DIV n_docs")).otherwise(0L))
             .withColumn("batch_id", lit(id))
             .write.mode("overwrite").parquet(s"$indexDir/stats/b$id")
-          prune(spark, s"$indexDir/stats", keepStats)
+          Maintenance.pruneBatchDirs(spark, s"$indexDir/stats", keepStats)
         }
         // in-sink maintenance every K batches: fold posting/pair batch
         // dirs (newest b<N> — this batch — survives as its own replay
         // unit) and prune the label-version log to base + newest K
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           DedupIndex.compact(spark, indexDir, keepVersions = keepVersions)
+        }
         ()
       }
-
-  /** Drop all but the newest `keep` per-batch subdirs under `dir`. */
-  private def prune(spark: org.apache.spark.sql.SparkSession,
-                    dir: String, keep: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    fs.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
-      .sortBy(_.getPath.getName.drop(1).toLong)
-      .dropRight(math.max(keep, 0))
-      .foreach(s => fs.delete(s.getPath, true))
-  }
 
   /** All routed rows across batches (recursive read of the per-batch
     * subdirs); empty-schema-safe only once at least one batch landed.

@@ -57,32 +57,21 @@ object EmbIngest {
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
-        IvfIndex.appendBatch(spark, indexDir, batch.toDF(), id, idCol, vecCol)
-        // in-sink compaction every K batches: safe mid-stream because
-        // compactDir preserves the newest b<N> — the batch just written
-        // — as its own replay unit
-        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
-          IvfIndex.compact(spark, indexDir, targetBytes)
-        if (trackHealth && id % math.max(healthEvery, 1) == 0) {
-          IvfIndex.health(spark, indexDir)
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
-          pruneHealth(spark, indexDir, keepHealth)
-          if (rebuildOnDrift) IvfIndex.rebuildIfNeeded(spark, indexDir)
+        Maintenance.withBlockCleanup(spark) {
+          IvfIndex.appendBatch(spark, indexDir, batch.toDF(), id, idCol, vecCol)
+          // in-sink compaction every K batches: safe mid-stream because
+          // compactDir preserves the newest b<N> — the batch just written
+          // — as its own replay unit
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            IvfIndex.compact(spark, indexDir, targetBytes)
+          if (trackHealth && id % math.max(healthEvery, 1) == 0) {
+            IvfIndex.health(spark, indexDir)
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
+            Maintenance.pruneBatchDirs(spark, s"$indexDir/health", keepHealth)
+            if (rebuildOnDrift) IvfIndex.rebuildIfNeeded(spark, indexDir)
+          }
         }
         ()
       }
-
-  /** Drop all but the newest `keep` per-batch health snapshots. */
-  private[streaming] def pruneHealth(spark: org.apache.spark.sql.SparkSession,
-                                     indexDir: String, keep: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/health")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    fs.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
-      .sortBy(_.getPath.getName.drop(1).toLong)
-      .dropRight(math.max(keep, 0))
-      .foreach(s => fs.delete(s.getPath, true))
-  }
 }

@@ -36,18 +36,20 @@ object PqIngest {
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
-        PqIndex.appendBatch(spark, indexDir, batch.toDF(), id, dims, m,
-          idCol, vecCol)
-        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
-          PqIndex.compact(spark, indexDir, targetBytes)
-        // same per-batch drift signal as EmbIngest (cells-sidecar merge,
-        // O(cells + deltas)); no rebuildOnDrift here — PQ codes are
-        // lossy, a retrain is a fresh PqIndex.build from the corpus
-        if (trackHealth && id % math.max(healthEvery, 1) == 0) {
-          graft.sim.IvfIndex.health(spark, indexDir, cellCol = "ccid")
-            .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
-            .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
-          EmbIngest.pruneHealth(spark, indexDir, keepHealth)
+        Maintenance.withBlockCleanup(spark) {
+          PqIndex.appendBatch(spark, indexDir, batch.toDF(), id, dims, m,
+            idCol, vecCol)
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            PqIndex.compact(spark, indexDir, targetBytes)
+          // same per-batch drift signal as EmbIngest (cells-sidecar merge,
+          // O(cells + deltas)); no rebuildOnDrift here — PQ codes are
+          // lossy, a retrain is a fresh PqIndex.build from the corpus
+          if (trackHealth && id % math.max(healthEvery, 1) == 0) {
+            graft.sim.IvfIndex.health(spark, indexDir, cellCol = "ccid")
+              .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+              .write.mode("overwrite").parquet(s"$indexDir/health/b$id")
+            Maintenance.pruneBatchDirs(spark, s"$indexDir/health", keepHealth)
+          }
         }
         ()
       }

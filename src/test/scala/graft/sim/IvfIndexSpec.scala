@@ -322,6 +322,33 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("build supersedes a crashed rebuild: stale stages never clobber the fresh build") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = scratch("supersede")
+    IvfIndex.build(e.filter($"vec_id" % 2 === 0), idx, centroidMod = 17)
+    // crash in the widest window: marker up, all three stages staged
+    intercept[IllegalStateException] {
+      IvfIndex.rebuild(spark, idx, failAfter = 2)
+    }
+    // operator recovers with a fresh build over a DIFFERENT corpus —
+    // the stale staged artifacts must not resurface on the next read
+    IvfIndex.build(e, idx, centroidMod = 17)
+    val control = scratch("supersede_ctl")
+    IvfIndex.build(e, control, centroidMod = 17)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val a = IvfIndex.query(spark, idx, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == IvfIndex.query(spark, control, q, nprobe = 2, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet)
+    assert(a.nonEmpty)
+    Seq("centroids", "postings", "cells").foreach { d =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/${d}__stage")), s"$d stage stray")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/_rebuild_swap")))
+  }
+
   test("queryFiltered: predicate candidates only; true-predicate equals query()") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = scratch("filtered")
