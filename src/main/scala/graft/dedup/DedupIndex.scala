@@ -348,6 +348,28 @@ object DedupIndex {
       spark.read.parquet(s"$indexDir/labels_log/$version"), docs, idCol)
   }
 
+  /** What changed between two logged label versions: every doc whose
+    * cluster or reason differs between the `from` and `to` views — the
+    * "what did yesterday's batch change" audit a daily-append pipeline
+    * reviews before promoting a snapshot (docs admitted between the two
+    * versions surface as `unique → …`; a cluster merge surfaces as the
+    * absorbed side's cluster/reason flip). Two snapshot joins at doc
+    * grain; no re-mining.
+    */
+  def versionDiff(spark: SparkSession, indexDir: String, docs: DataFrame,
+                  from: String, to: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    val a = provenanceAsOf(spark, indexDir, docs, from, idCol)
+      .select(col(idCol), col("cluster").as("cluster_from"),
+        col("reason").as("reason_from"))
+    val b = provenanceAsOf(spark, indexDir, docs, to, idCol)
+      .select(col(idCol), col("cluster").as("cluster_to"),
+        col("reason").as("reason_to"))
+    a.join(b, Seq(idCol))
+      .filter(col("cluster_from") =!= col("cluster_to") ||
+        col("reason_from") =!= col("reason_to"))
+  }
+
   /** Logged label versions, oldest-first (`base`, then batch order). */
   def versions(spark: SparkSession, indexDir: String): Seq[String] = {
     val p = new Path(s"$indexDir/labels_log")

@@ -934,6 +934,49 @@ object TrainQueries {
          |  CAST(sum(cnt) AS BIGINT) AS n_docs
          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
 
+
+    // ── cross-version diff of the dedup store: every doc whose cluster
+    //    or keep-reason CHANGED between the base view and the b0 view —
+    //    the "what did yesterday's batch change" audit reviewed before
+    //    promoting a corpus snapshot. Shares the asof fixture (build on
+    //    4/5, batch-append 1/5); oracle mines both corpus states and
+    //    diffs the derived provenance ──
+    "dedup_version_diff" -> QueryDef(
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val idx = s"/tmp/graft_dedupidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$idx/labels_log/b0/_SUCCESS").exists()) {
+          DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            idx, n = 3, threshold = 0.10)
+          DedupIndex.append(spark, idx,
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            n = 3, threshold = 0.10, batchId = Some(0L))
+        }
+        DedupIndex.versionDiff(spark, idx, docs, "base", "b0")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH l0 AS (
+         |  ${phaseLabelsSql(Some("doc_id % 5 <> 0"))}),
+         |l1 AS (
+         |  ${phaseLabelsSql(None)}),
+         |a AS (
+         |  SELECT d.doc_id, coalesce(l0.cluster, d.doc_id) AS cluster_from,
+         |    CASE WHEN l0.cluster IS NULL THEN 'unique'
+         |         WHEN l0.cluster = d.doc_id THEN 'representative'
+         |         ELSE 'near_dup' END AS reason_from
+         |  FROM documents d LEFT JOIN l0 ON d.doc_id = l0.id),
+         |b AS (
+         |  SELECT d.doc_id, coalesce(l1.cluster, d.doc_id) AS cluster_to,
+         |    CASE WHEN l1.cluster IS NULL THEN 'unique'
+         |         WHEN l1.cluster = d.doc_id THEN 'representative'
+         |         ELSE 'near_dup' END AS reason_to
+         |  FROM documents d LEFT JOIN l1 ON d.doc_id = l1.id)
+         |SELECT a.doc_id, cluster_from, reason_from, cluster_to, reason_to
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |WHERE cluster_from <> cluster_to OR reason_from <> reason_to
+         |ORDER BY a.doc_id""".stripMargin),
+
     // ── SimHash 64-bit signatures (md5-nibble voting) ──
     "dedup_simhash_sig" -> QueryDef(
       (spark, dir) => Tables.documents(spark, dir)

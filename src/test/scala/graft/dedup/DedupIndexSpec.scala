@@ -191,6 +191,32 @@ class DedupIndexSpec extends SparkSpec {
       .as[(Long, Long, String, Boolean)].collect().toSet == before)
   }
 
+  test("versionDiff reports exactly the docs a batch changed; same-version diff empty") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val idx = scratch("vdiff")
+    DedupIndex.build(base, idx, n = 3, threshold = 0.10)
+    DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    val diff = DedupIndex.versionDiff(spark, idx, docs(), "base", "b0")
+      .as[(Long, Long, String, Long, String)].collect().toSet
+    // oracle: join the two full provenance views and keep changed rows
+    val a = DedupIndex.provenanceAsOf(spark, idx, docs(), "base")
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val b = DedupIndex.provenanceAsOf(spark, idx, docs(), "b0")
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val manual = a.keySet.intersect(b.keySet)
+      .filter(id => a(id) != b(id))
+      .map(id => (id, a(id)._1, a(id)._2, b(id)._1, b(id)._2))
+    assert(diff == manual)
+    assert(diff.nonEmpty, "the appended batch must change some provenance")
+    // every b0-admitted doc in the diff read 'unique' in the base view
+    assert(diff.filter(_._1 % 5 == 0).forall(_._3 == "unique"))
+    assert(DedupIndex.versionDiff(spark, idx, docs(), "b0", "b0").count() == 0)
+  }
+
   test("stats: cluster-size histogram matches a direct recount; giant cluster fattens the tail") {
     val idx = scratch("stats")
     DedupIndex.build(docs(), idx, n = 3, threshold = 0.10)
