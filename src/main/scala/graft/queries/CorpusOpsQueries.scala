@@ -921,7 +921,7 @@ object CorpusOpsQueries {
         val root = s"/tmp/graft_pqingest/p${java.lang.ProcessHandle.current().pid()}/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
         val idx = s"$root/idx"
-        Fixtures.onceClean(root, "idx/postings/b1/_SUCCESS") {
+        Fixtures.onceClean(root, "_fixture_done") {
           graft.sim.PqIndex.build(e.filter(pmod(col("vec_id"), lit(2)) === 0),
             idx, centroidMod = 0, dims = 64, m = 16, k = 16)
           val watch = s"$root/in"
@@ -938,6 +938,7 @@ object CorpusOpsQueries {
             .select(col("vec_id"), col("embedding")), root, watch, "x1")
           q.processAllAvailable()
           q.stop()
+          Fixtures.done(root)
         }
         graft.sim.PqIndex.query(spark, idx,
             e.filter(pmod(col("vec_id"), lit(50)) === 0),

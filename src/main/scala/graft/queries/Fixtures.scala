@@ -25,6 +25,17 @@ private[queries] object Fixtures {
     build
   }
 
+  /** Write the terminal `_fixture_done` marker under `root` — call as
+    * the LAST statement of an [[onceClean]] build block (after
+    * `q.stop()`), so the marker can only exist once every artifact the
+    * gates consume has landed. Markers that point at an artifact the
+    * stream writes MID-build (e.g. `idx/postings/b1/_SUCCESS`) deem a
+    * fixture complete while later-written route/stats/cells dirs are
+    * still missing — a crash in that window poisons same-JVM re-entry.
+    */
+  def done(root: String): Unit =
+    Files.write(Paths.get(root, "_fixture_done"), Array.emptyByteArray)
+
   /** Stage `df` as one parquet file under `root/stage/<tag>` and move
     * the part file into the stream-watched dir (file sources pick up
     * NEW names per batch; parquet keeps float arrays exact). The

@@ -137,16 +137,17 @@ object TpchSubqueries {
     //    threshold (HAVING vs scalar subquery, integer-exact) ──
     "q11_important_stock" -> QueryDef(
       (spark, dir) => {
-        // global threshold as an empty-partition window over the PART-level
-        // aggregate (one row per part — already reduced from the fact scan).
-        // A join-back against value.agg(...) would re-scan lineitem; moving
-        // the reduced frame through one task is far cheaper at scale.
-        val g = org.apache.spark.sql.expressions.Window.partitionBy()
-        regionPs(spark, dir, "EUROPE")
+        // global threshold via a 1-row aggregate broadcast back over the
+        // part-grain frame (the q16 `tot` pattern). The former
+        // empty-partition window moved EVERY part row through one task —
+        // part grain scales with SF, so that single-partition sort is a
+        // 100 TB bottleneck; the two uses of `vals` share the grouped
+        // exchange (ReusedExchange), so the fact scan is not re-paid.
+        val vals = regionPs(spark, dir, "EUROPE")
           .groupBy(col("ps_partkey"))
           .agg(sum(col("ps_supplycost_c") * col("ps_orders")).as("value_c"))
-          .withColumn("n", count(lit(1)).over(g))
-          .withColumn("total_c", sum(col("value_c")).over(g))
+        val tot = vals.agg(count(lit(1)).as("n"), sum(col("value_c")).as("total_c"))
+        vals.crossJoin(broadcast(tot))
           .filter(col("value_c") * col("n") > lit(2) * col("total_c"))
           .select(col("ps_partkey"), col("value_c"))
           .orderBy(col("value_c").desc, col("ps_partkey"))
@@ -177,12 +178,14 @@ object TpchSubqueries {
           .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("total_revenue_c"))
           .select(col("l_suppkey").as("supplier_no"), col("total_revenue_c"))
-        // scalar max as an empty-partition window over the per-supplier
-        // aggregate (one scan), then broadcast the argmax row(s) into the
-        // supplier dimension
+        // scalar max as a 1-row aggregate broadcast back over the
+        // per-supplier frame (supplier grain scales with SF — the former
+        // empty-partition window single-tasked it); the grouped exchange
+        // is shared between the two `revenue` uses (ReusedExchange), so
+        // the lineitem scan is not re-paid
         val top = revenue
-          .withColumn("max_rev", max(col("total_revenue_c"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .crossJoin(broadcast(
+            revenue.agg(max(col("total_revenue_c")).as("max_rev"))))
           .filter(col("total_revenue_c") === col("max_rev"))
         Tables.supplier(spark, dir)
           .join(broadcast(top), col("s_suppkey") === col("supplier_no"))

@@ -69,7 +69,7 @@ object TrainQueries {
     val root = s"/tmp/graft_dedupingest/p${java.lang.ProcessHandle.current().pid()}/" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     val idx = s"$root/idx"
-    Fixtures.onceClean(root, "idx/labels_log/b1/_SUCCESS") {
+    Fixtures.onceClean(root, "_fixture_done") {
       DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         idx, n = 3, threshold = 0.10)
       val watch = s"$root/in"
@@ -86,6 +86,7 @@ object TrainQueries {
         .select(col("doc_id"), col("text")), root, watch, "x1")
       q.processAllAvailable()
       q.stop()
+      Fixtures.done(root)
     }
     root
   }
@@ -1921,7 +1922,7 @@ object TrainQueries {
         val root = s"/tmp/graft_embingest/p${java.lang.ProcessHandle.current().pid()}/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
         val idx = s"$root/idx"
-        Fixtures.onceClean(root, "idx/postings/b1/_SUCCESS") {
+        Fixtures.onceClean(root, "_fixture_done") {
           IvfIndex.build(e.filter(pmod(col("vec_id"), lit(2)) === 0), idx)
           val watch = s"$root/in"
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
@@ -1936,6 +1937,7 @@ object TrainQueries {
             .select(col("vec_id"), col("embedding")), root, watch, "x1")
           q.processAllAvailable()
           q.stop()
+          Fixtures.done(root)
         }
         IvfIndex.query(spark, idx,
             e.filter(pmod(col("vec_id"), lit(50)) === 0), nprobe = 2, k = 5)
