@@ -389,7 +389,7 @@ object IvfIndex {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRebuild(spark, indexDir)
-    val parts = Seq("centroids", "postings", "cells")
+    val parts = ivfParts
     parts.foreach { d => // strays from a crash before the marker
       fs.delete(new Path(s"$indexDir/${d}__stage"), true)
       fs.delete(new Path(s"$indexDir/${d}__old"), true)
@@ -428,7 +428,13 @@ object IvfIndex {
       reassign(spark.read.option("recursiveFileLookup", "true")
           .parquet(foldInputs.toIndexedSeq: _*),
         s"$indexDir/postings__stage")
-    else fs.mkdirs(new Path(s"$indexDir/postings__stage"))
+    else {
+      fs.mkdirs(new Path(s"$indexDir/postings__stage"))
+      // keep the staged artifact set complete even for a degenerate
+      // (empty) store: a missing cells__stage would otherwise skip the
+      // cells swap and leave a stale sidecar next to empty postings
+      fs.mkdirs(new Path(s"$indexDir/cells__stage"))
+    }
     newest.foreach { b =>
       reassign(spark.read.parquet(s"$indexDir/postings/b$b"),
         s"$indexDir/postings__stage/b$b")
@@ -437,17 +443,70 @@ object IvfIndex {
       if (failAfter <= k) throw new IllegalStateException(
         s"rebuild test kill at step $k")
     kill(1)                       // canonical untouched; stages are strays
-    fs.create(new Path(s"$indexDir/_rebuild_swap"), true).close()
+    writeMarker(fs, indexDir, parts)
     parts.zipWithIndex.foreach { case (d, i) =>
       kill(2 + 2 * i)             // marker up; recoverRebuild finishes
-      val can = new Path(s"$indexDir/$d")
-      val old = new Path(s"$indexDir/${d}__old")
-      if (fs.exists(can)) fs.rename(can, old)
-      fs.rename(new Path(s"$indexDir/${d}__stage"), can)
+      swapPart(fs, indexDir, d)
       kill(3 + 2 * i)
-      fs.delete(old, true)
+      fs.delete(new Path(s"$indexDir/${d}__old"), true)
     }
     fs.delete(new Path(s"$indexDir/_rebuild_swap"), true)
+  }
+
+  private[sim] val ivfParts = Seq("centroids", "postings", "cells")
+
+  /** Stamp the `_rebuild_swap` marker with the artifact list it
+    * brackets, so [[recoverRebuild]] — invoked by EVERY reader entry
+    * point, including [[PqIndex]] stores whose artifact set differs —
+    * finishes the right swap. An empty/legacy marker recovers the IVF
+    * part set.
+    */
+  private[sim] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          indexDir: String, parts: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$indexDir/_rebuild_swap"), true)
+    try out.write(parts.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sim] def readMarkerParts(fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String): Option[Seq[String]] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_rebuild_swap")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val s = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val ps = s.trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (ps.isEmpty) None else Some(ps)
+    }
+  }
+
+  /** One guarded swap step for artifact `d`: rename canonical aside and
+    * the `__stage` sibling in. Safe under writer/reader overlap — the
+    * scaladoc'd contract is that queries keep answering DURING a
+    * rebuild, and every reader runs [[recoverRebuild]], so a reader can
+    * complete the whole swap (and clear the marker) while the rebuild
+    * writer is still inside its own swap loop. The r12 shape renamed
+    * the freshly-swapped-in canonical dir aside, silently failed the
+    * stage rename (unchecked boolean), then deleted the new data with
+    * `delete(old)`. Guards: a part whose stage is ALREADY consumed is
+    * skipped outright (never touches canonical), and a failed rename is
+    * an error UNLESS the end state shows a concurrent recover won the
+    * race (canonical present, stage gone).
+    */
+  private[sim] def swapPart(fs: org.apache.hadoop.fs.FileSystem,
+                            indexDir: String, d: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = new Path(s"$indexDir/${d}__stage")
+    val can = new Path(s"$indexDir/$d")
+    val old = new Path(s"$indexDir/${d}__old")
+    if (!fs.exists(stage)) return // already swapped, or never staged
+    if (fs.exists(can) && !fs.rename(can, old) && fs.exists(can))
+      throw new IllegalStateException(
+        s"rebuild swap: could not rename $can aside")
+    if (!fs.rename(stage, can) && !(fs.exists(can) && !fs.exists(stage)))
+      throw new IllegalStateException(
+        s"rebuild swap: could not rename $stage into place")
   }
 
   /** Finish a [[rebuild]] swap interrupted by a crash: while the
@@ -463,12 +522,14 @@ object IvfIndex {
     * would clobber the new data. Any canonical dir a crashed swap left
     * missing is recreated by the caller's overwrite writes.
     */
-  private def clearRebuildState(spark: SparkSession, indexDir: String): Unit = {
+  private[sim] def clearRebuildState(spark: SparkSession, indexDir: String,
+                                     defaultParts: Seq[String] = ivfParts): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(s"$indexDir/_rebuild_swap")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = readMarkerParts(fs, indexDir).getOrElse(defaultParts)
     fs.delete(marker, false)
-    Seq("centroids", "postings", "cells").foreach { d =>
+    parts.foreach { d =>
       fs.delete(new Path(s"$indexDir/${d}__stage"), true)
       fs.delete(new Path(s"$indexDir/${d}__old"), true)
     }
@@ -479,15 +540,9 @@ object IvfIndex {
     val marker = new Path(s"$indexDir/_rebuild_swap")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) return
-    Seq("centroids", "postings", "cells").foreach { d =>
-      val stage = new Path(s"$indexDir/${d}__stage")
-      val can = new Path(s"$indexDir/$d")
-      val old = new Path(s"$indexDir/${d}__old")
-      if (fs.exists(stage)) {
-        if (fs.exists(can)) fs.rename(can, old)
-        fs.rename(stage, can)
-      }
-      fs.delete(old, true)
+    readMarkerParts(fs, indexDir).getOrElse(ivfParts).foreach { d =>
+      swapPart(fs, indexDir, d)
+      fs.delete(new Path(s"$indexDir/${d}__old"), true)
     }
     fs.delete(marker, true)
   }
