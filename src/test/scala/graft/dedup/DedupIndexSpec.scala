@@ -257,5 +257,124 @@ class DedupIndexSpec extends SparkSpec {
       .parquet(s"$idx/postings")
     assert(postings.groupBy($"id", $"shingle").count()
       .filter($"count" > 1).count() == 0)
+    // the sidecar views replay to the same merged state (a double-landed
+    // delta would inflate every later df/size denominator)
+    assert(viewDf(idx) == directDf(idx))
+    assert(viewSizes(idx) == directSizes(idx, 4096L))
+  }
+
+  // ── admission sidecars (r13): df/sizes merged from deltas, exact vs a
+  //    direct recount of the posting store at every lifecycle point ──
+
+  private def directDf(idx: String) =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/postings")
+      .groupBy($"shingle").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toSet
+
+  private def directSizes(idx: String, maxDf: Long) = {
+    val posts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$idx/postings")
+    val hot = posts.groupBy($"shingle").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > maxDf).select($"shingle")
+    posts.join(hot, Seq("shingle"), "left_anti")
+      .groupBy($"id").agg(count(lit(1)).as("n_sh"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def viewDf(idx: String) =
+    DedupIndex.shingleDf(spark, idx).as[(Long, Long)].collect().toSet
+  private def viewSizes(idx: String) =
+    DedupIndex.docSizes(spark, idx).as[(Long, Long)].collect().toSet
+
+  test("sidecars answer df and sizes with the posting store ABSENT (O(batch) admission proof)") {
+    val idx = scratch("sidecar_struct")
+    DedupIndex.build(docs().filter($"doc_id" % 5 =!= 0), idx,
+      n = 3, threshold = 0.10)
+    DedupIndex.append(spark, idx, docs().filter($"doc_id" % 5 === 0),
+      n = 3, threshold = 0.10, batchId = Some(0L))
+    val (df0, sz0) = (directDf(idx), directSizes(idx, 4096L))
+    assert(df0.nonEmpty && sz0.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"))
+    try {
+      assert(viewDf(idx) == df0,
+        "merged df must answer from the sidecar alone")
+      assert(viewSizes(idx) == sz0,
+        "merged sizes must answer from the sidecar alone")
+    } finally fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings_hidden"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings"))
+  }
+
+  test("sidecar views stay exact across cap crossings and a cap switch") {
+    val t = "alpha beta gamma delta"
+    val u = "one two three four"
+    val idx = scratch("sidecar_cross")
+    // maxDf = 2: the T-shingles sit AT the cap after the build
+    DedupIndex.build(Seq((1L, t), (2L, t), (10L, u)).toDF("doc_id", "text"),
+      idx, n = 3, threshold = 0.10, maxDf = 2L)
+    assert(viewDf(idx) == directDf(idx))
+    assert(viewSizes(idx) == directSizes(idx, 2L))
+    // batch b0 pushes the T-shingles OVER the cap → old docs 1,2 need
+    // -1/posting corrections; doc 11 extends the U family below the cap
+    DedupIndex.append(spark, idx,
+      Seq((3L, t), (11L, s"$u five")).toDF("doc_id", "text"),
+      n = 3, threshold = 0.10, maxDf = 2L, batchId = Some(0L))
+    assert(viewDf(idx) == directDf(idx))
+    assert(viewSizes(idx) == directSizes(idx, 2L),
+      "crossing corrections must reproduce a from-scratch capped recount")
+    // hot docs carry no size row on either side
+    assert(!viewSizes(idx).exists(r => Set(1L, 2L, 3L).contains(r._1)))
+    // a later batch after the crossing must not re-apply corrections
+    DedupIndex.append(spark, idx, Seq((4L, t)).toDF("doc_id", "text"),
+      n = 3, threshold = 0.10, maxDf = 2L, batchId = Some(1L))
+    assert(viewDf(idx) == directDf(idx))
+    assert(viewSizes(idx) == directSizes(idx, 2L))
+    // cap SWITCH: the stamped tag mismatches → one-time sidecar rebuild
+    // under the new cap, then exact again
+    DedupIndex.append(spark, idx, Seq((20L, "unrelated fresh words here")).toDF("doc_id", "text"),
+      n = 3, threshold = 0.10, maxDf = 4096L, batchId = Some(2L))
+    assert(viewDf(idx) == directDf(idx))
+    assert(viewSizes(idx) == directSizes(idx, 4096L))
+  }
+
+  test("append returns the batch's post-append provenance") {
+    val base = docs().filter($"doc_id" % 5 =!= 0)
+    val extra = docs().filter($"doc_id" % 5 === 0)
+    val idx = scratch("batchprov")
+    DedupIndex.build(base, idx, n = 3, threshold = 0.10)
+    val ret = DedupIndex.append(spark, idx, extra, n = 3, threshold = 0.10,
+      batchId = Some(0L))
+    assert(ret.columns.toSeq == Seq("doc_id", "cluster", "reason", "kept"))
+    val got = ret.as[(Long, Long, String, Boolean)].collect().toSet
+    // == the full-store export restricted to the batch (the O(labels)
+    // join the returned frame replaces)
+    val oracle = DedupIndex.provenance(spark, idx, extra)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(got == oracle)
+    assert(got.exists(_._3 == "near_dup"),
+      "fixture batch must contain at least one near-dup")
+  }
+
+  test("compact folds sidecar deltas; views unchanged, newest delta survives") {
+    val idx = scratch("sidecar_fold")
+    val parts = (0 to 2).map(r => docs().filter($"doc_id" % 5 === r))
+    DedupIndex.build(docs().filter($"doc_id" % 5 > 2), idx,
+      n = 3, threshold = 0.10)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      DedupIndex.append(spark, idx, p, n = 3, threshold = 0.10,
+        batchId = Some(i.toLong))
+    }
+    val (df0, sz0) = (viewDf(idx), viewSizes(idx))
+    DedupIndex.compact(spark, idx)
+    assert(viewDf(idx) == df0)
+    assert(viewSizes(idx) == sz0)
+    // folded layout: one base + the newest b2 replay unit per sidecar
+    Seq("df", "sizes").foreach { d =>
+      val subs = listDir(s"$idx/$d").map(_.getFileName.toString)
+        .filter(_.startsWith("b")).toSet
+      assert(subs == Set("base", "b2"), s"$d layout after fold: $subs")
+    }
   }
 }

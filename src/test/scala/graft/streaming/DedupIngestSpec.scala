@@ -173,4 +173,28 @@ class DedupIngestSpec extends SparkSpec {
     assert(postings.groupBy($"id", $"shingle").count()
       .filter($"count" > 1).count() == 0)
   }
+
+  test("readRoute is empty-safe before the first commit") {
+    val root = scratch("route_empty")
+    // no stream has run: both route dirs are absent
+    val core = DedupIngest.readRoute(spark, s"$root/admitted")
+    assert(core.count() == 0)
+    assert(core.columns.toSeq == Seq("doc_id", "cluster", "reason", "kept"))
+    // with the stream's schema the monitor sees the FULL route shape
+    val payload = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val full = DedupIngest.readRoute(spark, s"$root/dlq", Some(payload))
+    assert(full.count() == 0)
+    assert(full.columns.toSeq ==
+      Seq("doc_id", "cluster", "reason", "kept", "text"))
+    // an existing-but-empty batch layout (crash before any parquet
+    // landed) is also empty-safe
+    Files.createDirectories(Paths.get(s"$root/dlq/b0"))
+    assert(DedupIngest.readRoute(spark, s"$root/dlq").count() == 0)
+    // and once real rows exist, readRoute returns them unchanged
+    val idx = s"$root/idx"
+    DedupIndex.build(base(), idx, n = 3, threshold = 0.10)
+    runStream(root, Seq(b0()))
+    assert(DedupIngest.readRoute(spark, s"$root/admitted").count() > 0)
+  }
 }
