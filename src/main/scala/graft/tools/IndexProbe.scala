@@ -94,6 +94,11 @@ object IndexProbe {
       // r12: the rebuild maintenance op (retrain + full reassign + swap)
       rows += (s"${tag}_ivf_rebuild" ->
         timed(graft.sim.IvfIndex.rebuild(spark, ivfDir)))
+      // r13: the staged PQ retrain (corpus re-read inherent — codes are
+      // lossy; the swap itself is three renames per artifact)
+      rows += (s"${tag}_pq_rebuild" ->
+        timed(graft.sim.PqIndex.rebuild(spark, pqDir, e,
+          centroidMod = 0, dims = 64, m = 16, k = 16)))
       // dedup-lineage store (r11): mine-once vs export-per-day split,
       // plus the incremental admit of a 0.1% batch — the three costs a
       // deployment actually pays. Skipped when the synthesis skipped docs.
@@ -112,13 +117,22 @@ object IndexProbe {
         rows += (s"${tag}_dedup_append_0.1pct" ->
           timed(graft.dedup.DedupIndex.append(spark, dedupDir, newDocs,
             3, 0.10, batchId = Some(0L))))
+        // r13 flatness proof: a SECOND same-sized admission — with the
+        // df/sizes sidecars the per-batch cost must not grow with the
+        // store (r12 floor was the O(store) df re-aggregation, 13.0 s
+        // at 100×; the remaining cost is the streamed candidate probe)
+        val newDocs2 = d.orderBy(col("doc_id")).limit((d.count() / 1000).toInt max 1)
+          .select((col("doc_id") + 110000000L).as("doc_id"), col("text"))
+        rows += (s"${tag}_dedup_append_0.1pct_b2" ->
+          timed(graft.dedup.DedupIndex.append(spark, dedupDir, newDocs2,
+            3, 0.10, batchId = Some(1L))))
         // r12: the BACKFILL shape (10% of corpus in one batch) — the
         // size-gated broadcasts must degrade to shuffle joins, not OOM
         val backfill = d.orderBy(col("doc_id")).limit((d.count() / 10).toInt max 1)
           .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
         rows += (s"${tag}_dedup_append_10pct" ->
           timed(graft.dedup.DedupIndex.append(spark, dedupDir, backfill,
-            3, 0.10, batchId = Some(1L))))
+            3, 0.10, batchId = Some(2L))))
       }
       rows.toSeq
     }
