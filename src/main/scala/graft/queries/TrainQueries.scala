@@ -149,6 +149,28 @@ object TrainQueries {
     * shared by the flat-append and batched-append (cells-sidecar merge)
     * gates, which must answer identically by construction.
     */
+  /** Build-once (per JVM, pid-keyed) fixture for the sidecar gates:
+    * 4/5 of the corpus built with a BINDING maxDf=4, the last 1/5
+    * batch-appended (idempotent b0) — ~100 shingles cross the cap at
+    * the append, exercising the sizes-correction leg under the oracle.
+    * The marker (labels_log/b0/_SUCCESS) is append's LAST artifact, so
+    * both sidecars have landed when it exists.
+    */
+  private def sidecarStore(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+    val idx = s"/tmp/graft_dedupidx/p${java.lang.ProcessHandle.current().pid()}/" +
+      s"sidecar_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$idx/labels_log/b0/_SUCCESS").exists()) {
+      DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        idx, n = 3, threshold = 0.10, maxDf = 4L)
+      DedupIndex.append(spark, idx,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        n = 3, threshold = 0.10, maxDf = 4L, batchId = Some(0L))
+    }
+    idx
+  }
+
   private val annHealthCloneSql: String =
     """WITH md AS (
       |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod,
@@ -911,6 +933,41 @@ object TrainQueries {
     //    representative — dedup quality is judged by this tail, not the
     //    pair count): histogram over the persisted label frame, shared
     //    buildIfAbsent store with dedup_provenance ──
+    // ── the r13 admission sidecars under DIRECT oracle gates: build on
+    //    4/5 of the corpus with a BINDING cap (maxDf=4 — ~150 hot
+    //    shingles at sf0.01), batch-append the last 1/5 (~100 shingles
+    //    CROSS the cap during the append, so the -1/posting correction
+    //    path runs), then read the merged sidecar views. The oracles are
+    //    from-scratch recounts over the FULL corpus — exactly what the
+    //    additive deltas + crossing corrections must reproduce. Shingle
+    //    keys replay as DuckDB's hex-cast of the same md5 prefix
+    //    (CAST('0x'||substring(md5(s),1,15) AS BIGINT) ≡ Spark's
+    //    conv(...,16,10)) ──
+    "dedup_df_sidecar" -> QueryDef(
+      (spark, dir) => {
+        val idx = sidecarStore(spark, dir)
+        DedupIndex.shingleDf(spark, idx).orderBy(col("shingle"))
+      },
+      s"""WITH tt AS ($shinglesSql),
+         |e AS (SELECT id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS shingle
+         |      FROM (SELECT id, unnest(sh) AS s FROM tt))
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS cnt
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "dedup_doc_sizes" -> QueryDef(
+      (spark, dir) => {
+        val idx = sidecarStore(spark, dir)
+        DedupIndex.docSizes(spark, idx).orderBy(col("id"))
+      },
+      s"""WITH tt AS ($shinglesSql),
+         |e0 AS (SELECT id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS shingle
+         |       FROM (SELECT id, unnest(sh) AS s FROM tt)),
+         |hot AS (SELECT shingle FROM e0 GROUP BY 1 HAVING count(*) > 4),
+         |e AS (SELECT id, shingle FROM e0
+         |      WHERE shingle NOT IN (SELECT shingle FROM hot))
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_sh
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "dedup_cluster_stats" -> QueryDef(
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
@@ -2156,6 +2213,75 @@ object TrainQueries {
         IvfIndex.health(spark, idx)
       },
       annHealthCloneSql),
+
+    // ── the SAME drift policy on the memory-scale PQ store (r13): the
+    //    clone batch lands through PqIndex.appendBatch (frozen coarse
+    //    table + codebooks; replay-paired cells/b0 delta), health merges
+    //    the ccid cells sidecar. Oracle = the clone-drift health replay
+    //    with the PQ coarse assignment: integer micro-unit dots, ties on
+    //    ccid asc — the flag a PqIndex.rebuildIfNeeded(corpus) run
+    //    consumes ──
+    "ann_ivfpq_health" -> QueryDef(
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = s"/tmp/graft_pqidx/p${java.lang.ProcessHandle.current().pid()}/" +
+          s"health_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$idx/postings/b0/_SUCCESS").exists()) {
+          graft.sim.PqIndex.build(e, idx, centroidMod = 0,
+            dims = 64, m = 16, k = 16)
+          val seed = e.filter(col("vec_id") === 0).select(col("embedding"))
+          val clones = spark.range(e.count() / 2)
+            .select((col("id") + 10000000L).as("vec_id"))
+            .crossJoin(broadcast(seed))
+          graft.sim.PqIndex.appendBatch(spark, idx, clones, 0L,
+            dims = 64, m = 16)
+        }
+        graft.sim.PqIndex.health(spark, idx)
+      },
+      """WITH md AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod,
+        |    count(*) AS n
+        |  FROM embeddings),
+        |micro AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)) AS vu
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS ccid, vu AS cv FROM micro
+        |          WHERE vec_id % (SELECT mod FROM md) = 0),
+        |clones AS (
+        |  SELECT 10000000 + i AS vec_id,
+        |    (SELECT vu FROM micro WHERE vec_id = 0) AS vu
+        |  FROM (SELECT unnest(generate_series(0,
+        |    CAST((SELECT n FROM md) // 2 AS BIGINT) - 1)) AS i)),
+        |corpus AS (
+        |  SELECT vec_id, vu FROM micro
+        |  UNION ALL SELECT vec_id, vu FROM clones),
+        |assign AS (
+        |  SELECT e.vec_id AS id, c.ccid, list_inner_product(e.vu, c.cv) AS d
+        |  FROM corpus e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY d DESC, ccid) AS rnk
+        |  FROM assign),
+        |cells AS (SELECT id, ccid FROM ranked WHERE rnk = 1),
+        |sz AS (SELECT ccid, count(*) AS cnt FROM cells GROUP BY 1),
+        |hist AS (
+        |  SELECT length(bin(cnt)) - 1 AS bucket, count(*) AS b_cells,
+        |    sum(cnt) AS b_vecs
+        |  FROM sz GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(b_cells) AS BIGINT) AS n_cells,
+        |    CAST(sum(b_vecs) AS BIGINT) AS n_vecs
+        |  FROM hist),
+        |m AS (
+        |  SELECT n_cells, n_vecs,
+        |    CAST(length(bin(n_vecs // n_cells)) - 1 AS INT) AS mean_bucket
+        |  FROM tot)
+        |SELECT m.n_cells, m.n_vecs, m.mean_bucket,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) AS BIGINT) AS tail_vecs,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) * 1000000 // m.n_vecs AS BIGINT) AS tail_share_micro,
+        |  CAST(sum(CASE WHEN h.bucket >= m.mean_bucket + 3 THEN h.b_vecs ELSE 0 END) * 1000000 // m.n_vecs AS BIGINT) >= 250000 AS needs_rebuild
+        |FROM hist h CROSS JOIN m
+        |GROUP BY m.n_cells, m.n_vecs, m.mean_bucket""".stripMargin),
 
     // ── in-engine ANN quality audit: recall@5 of the IVF path against
     //    the exact baseline, per query — the eval loop a pipeline runs
