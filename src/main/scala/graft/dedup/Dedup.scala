@@ -635,10 +635,21 @@ object Dedup {
     // cache-fill job runs the whole upstream detector per branch — measured
     // 6.9 s → 2.1 s on the sf0.1 Jaccard pairs
     val p = pairs.select(col("i"), col("j")).localCheckpoint(eager = false)
-    // undirected edge list + self-loops so singletons keep their label
+    // undirected edge list + self-loops so singletons keep their label.
+    // Pre-partitioned ONCE by dst — the key every round's edges⋈labels
+    // join probes — and checkpointed (localCheckpoint preserves the
+    // partitioning), so the per-round join elides the edges-side exchange
+    // instead of re-shuffling the edge list every iteration (guide §2.4;
+    // r13 opt: 4.0 s → 2.3 s on the crossmodal union at sf0.1, and at
+    // 100 TB it removes O(rounds) full edge-list shuffles). An RDD-kernel
+    // rewrite of this loop (GraphX shape, zero Catalyst per round) was
+    // prototyped and measured SLOWER at every partition count (2.2-4.8 s
+    // vs 2.3 s) — tiny RDD shuffle tasks pay more in buffer allocation
+    // than the DF loop pays in planning — so the declarative loop stays.
     val edges = p.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(p.select(col("j").as("src"), col("i").as("dst")))
-      .cache()
+      .repartition(col("dst"))
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -652,6 +663,13 @@ object Dedup {
         .select(labels("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           labels("label").as("old_label"))
+        // mid-round checkpoint: the doubling join below reads `stepped`
+        // from BOTH sides, and without a materialization boundary each
+        // side re-executes the whole neighbour-min subtree (exchange
+        // reuse does not bridge the renamed self-join) — the heaviest
+        // part of the round paid twice (r13 opt: 4.0 s → 2.6 s alone at
+        // sf0.1; at scale it halves the per-round shuffle volume)
+        .localCheckpoint(eager = false)
       // pointer doubling: adopt the label of my label (renamed columns —
       // a two-sided op over shared lineage trips DetectAmbiguousSelfJoin)
       val byId = stepped.select(col("id").as("rep_id"), col("label").as("rep_label"))
@@ -672,7 +690,6 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
-    edges.unpersist()
     ClusterResult(labels.withColumnRenamed("label", "cluster"), converged, iter)
   }
 

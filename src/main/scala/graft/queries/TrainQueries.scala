@@ -3372,13 +3372,18 @@ object TrainQueries {
           .select(col("i"), col("j")).localCheckpoint(eager = false)
         val labels = Dedup.clusters(textPairs.unionByName(imgPairs).distinct())
         val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
-        def attributed(pairs: org.apache.spark.sql.DataFrame, out: String) =
-          pairs.join(labels.select(col("id"), col("cluster")),
-              col("i") === col("id"))
-            .groupBy(col("cluster")).agg(count(lit(1)).as(out))
+        // r13 opt: ONE tagged labels join + ONE aggregate replaces the two
+        // per-modality join+agg legs and their two left-joins (4 shuffles →
+        // 2; identical per-cluster counts — the tag splits the same rows)
+        val tagged = textPairs.withColumn("m", lit(0))
+          .unionByName(imgPairs.withColumn("m", lit(1)))
+        val att = tagged.join(labels.select(col("id"), col("cluster")),
+            col("i") === col("id"))
+          .groupBy(col("cluster"))
+          .agg(sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_text_pairs"),
+            sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_img_pairs"))
         sizes
-          .join(attributed(textPairs, "n_text_pairs"), Seq("cluster"), "left")
-          .join(attributed(imgPairs, "n_img_pairs"), Seq("cluster"), "left")
+          .join(att, Seq("cluster"), "left")
           .select(col("cluster"), col("n_docs"),
             coalesce(col("n_text_pairs"), lit(0L)).as("n_text_pairs"),
             coalesce(col("n_img_pairs"), lit(0L)).as("n_img_pairs"))

@@ -257,22 +257,27 @@ object Similarity {
     * the oracle rebuilds the matrix in SQL). Components are micro-unit
     * integers, so every projected value is an EXACT 64-bit sum —
     * partitioning/merge-order invariant, same value in any engine. The
-    * per-dim expression is UNROLLED driver-side into a static ±-term sum:
-    * whole-stage codegen, no interpreted HOF lambda re-evaluation, and no
-    * shuffle at all — the projection is purely columnar.
+    * sign matrix is baked in as ONE array literal and each output dim is
+    * a zip_with/aggregate fold over it — the r12 build unrolled the
+    * outDims×inDims terms into a static codegen'd sum instead, but at
+    * 16×64 that is a 1024-term expression tree whose Janino compilation
+    * dominated the query (r13 opt, guide §1.2 "per-task work": 2.4 s →
+    * 0.57 s at sf0.1 with bit-identical output; the fold's lambda only
+    * references scalar locals, so the interpreted-HOF re-evaluation trap
+    * does not apply). Still zero shuffles — purely columnar.
     */
   def randProj(vuCol: String, outDims: Int, inDims: Int): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(o: Int, i: Int): Int = {
+    def sign(o: Int, i: Int): Long = {
       val h = md.digest(s"rp:$o:$i".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
     }
-    val terms = (0 until outDims).map { o =>
-      (0 until inDims).map { i =>
-        s"${if (sign(o, i) > 0) "+" else "-"} $vuCol[$i]"
-      }.mkString("CAST(0 AS BIGINT) ", " ", "")
-    }
-    array(terms.map(t => expr(t)): _*)
+    val signs: Seq[Seq[Long]] =
+      (0 until outDims).map(o => (0 until inDims).map(i => sign(o, i)))
+    val sm = typedLit(signs)
+    transform(sequence(lit(0), lit(outDims - 1)), o =>
+      aggregate(zip_with(col(vuCol), element_at(sm, o.cast("int") + 1),
+        (x, s) => x * s), lit(0L), (acc, v) => acc + v))
   }
 
   /** Hard-negative mining: per query, the top-k most-similar corpus

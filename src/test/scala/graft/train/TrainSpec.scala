@@ -930,6 +930,10 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakePixels($"cls", $"np").as("px"))
     val bands = Multimodal.aHashBands(px, "id", "px")
     assert(bands.groupBy($"mid").count().filter($"count" =!= 4).count() == 0)
+    // r13: the mean is an in-row fold, so banding adds no exchange
+    // (was explode → mean-join → re-aggregate, 3 exchanges)
+    assert(!bands.queryExecution.executedPlan.toString.contains("Exchange"),
+      "aHashBands plan should be shuffle-free")
     val near = Multimodal.aHashNearDups(bands, maxHamming = 3)
       .as[(Long, Long, Int)].collect()
     // every found pair shares a class; cross-class hashes are far apart
@@ -967,7 +971,8 @@ class MultimodalSpec extends SparkSpec {
     // a single-pixel spike flips at most its two adjacent gradient bits
     val d = (0 to 3).map(k => Integer.bitCount(hs((0L, k)) ^ hs((2L, k)))).sum
     assert(d >= 1 && d <= 2, s"spike moved $d bits")
-    // scan-local claim: hashing adds no exchange (aHash needs a mean pass)
+    // scan-local claim: hashing adds no exchange (aHash's mean is an
+    // in-row fold since r13, so both hash families are shuffle-free)
     val plan = bands.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "dHashBands plan should be shuffle-free")
   }
