@@ -46,12 +46,21 @@ object BloomDecon {
   }
 
   /** Probe column: true iff ANY shingle in `shArr` has all k bits set in
-    * `bits`. Pure columnar expression over the broadcast literal bitset.
-    * The k positions are materialized ONCE into an array and the bit
-    * tests bind each element — naming `position(g,i,m)` twice per hash
-    * (word index + bit shift) would evaluate the md5 twice per probe.
+    * `bits`. Since r13 this routes through the native
+    * [[graft.functions.BloomProbeExpr]] loop: the declarative HOF form
+    * (kept below as [[probeDeclarative]], parity-pinned by spec)
+    * materialized all k md5 positions per key as hex strings before any
+    * bit test — the native loop interleaves digest and test, so a
+    * non-member pays ~1 digest instead of k, with no hex round-trip
+    * (r13 opt, guide §1.2 per-task work).
     */
-  def probe(shArr: Column, bits: Array[Long], m: Int, k: Int): Column = {
+  def probe(shArr: Column, bits: Array[Long], m: Int, k: Int): Column =
+    graft.functions.bloom_probe(shArr, bits.toIndexedSeq, m, k)
+
+  /** The original declarative probe — the SQL-replayable rendering the
+    * parity spec pins [[probe]] against; not used on hot paths.
+    */
+  def probeDeclarative(shArr: Column, bits: Array[Long], m: Int, k: Int): Column = {
     val bitsLit = typedLit(bits.toSeq)
     exists(shArr, g =>
       forall(array((1 to k).map(i => position(g, i, m)): _*), p =>

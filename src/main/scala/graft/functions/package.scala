@@ -21,6 +21,13 @@ package object functions {
       graftbridge.expression(find),
       graftbridge.expression(repl)))
 
+  /** Bloom membership probe over a string-key array (see
+    * [[graft.functions.BloomProbeExpr]]): interleaved md5 + bit test,
+    * declarative-parity with `BloomDecon.probeDeclarative`.
+    */
+  def bloom_probe(keys: Column, bits: IndexedSeq[Long], m: Int, k: Int): Column =
+    graftbridge.column(BloomProbeExpr(graftbridge.expression(keys), bits, m, k))
+
   /** Sequential-deterministic dot product of two float/double arrays. */
   def dot_product(a: Column, b: Column): Column =
     graftbridge.column(DotProductExpr(

@@ -116,6 +116,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(misses == 0L)
   }
 
+  test("bloom probe: native loop ≡ declarative HOF rendering (r13 parity)") {
+    import spark.implicits._
+    // small m so both hits and misses occur; keys include members,
+    // non-members, multi-key arrays, and an empty array
+    val keys = (0L until 500L).map(i => s"key$i")
+    val evalKeys = keys.filter(_.hashCode % 3 == 0).toDF("g")
+    val bits = BloomDecon.buildBits(evalKeys, "g", m = 1024, k = 3)
+    val probes = (0L until 1000L).map(i => Seq(s"key$i"))
+      .:+(Seq("key1", "key3", "nope"))
+      .:+(Seq.empty[String])
+      .toDF("arr")
+    val both = probes.select(
+      BloomDecon.probe(col("arr"), bits, 1024, 3).as("native"),
+      BloomDecon.probeDeclarative(col("arr"), bits, 1024, 3).as("decl"))
+    assert(both.filter(not(col("native") <=> col("decl"))).count() == 0L)
+    // null-element 3-valued logic matches `exists`
+    val nulls = Seq((1, Seq[String](null)), (2, Seq("key0", null)))
+      .toDF("id", "arr")
+    val nb = nulls.select(col("id"),
+      BloomDecon.probe(col("arr"), bits, 1024, 3).as("native"),
+      BloomDecon.probeDeclarative(col("arr"), bits, 1024, 3).as("decl"))
+    assert(nb.filter(not(col("native") <=> col("decl"))).count() == 0L)
+  }
+
   test("quantile hist: monotone targets and rank bracketing") {
     val out = graft.queries.CorpusOpsQueries.defs("stats_quantile_hist")
       .fn(spark, dir).collect()
