@@ -115,32 +115,25 @@ object Graph {
       .localCheckpoint(eager = false)
     var ranks = nodes.select(col("node"), lit(1000000000L).as("r"))
       .localCheckpoint(eager = false)
-    // r13 opt: checkpoint every TWO iterations, not one — each
-    // localCheckpoint costs a full Catalyst pass (analysis/optimization/
-    // physical planning + RDD conversion) plus a materialization, and the
-    // two-round plan is still small (the checkpoint bounds growth), so
-    // halving the checkpoints trims the per-iteration fixed cost
-    // (4.0 s → 3.6 s warm at sf0.1; rank chain arithmetic unchanged —
-    // bit-identical output)
-    var done = 0
-    while (done < iters) {
-      val step = math.min(2, iters - done)
-      var cur = ranks
-      for (_ <- 1 to step) {
-        // SHUFFLE_HASH (size-gated) with the rank frame as build side; the
-        // downstream is a hash aggregate — SMJ's per-round sort of the edge
-        // stream buys nothing. Measured 4.5 s → 3.9 s warm over 5 rounds
-        // at sf0.1.
-        cur = e
-          .join(graft.ops.Hints.shuffleHashIfFits(cur, edgeBytes),
-            e("src") === cur("node"))
-          .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
-          .groupBy(col("dst"))
-          .agg((lit(150000000L) + sum(col("c"))).as("r"))
-          .select(col("dst").as("node"), col("r"))
-      }
-      ranks = cur.localCheckpoint(eager = false)
-      done += step
+    // NOTE (r13): batching TWO iterations per localCheckpoint was
+    // prototyped (warm micro-benchmarks said −10%) and REGRESSED the
+    // quiet-gated bench 60% cold (6.0 s vs 3.7 s, tight pass spread) —
+    // the fused two-round job's deeper shuffle chain loses more under
+    // cold caches than the saved Catalyst pass buys. One checkpoint per
+    // iteration stays.
+    for (_ <- 1 to iters) {
+      // SHUFFLE_HASH (size-gated) with the rank frame as build side; the
+      // downstream is a hash aggregate — SMJ's per-round sort of the edge
+      // stream buys nothing. Measured 4.5 s → 3.9 s warm over 5 rounds
+      // at sf0.1.
+      ranks = e
+        .join(graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes),
+          e("src") === ranks("node"))
+        .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000000L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = false)
     }
     ranks.join(nodes, Seq("node"))
       .select(col("node"), col("deg"), col("r"))
@@ -175,23 +168,18 @@ object Graph {
     var ranks = base.select(col("node"),
       when(col("b") > 0, lit(1000000000L)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(eager = false)
-    // checkpoint every two rounds — the [[pagerank]] r13 treatment
-    var done = 0
-    while (done < iters) {
-      val step = math.min(2, iters - done)
-      var cur = ranks
-      for (_ <- 1 to step) {
-        val contrib = e
-          .join(graft.ops.Hints.shuffleHashIfFits(cur, edgeBytes),
-            e("src") === cur("node"))
-          .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-          .select(col("dst").as("node"), col("m"))
-        cur = base.join(contrib, Seq("node"), "left")
-          .select(col("node"), (col("b") + coalesce(col("m"), lit(0L))).as("r"))
-      }
-      ranks = cur.localCheckpoint(eager = false)
-      done += step
+    // one checkpoint per round — see the [[pagerank]] r13 note on why
+    // two-round batching was rejected (60% cold-bench regression)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes),
+          e("src") === ranks("node"))
+        .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        .select(col("dst").as("node"), col("m"))
+      ranks = base.join(contrib, Seq("node"), "left")
+        .select(col("node"), (col("b") + coalesce(col("m"), lit(0L))).as("r"))
+        .localCheckpoint(eager = false)
     }
     ranks.join(base.select(col("node"), col("deg")), Seq("node"))
       .select(col("node"), col("deg"), col("r"))
@@ -226,22 +214,17 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint(eager = false)
-    // checkpoint every two rounds — the [[pagerank]] r13 treatment
-    var done = 0
-    while (done < rounds) {
-      val step = math.min(2, rounds - done)
-      var cur = labels
-      for (_ <- 1 to step) {
-        cur = e
-          .join(graft.ops.Hints.shuffleHashIfFits(cur, edgeBytes),
-            e("src") === cur("node"))
-          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
-      }
-      labels = cur.localCheckpoint(eager = false)
-      done += step
+    // one checkpoint per round — see the [[pagerank]] r13 note on why
+    // two-round batching was rejected (60% cold-bench regression)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(graft.ops.Hints.shuffleHashIfFits(labels, edgeBytes),
+          e("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(eager = false)
     }
     labels
   }

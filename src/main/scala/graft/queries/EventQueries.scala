@@ -607,7 +607,17 @@ object EventQueries {
           .select(expr("ts_ns DIV 3600000000000").as("eh"), col("user_id"))
         val sk = graft.ops.Hll.slidingEstimate(ev, "eh", "user_id", width = 3)
         val ticks = ev.select(col("eh").as("th")).distinct()
-        val ex = ticks.join(ev, col("eh").between(col("th") - 2, col("th")))
+        // r13 opt: the exact leg was ticks ⋈ events on a BETWEEN range —
+        // a broadcast nested-loop of |ticks| × |events| comparisons. An
+        // event at hour eh contributes to exactly the ticks {eh, eh+1,
+        // eh+2}, so exploding those three targets turns it into an
+        // equi-join (semi vs the real tick set) + one aggregate — linear
+        // in events at any scale (guide §3.3: explode beats an
+        // inequality join when the window is a small constant)
+        val ex = ev
+          .select(explode(array(col("eh"), col("eh") + 1, col("eh") + 2)).as("th"),
+            col("user_id"))
+          .join(broadcast(ticks), Seq("th"), "left_semi")
           .groupBy(col("th"))
           .agg(countDistinct(col("user_id")).as("exact_distinct"))
         sk.join(ex, sk("h") === ex("th")).drop("th").orderBy(col("h"))
