@@ -650,8 +650,15 @@ object Dedup {
       .unionByName(p.select(col("j").as("src"), col("i").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint(eager = false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // r13 opt: seed labels with min(self, neighbours) in ONE aggregate —
+    // the old identity init (distinct + label=id) spent round 1 computing
+    // exactly this through a join+agg+doubling; the seeded loop reaches
+    // the same fixpoint (labels are min-reachable-ids either way) one
+    // round earlier, and the init costs the same single shuffle the
+    // distinct did
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
