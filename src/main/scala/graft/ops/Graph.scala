@@ -367,16 +367,29 @@ object Graph {
   def cooccurrenceTopK(rows: DataFrame, grpCol: String, itemCol: String,
                        k: Int, minCo: Long,
                        maxBasket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val src = rows.select(col(grpCol).as("g"), col(itemCol).as("it"))
+    // Mega-basket guard as a map-combined count + semi-join: only
+    // (g, partial-count) rows reach the count's exchange and over-cap
+    // groups are dropped BEFORE any set is collected. The previous
+    // count().over(Window.partitionBy(g)) shape shuffled AND sorted every
+    // raw row to answer the same question. At bench scale AQE turns the
+    // semi-join into a broadcast; above the budget it degrades to a
+    // shuffle semi-join on g whose output partitioning the basket
+    // aggregate below reuses (no extra exchange either way).
     val kept =
       if (maxBasket == Int.MaxValue) src
-      else src
-        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("g"))))
-        .filter(col("bn") <= maxBasket).drop("bn")
-        .localCheckpoint(eager = false) // read by pairs AND degrees
-    val pairs = kept.groupBy(col("g"))
+      else {
+        val keepG = src.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBasket).select(col("g"))
+        src.join(keepG, Seq("g"), "left_semi")
+      }
+    // ONE basket aggregate feeds both legs: the previous shape re-ran the
+    // group aggregate per leg (pairs' collect_set and deg's countDistinct
+    // were separate passes over the kept rows).
+    val baskets = kept.groupBy(col("g"))
       .agg(sort_array(collect_set(col("it"))).as("xs"))
+      .localCheckpoint(eager = false) // read by pairs AND degrees
+    val pairs = baskets
       .select(explode(expr(
         "flatten(transform(xs, (x, i) -> " +
           "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS a, y AS b))))"))
@@ -384,11 +397,20 @@ object Graph {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
-    val deg = kept.groupBy(col("it").as("n"))
-      .agg(countDistinct(col("g")).as("deg"))
+    // deg(item) = #distinct groups containing it; the baskets are sets
+    // already, so a plain count over the exploded membership IS the
+    // countDistinct — without its expand/dedup pass over raw rows.
+    val deg = baskets.select(explode(col("xs")).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false) // reused by both sides of the pair
-    val sym = pairs.select(col("a").as("i"), col("b").as("j"), col("co"))
-      .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("co")))
+    // Both directions from ONE pass over the pair frame: a union of two
+    // selects re-executes the whole mining subtree per branch (measured
+    // as the duplicated operators (1-11)/(12-22) in the r13 before-plan).
+    val sym = pairs
+      .select(explode(array(
+        struct(col("a").as("i"), col("b").as("j")),
+        struct(col("b").as("i"), col("a").as("j")))).as("e"), col("co"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("co"))
     val scored = sym
       .join(deg.select(col("n").as("i"), col("deg").as("deg_i")), Seq("i"))
       .join(deg.select(col("n").as("j"), col("deg").as("deg_j")), Seq("j"))

@@ -47,12 +47,17 @@ object LmScore {
       .agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(TextAnalysis.tokens(text)).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    bg.join(bigramCounts, Seq("w1", "w2"))
+    // bits depends only on the bigram TYPE, so resolve it at model grain
+    // (vocab²-bounded) and join the corpus-grain bg rows ONCE: the
+    // previous shape joined bg to the model twice (by (w1,w2), then again
+    // by w1), paying two corpus-size shuffles where one suffices.
+    val model = bigramCounts
       .join(contextCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("w1"), col("w2"),
         (bitlen(col("c1") + col("v")) - bitlen(col("c12") + 1)).cast("long")
           .as("bits"))
+    bg.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .withColumn("avg_bits_x100", expr("(sum_bits * 100) DIV n_bigrams"))

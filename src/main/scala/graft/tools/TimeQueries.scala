@@ -30,10 +30,20 @@ object TimeQueries {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // bench-shaped isolation (graft.Bench's between-query cleanup):
+        // without it, reps inherit the previous run's dead checkpoint
+        // blocks and drift — the r13 lesson that warm un-isolated timings
+        // don't validate a change
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        dt
       }
       println(f"TIME $name%-28s " +
-        times.map(t => f"$t%.3f").mkString("  "))
+        times.map(t => f"$t%.3f").mkString("  ") +
+        f"  min=${times.min}%.3f")
     }
     spark.stop()
   }
