@@ -856,7 +856,11 @@ object CorpusOpsQueries {
         val e = Tables.embeddings(spark, dir)
         val idx = s"/tmp/graft_pqidx/p${java.lang.ProcessHandle.current().pid()}/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
-        graft.sim.PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
+        // build-once lifecycle gate (the ann_ivfpq_filtered convention):
+        // the amortised ADC QUERY path is the gate's subject; cells/ is
+        // the build's LAST artifact, so its _SUCCESS proves a complete store
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+          graft.sim.PqIndex.build(e, idx, centroidMod = 0, dims = 64, m = 16, k = 16)
         graft.sim.PqIndex.query(spark, idx,
             e.filter(pmod(col("vec_id"), lit(50)) === 0),
             nprobe = 2, topK = 5, dims = 64, m = 16)
@@ -1077,7 +1081,7 @@ object CorpusOpsQueries {
         val e = Tables.embeddings(spark, dir)
         val idx = s"/tmp/graft_pqidx/p${java.lang.ProcessHandle.current().pid()}/" +
           s"filtered_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
           graft.sim.PqIndex.build(e, idx, centroidMod = 0, dims = 64,
             m = 16, k = 16)
         graft.sim.PqIndex.queryFiltered(spark, idx,
@@ -1142,7 +1146,7 @@ object CorpusOpsQueries {
         val e = Tables.embeddings(spark, dir)
         val idx = s"/tmp/graft_pqidx/p${java.lang.ProcessHandle.current().pid()}/" +
           s"filtered_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
           graft.sim.PqIndex.build(e, idx, centroidMod = 0, dims = 64,
             m = 16, k = 16)
         graft.sim.PqIndex.queryFiltered(spark, idx,
