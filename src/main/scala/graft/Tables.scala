@@ -9,39 +9,45 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    fanOut(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
-      s"$sfDir/$name.parquet")
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Scale-adaptive scan fan-out: a parquet scan's task count is
-    * ⌈bytes / maxPartitionBytes⌉, and each of these tables is ONE file
-    * with one row group at the test scale factors — one task no matter
-    * the split size, which serializes every compute-dense downstream
-    * stage (shingling, digest mixes, vector dots) onto a single core
-    * while the rest of `local[N]` idles. When the estimated split count
-    * is below the session's parallelism, round-robin the scan output
-    * across defaultParallelism partitions — a few-MB exchange that buys
-    * N× on the scan-stage compute. The trigger derives from input size
-    * and session parallelism, not a local constant: at production input
-    * sizes splits ≥ parallelism and this is a no-op. Tables under 100 KB
-    * (the broadcast-dimension tables) are left alone — there is nothing
-    * to parallelize and the dims feed broadcast joins anyway.
-    * Determinism: every gated result is partitioning-invariant by the
-    * repo's oracle design (integer arithmetic, sorted aggregates,
-    * explicit ORDER BY), and `repartition(n)` itself is deterministic
-    * under retries (sort-before-repartition, SPARK-23207).
+  /** OPT-IN scale-adaptive fan-out for compute-dense operators.
+    *
+    * A parquet scan's task count is ⌈bytes / maxPartitionBytes⌉, and each
+    * test-SF table is ONE file with one row group — one task no matter
+    * the split size, which serializes scan-stage compute onto a single
+    * core while the rest of `local[N]` idles. For operators whose
+    * per-row work dwarfs an exchange (shingle explodes + digest mixes,
+    * vector dots, edit-distance verification, image codecs, per-row
+    * bootstrap draws), round-robining the input across
+    * defaultParallelism buys ~N× on that stage for a few-MB shuffle.
+    *
+    * Deliberately NOT applied at the shared table readers: a blanket
+    * fan-out was measured (same-JVM A/B, this round) to cost 0.5-5 s on
+    * scan-light and iterative queries — every downstream stage and every
+    * loop round inherits `target` tasks whose scheduling overhead
+    * exceeds the compute they carry. Each call site below this helper is
+    * an operator whose stage work is provably row-dominated.
+    *
+    * Scale posture: the trigger derives from input size and session
+    * parallelism — when the Catalyst size estimate says the scan already
+    * splits ≥ parallelism ways (any production input), this is a no-op;
+    * `spark.graft.fanout=false` is the session kill switch (also used
+    * for same-JVM A/B measurement). Sub-100 KB inputs are left alone.
+    * Determinism: gated results are partitioning-invariant by the
+    * repo's oracle design, and `repartition(n)` is deterministic under
+    * retries (sort-before-repartition, SPARK-23207).
     */
-  private def fanOut(spark: SparkSession, df: DataFrame,
-                     path: String): DataFrame = {
+  def fanOutForCompute(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.fanout").contains("false")) return df
     val target = spark.sparkContext.defaultParallelism
     val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case _: Throwable => Long.MaxValue }
-    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val splits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
-    if (bytes >= 100000L && splits < target) df.repartition(target) else df
+      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Throwable => BigInt(-1) }
+    val splitBytes = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = (bytes + splitBytes - 1) / splitBytes
+    if (bytes >= 100000 && splits < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -294,6 +294,9 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType)))
+    // NOTE (r13): scan fan-out here measured SLOWER same-JVM-A/B (4.8 →
+    // 6.7 s on mm_png_dims) — the encode is cheap relative to the fanned
+    // stages' per-task overhead. Deliberately not applied.
     df.select(col(idCol).cast("long"), col(wCol).cast("int"),
         col(hCol).cast("int"), col(pixelsCol))
       .mapPartitions { it =>

@@ -92,7 +92,10 @@ object Bootstrap {
                           replicates: Int, seed: String): DataFrame = {
     require(replicates >= 1 && replicates <= 1024, "replicates in [1, 1024]")
     val lanes = laneCols(seed, col(idCol))
-    df.select(Seq(col(bucketCol).cast("long").as("bkt")) ++
+    // per-row md5 + R draws + R weights: row-dominated stage work — fan
+    // the scan out (no-op at production split counts; Tables doc)
+    graft.Tables.fanOutForCompute(df)
+      .select(Seq(col(bucketCol).cast("long").as("bkt")) ++
         lanes.zipWithIndex.map { case (c, g) => c.as(s"lane$g") }: _*)
       .select(col("bkt"), explodedDraws(seed, replicates))
       .select(col("bkt"), col("pos").as("rep"), poissonWeight(col("col")).as("w"))
@@ -114,7 +117,9 @@ object Bootstrap {
                    replicates: Int, seed: String): DataFrame = {
     require(replicates >= 1 && replicates <= 1024, "replicates in [1, 1024]")
     val lanes = laneCols(seed, col(idCol))
-    df.select(Seq(col(valueCol).cast("long").as("x")) ++
+    // same row-dominated draw stage as poissonBucketCounts
+    graft.Tables.fanOutForCompute(df)
+      .select(Seq(col(valueCol).cast("long").as("x")) ++
         lanes.zipWithIndex.map { case (c, g) => c.as(s"lane$g") }: _*)
       .select(col("x"), explodedDraws(seed, replicates))
       .select(col("x"), col("pos").as("rep"), poissonWeight(col("col")).as("w"))

@@ -68,6 +68,11 @@ object Linkage {
                  right: DataFrame, rightId: String, rightName: String,
                  maxDist: Int, blockLen: Int = 6,
                  maxBucket: Int = 4096): DataFrame = {
+    // NOTE (r13): scan fan-out (Tables.fanOutForCompute) measured SLOWER
+    // here same-JVM-A/B (fuzzy_match_pairs 1.33 → 1.89 s; fuzzy_entities'
+    // cluster loop also pays per-round) — the 2-key block enumeration is
+    // cheap relative to the fanned stages' per-task overhead, unlike
+    // fuzzyPairsSegment's 75-way enumeration. Deliberately not applied.
     val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
       .localCheckpoint(eager = false)
     val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
@@ -165,9 +170,13 @@ object Linkage {
                         maxDist: Int, maxBucket: Int = 4096): DataFrame = {
     val d = maxDist
     val m = d + 1
-    val l = left.select(col(leftId).as("i"), col(leftName).as("li"))
+    // the lsub enumeration below is a 75-way explode + substring per row:
+    // row-dominated scan-stage work — fan out (no-op at production splits)
+    val l = graft.Tables.fanOutForCompute(
+        left.select(col(leftId).as("i"), col(leftName).as("li")))
       .localCheckpoint(eager = false)
-    val r = right.select(col(rightId).as("j"), col(rightName).as("rj"))
+    val r = graft.Tables.fanOutForCompute(
+        right.select(col(rightId).as("j"), col(rightName).as("rj")))
       .localCheckpoint(eager = false)
     // right side: m segments of its own length's scheme
     val rseg = r.withColumn("clen", length(col("rj")))

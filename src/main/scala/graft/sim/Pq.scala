@@ -107,6 +107,11 @@ object Pq {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
+    // NOTE (r13): scan fan-out (Tables.fanOutForCompute) on `micro` was
+    // measured same-JVM-A/B at +27%..3× SLOWER here — the pipeline's many
+    // post-checkpoint stages each inherit the fanned partitioning and pay
+    // per-task overhead that exceeds the encode compute. Deliberately
+    // not applied.
     val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
 
@@ -213,6 +218,7 @@ object Pq {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
+    // no scan fan-out here — same measured finding as ivfPqTopK above
     val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
     var cb = codebook(micro, m, subDim, k).localCheckpoint(eager = false)

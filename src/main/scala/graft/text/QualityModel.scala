@@ -33,7 +33,9 @@ object QualityModel {
   def features(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    docs.select(
+    // tokenize + regexp per row: row-dominated stage work — fan the scan
+    // out (no-op at production split counts; Tables doc)
+    graft.Tables.fanOutForCompute(docs).select(
       col(idCol),
       lit(1000L).as("x0"),
       (least(TextAnalysis.tokenCount(col(textCol)), lit(100)) * 10)
