@@ -138,6 +138,10 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       maxBucket: Int = 4096, targetOccupancy: Int = 64): DataFrame = {
     val nPlanes = resolvePlanes(emb, planes, targetOccupancy)
+    // NOTE (r13): scan fan-out (Tables.fanOutForCompute) on the signature
+    // leg measured neutral-to-slower same-JVM-A/B across the five gates on
+    // this path (e.g. emb_near_dup 1.91 → 2.46 s) — the sign-dots are
+    // cheap relative to the fanned stages' per-task overhead. Not applied.
     val sig0 = emb.select(col(idCol).as("id"),
       posexplode(graft.functions.lsh_sig(col(vecCol), tables, nPlanes, dims)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
