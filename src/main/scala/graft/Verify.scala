@@ -20,18 +20,14 @@ object Verify {
       // converts back to a µs timestamp losslessly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // incremental cleanup of broadcast/shuffle state across the 280-query
+      // sweep (same setting as Bench — default 30 min lets it pile up)
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // oracle_sql.json FIRST (r14): it is static data; writing it after the
+    // sweep meant a mid-sweep death zeroed the whole round (r13).
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +43,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // r14 gate fix (VERDICT r13 item 1): Bench clears persisted state
+      // between queries (Bench.scala) but Verify did not — a 280-query
+      // single-JVM sweep accumulates every query's localCheckpoint blocks,
+      // the repo's documented GCLocker-OOM recipe, and the driver's r13
+      // Verify died mid-sweep leaving CORRECTNESS_r13 empty. Same cleanup,
+      // outside any timed window (Verify is untimed).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     spark.stop()
   }
 }

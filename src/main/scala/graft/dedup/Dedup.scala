@@ -636,19 +636,16 @@ object Dedup {
     // 6.9 s → 2.1 s on the sf0.1 Jaccard pairs
     val p = pairs.select(col("i"), col("j")).localCheckpoint(eager = false)
     // undirected edge list + self-loops so singletons keep their label.
-    // Pre-partitioned ONCE by dst — the key every round's edges⋈labels
-    // join probes — and checkpointed (localCheckpoint preserves the
-    // partitioning), so the per-round join elides the edges-side exchange
-    // instead of re-shuffling the edge list every iteration (guide §2.4;
-    // r13 opt: 4.0 s → 2.3 s on the crossmodal union at sf0.1, and at
-    // 100 TB it removes O(rounds) full edge-list shuffles). An RDD-kernel
-    // rewrite of this loop (GraphX shape, zero Catalyst per round) was
-    // prototyped and measured SLOWER at every partition count (2.2-4.8 s
-    // vs 2.3 s) — tiny RDD shuffle tasks pay more in buffer allocation
-    // than the DF loop pays in planning — so the declarative loop stays.
+    // NOTE (r14): no pre-partition before the checkpoint — the
+    // checkpointed scan reads back UnknownPartitioning(0) (refuted by the
+    // r13 committed plans), so repartition(dst) was a wasted full shuffle
+    // per invocation. An RDD-kernel rewrite of this loop (GraphX shape,
+    // zero Catalyst per round) was prototyped and measured SLOWER at
+    // every partition count (2.2-4.8 s vs 2.3 s) — tiny RDD shuffle tasks
+    // pay more in buffer allocation than the DF loop pays in planning —
+    // so the declarative loop stays.
     val edges = p.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(p.select(col("j").as("src"), col("i").as("dst")))
-      .repartition(col("dst"))
       .localCheckpoint(eager = false)
     // r13 opt: seed labels with min(self, neighbours) in ONE aggregate —
     // the old identity init (distinct + label=id) spent round 1 computing

@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // r14 (guide §1.2 per-task work): ImageIO defaults to useCache=true,
+  // which backs EVERY ImageIO.read/write with a FileCacheImage*Stream —
+  // a temp file created and deleted on disk per image. At local[32] over
+  // thousands of small PNGs that is pure filesystem contention (the mm_*
+  // family anti-scaled 0.6-0.65 at 32 vs 8 cores in the r13 driver
+  // bench). In-memory cache streams remove the syscalls; images here are
+  // KB-scale so memory is bounded by one image per in-flight task.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("content", BinaryType),

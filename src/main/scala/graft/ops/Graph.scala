@@ -67,12 +67,11 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
-      // pre-partitioned by src, the wedge join's key on BOTH sides:
-      // localCheckpoint preserves the partitioning, so the o1⋈o2 self-join
-      // reads the oriented frame with ZERO exchanges (guide §2.4) instead
-      // of shuffling it twice — r13 opt: 6.4 s → 4.2 s at sf0.1; at 100 TB
-      // it removes two full shuffles of the oriented edge list
-      .repartition(col("src"))
+      // NOTE (r14): do NOT pre-partition before this checkpoint —
+      // localCheckpoint reads back as UnknownPartitioning(0), so a
+      // repartition(src) here is a pure extra full shuffle (r13's version
+      // regressed graph_triangles 6.4 s → 24 s; the wedge join still
+      // shuffled both legs)
       .localCheckpoint(eager = false)
     // columns renamed per leg — two-sided self-joins over shared lineage
     // otherwise trip DetectAmbiguousSelfJoin. SHUFFLE_HASH on both legs
@@ -205,11 +204,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val edgeBytes = graft.ops.Hints.estimatedBytes(edges)
-    // pre-partitioned by src, the key every round's edge⋈label join
-    // probes (guide §2.4; the bfsHops/clusters r13 treatment): the
-    // per-round join elides the edge-side exchange — at 100 TB that is
-    // O(rounds) full edge-list shuffles removed
-    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // NOTE (r14): no pre-partition before the checkpoint — the
+    // checkpointed scan reads back UnknownPartitioning(0), so a
+    // repartition(src) would be a wasted extra shuffle (refuted by the
+    // r13 committed plans; the per-round join re-exchanges regardless)
+    val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
@@ -313,12 +312,10 @@ object Graph {
     * diameter). Output: (node, hop), hop ∈ [0, maxHops].
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    // pre-partitioned ONCE by src — the key every hop's frontier⋈edges
-    // join probes — so the per-hop join elides the edge-side exchange
-    // (guide §2.4; r13 opt: 5.5 s → 4.5 s at sf0.1, and at 100 TB it
-    // removes O(maxHops) full edge-list shuffles; localCheckpoint
-    // preserves the partitioning across hops)
-    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // NOTE (r14): no pre-partition before the checkpoint — the
+    // checkpointed scan reads back UnknownPartitioning(0) (refuted by
+    // the r13 committed plans), so repartition(src) was a wasted shuffle
+    val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
     var labels = sources.select(col("node"), lit(0).as("hop"))
       .distinct().localCheckpoint(eager = false)

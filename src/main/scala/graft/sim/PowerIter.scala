@@ -46,15 +46,12 @@ object PowerIter {
     val mu = ex.groupBy(col("pos"))
       .agg(floor(sum(col("x")) / count(lit(1)) + lit(0.5)).cast("long").as("mu"))
       .localCheckpoint(eager = false)
-    // pre-partition the centered frame by id ONCE: every round's r-leg
-    // groupBy(id) aggregates in place and the w-leg's c ⋈ r join meets an
-    // id-partitioned r (derived from c) co-partitioned — the corpus-grain
-    // frame is never re-exchanged inside the loop (before: one full
-    // shuffle of c per round on the join). The only per-round exchange
-    // left is the d-row pos rollup.
+    // NOTE (r14): no pre-partition before the checkpoint — the
+    // checkpointed scan reads back UnknownPartitioning(0) (refuted by the
+    // r13 committed plans), so repartition(id) was a wasted full shuffle;
+    // each round re-exchanges regardless.
     val c = ex.join(broadcast(mu), Seq("pos"))
       .select(col("id"), col("pos"), (col("x") - col("mu")).as("xc"))
-      .repartition(col("id"))
       .localCheckpoint(eager = false)
     var v = mu.select(col("pos"), lit(1048576L).as("v"))
       .localCheckpoint(eager = false)

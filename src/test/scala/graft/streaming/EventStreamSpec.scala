@@ -19,6 +19,20 @@ class EventStreamSpec extends SparkSpec {
        |"number-of-retries":$retries}}}""".stripMargin.replaceAll("\n", "")
   }
 
+
+  /** AvailableNow queries normally self-terminate; if the timeout expires
+    * first (or a state-timeout keeps scheduling batches), STOP the query —
+    * the suites share one SparkContext, so a leaked query's microbatches
+    * keep firing under every later suite (r13: the driver's full-suite run
+    * died with a streaming AnalysisException none of the builder's runs
+    * reproduced; a leaked `retries_timeout` query was still running at JVM
+    * shutdown in this repo's own test logs).
+    */
+  private def awaitThenStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(60000)
+    if (q.isActive) q.stop()
+  }
+
   val u1 = "9717f66c-9e1f-4b0d-8289-6a0b2a32a2a5"
   val u2 = "2d421b33-5cd2-45b1-a169-d0a6e743b9b4"
   val u3 = "7a10c1b2-33d4-45e6-8f90-aa0b2a32a2a5"
@@ -44,7 +58,7 @@ class EventStreamSpec extends SparkSpec {
           .collect().toSeq
         dlqCount += dlq.count()
       }).start()
-    q.awaitTermination(60000)
+    awaitThenStop(q)
 
     assert(okRows.sortBy(_._1) == Seq(u2 -> "fail", u1 -> "ok").sortBy(_._1))
     assert(dlqCount == 1)
@@ -72,7 +86,7 @@ class EventStreamSpec extends SparkSpec {
     val q = tracked.writeStream.outputMode("update")
       .format("memory").queryName("retries")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitThenStop(q)
     val last = spark.sql(
       "select attempts, decision from retries order by attempts desc limit 1").head()
     assert(last.getInt(0) == 3)
@@ -92,7 +106,7 @@ class EventStreamSpec extends SparkSpec {
     val q = tracked.writeStream.outputMode("update")
       .format("memory").queryName("retries_timeout")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitThenStop(q)
     val rows = spark.sql(
       "select reference, attempts, decision from retries_timeout").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
@@ -125,7 +139,7 @@ class EventStreamSpec extends SparkSpec {
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName("sessions")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitThenStop(q)
     val total = spark.sql("select sum(n) from sessions").as[Long].head()
     assert(total == 300L)   // every event lands in exactly one session
     val nSessions = spark.sql("select count(*) from sessions").as[Long].head()
@@ -145,7 +159,7 @@ class EventStreamSpec extends SparkSpec {
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName("ev_agg")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitThenStop(q)
     val got = spark.sql("select sum(n) from ev_agg").as[Long].head()
     assert(got == 200L)
   }

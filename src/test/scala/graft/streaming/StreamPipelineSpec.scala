@@ -67,6 +67,7 @@ class StreamPipelineSpec extends SparkSpec {
         }
       }).start()
     q.awaitTermination(60000)
+    if (q.isActive) q.stop()  // shared SparkContext: never leak a query into later suites
 
     assert(results("TDR-S-OK") == (true, "bagit-validated"))
     assert(results("TDR-S-BAD") == (false, "bagit-validation-error"))
