@@ -656,14 +656,25 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
+      .localCheckpoint(eager = false)
+    // r14 (guide §3.1, the kcore/pagerank treatment): every frame in the
+    // round body except `edges` is NODE-grain — broadcast them when they
+    // fit (bound = one count of the label frame × 64 B/row; the count
+    // materializes the seed checkpoint the first round needs anyway), so
+    // the edge list is probed IN PLACE instead of re-shuffled per round
+    // and the node-grain self-joins stop exchanging at all. At 100 TB the
+    // gate is off and everything falls back to the shuffle plan.
+    val nodeBytes = BigInt(labels.count()) * 64
+    def bc(df: DataFrame): DataFrame =
+      graft.ops.Hints.broadcastIfFits(df, nodeBytes)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighbourMin = edges
-        .join(labels, edges("dst") === labels("id"))
+        .join(bc(labels), edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       val stepped = labels
-        .join(neighbourMin, labels("id") === neighbourMin("src"), "left")
+        .join(bc(neighbourMin), labels("id") === neighbourMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           labels("label").as("old_label"))
@@ -679,7 +690,7 @@ object Dedup {
       val byId = stepped.select(col("id").as("rep_id"), col("label").as("rep_label"))
       val finalLabel = least(col("label"), coalesce(col("rep_label"), col("label")))
       val updated = stepped
-        .join(byId, col("label") === col("rep_id"), "left")
+        .join(bc(byId), col("label") === col("rep_id"), "left")
         // the changed flag rides along, so convergence detection is a
         // filter over the checkpointed frame instead of a join-per-round
         .select(col("id"), finalLabel.as("label"),

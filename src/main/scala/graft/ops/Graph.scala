@@ -100,9 +100,8 @@ object Graph {
 
   /** (node, deg, r) after `iters` power iterations, r in nano-units. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    // build-side bound for the per-iteration join: ranks live at the NODE
-    // grain (≤ edge rows always, since deg ≥ 1), so the pre-checkpoint
-    // edge-list estimate over-bounds every round's build side
+    // fallback build-side bound for the per-iteration join when the
+    // broadcast gate below is off
     val edgeBytes = graft.ops.Hints.estimatedBytes(edges)
     // degree is folded into the edge frame ONCE — each iteration is then
     // a single equi-join (ranks ⋈ out-edges) + one map-combined sum,
@@ -112,6 +111,21 @@ object Graph {
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"), col("deg")).distinct()
       .localCheckpoint(eager = false)
+    // r14 (guide §3.1, the kcore r13 treatment): broadcast the NODE-grain
+    // rank frame into each round's join when it fits, so the edge list is
+    // never re-shuffled per round (the checkpointed scan reads back
+    // UnknownPartitioning, so every round otherwise re-exchanges BOTH
+    // sides). Bound = one map-combined count of the node frame × 64 B/row
+    // — Catalyst's post-join estimate is useless here (2.2 TB for a
+    // 16k-node frame at sf0.1), and the count materializes a checkpoint
+    // the first round needs anyway. At 100 TB the gate turns OFF and the
+    // join falls back to the size-gated SHUFFLE_HASH / SMJ path (spills).
+    val nodeBytes = BigInt(nodes.count()) * 64
+    // NOTE (r14): fanning the edge checkpoint to defaultParallelism when
+    // the gate is on was A/B-measured SLOWER (4.7 vs 3.5 s min-of-3
+    // interleaved at sf0.1) — fanned loop rounds pay more in per-task
+    // scheduling than the spread compute buys, the same finding as the
+    // r13 blanket scan fan-out. Left alone.
     var ranks = nodes.select(col("node"), lit(1000000000L).as("r"))
       .localCheckpoint(eager = false)
     // NOTE (r13): batching TWO iterations per localCheckpoint was
@@ -121,13 +135,12 @@ object Graph {
     // cold caches than the saved Catalyst pass buys. One checkpoint per
     // iteration stays.
     for (_ <- 1 to iters) {
-      // SHUFFLE_HASH (size-gated) with the rank frame as build side; the
-      // downstream is a hash aggregate — SMJ's per-round sort of the edge
-      // stream buys nothing. Measured 4.5 s → 3.9 s warm over 5 rounds
-      // at sf0.1.
+      val build =
+        if (graft.ops.Hints.fitsBroadcast(ranks, nodeBytes))
+          broadcast(ranks)
+        else graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes)
       ranks = e
-        .join(graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes),
-          e("src") === ranks("node"))
+        .join(build, e("src") === ranks("node"))
         .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000000L) + sum(col("c"))).as("r"))
@@ -164,19 +177,28 @@ object Graph {
       .join(broadcast(s), Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("b"), lit(0L)).as("b"))
       .localCheckpoint(eager = false)
+    // r14: same node-grain broadcast gate as [[pagerank]] — count once,
+    // honest 64 B/row bound, OFF at scale (SHUFFLE_HASH/SMJ fallback)
+    val nodeBytes = BigInt(base.count()) * 64
     var ranks = base.select(col("node"),
       when(col("b") > 0, lit(1000000000L)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(eager = false)
     // one checkpoint per round — see the [[pagerank]] r13 note on why
     // two-round batching was rejected (60% cold-bench regression)
     for (_ <- 1 to iters) {
+      val build =
+        if (graft.ops.Hints.fitsBroadcast(ranks, nodeBytes))
+          broadcast(ranks)
+        else graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes)
       val contrib = e
-        .join(graft.ops.Hints.shuffleHashIfFits(ranks, edgeBytes),
-          e("src") === ranks("node"))
+        .join(build, e("src") === ranks("node"))
         .select(col("dst"), expr("(r * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
         .select(col("dst").as("node"), col("m"))
-      ranks = base.join(contrib, Seq("node"), "left")
+      // contrib is node-grain too: broadcast it into the left join so the
+      // checkpointed base frame is not re-shuffled per round either
+      ranks = base.join(
+          graft.ops.Hints.broadcastIfFits(contrib, nodeBytes), Seq("node"), "left")
         .select(col("node"), (col("b") + coalesce(col("m"), lit(0L))).as("r"))
         .localCheckpoint(eager = false)
     }
@@ -213,12 +235,18 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint(eager = false)
+    // r14: node-grain broadcast gate (see [[pagerank]]) — the edge list
+    // stops being re-shuffled per round; OFF at scale with SHJ fallback
+    val nodeBytes = BigInt(labels.count()) * 64
     // one checkpoint per round — see the [[pagerank]] r13 note on why
     // two-round batching was rejected (60% cold-bench regression)
     for (_ <- 1 to rounds) {
+      val build =
+        if (graft.ops.Hints.fitsBroadcast(labels, nodeBytes))
+          broadcast(labels)
+        else graft.ops.Hints.shuffleHashIfFits(labels, edgeBytes)
       labels = e
-        .join(graft.ops.Hints.shuffleHashIfFits(labels, edgeBytes),
-          e("src") === labels("node"))
+        .join(build, e("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
@@ -317,14 +345,23 @@ object Graph {
     // the r13 committed plans), so repartition(src) was a wasted shuffle
     val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
+    // r14: frontier and settled labels are NODE-grain (≤ distinct
+    // endpoints, counted once); broadcast them into the per-hop joins
+    // when they fit so the edge list is probed IN PLACE instead of being
+    // re-shuffled every hop (guide §3.1, the kcore/pagerank treatment).
+    // At 100 TB the gate is off and the joins fall back to shuffles.
+    val nodeBytes =
+      BigInt(e.select(col("src")).distinct().count()) * 64
     var labels = sources.select(col("node"), lit(0).as("hop"))
       .distinct().localCheckpoint(eager = false)
     var frontier = labels.select(col("node"))
     var hop = 1
     while (hop <= maxHops) {
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val next = graft.ops.Hints.broadcastIfFits(frontier, nodeBytes)
+        .join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
-        .join(labels, Seq("node"), "left_anti")
+        .join(graft.ops.Hints.broadcastIfFits(labels, nodeBytes),
+          Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
         .localCheckpoint(eager = false)
       labels = labels.unionByName(next).localCheckpoint(eager = false)

@@ -63,4 +63,13 @@ object Hints {
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }
+
+  /** The [[broadcastIfFits]] predicate alone — for callers that need a
+    * different fallback than "unhinted" (e.g. the iterative loops fall
+    * back to the size-gated SHUFFLE_HASH when the broadcast gate is off).
+    */
+  def fitsBroadcast(df: DataFrame, buildBytes: BigInt): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 && buildBytes < BigInt(threshold)
+  }
 }
