@@ -1145,12 +1145,16 @@ object TrainQueries {
     // binary-double rounding (floor(x·1e4+0.5)/1e4) on BOTH sides — see
     // TextAnalysis.round4; engine round() disagrees on repr-boundary rows
     "text_quality" -> QueryDef(
+      // r14 (§1.2): token array hoisted to an attribute — the stopword
+      // `filter` HOF otherwise re-runs the tokenizer regex per element
       (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          TextAnalysis.wordCount(col("text")).as("n_words"),
+          size(col("_toks")).as("n_words"),
           TextAnalysis.round4(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio"),
-          TextAnalysis.round4(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.round4(TextAnalysis.stopwordRatioOf(col("_toks"))).as("stopword_ratio"),
+          TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("quality"))
         .orderBy(col("doc_id")),
       s"""WITH f AS (
          |  SELECT doc_id,
@@ -1184,16 +1188,26 @@ object TrainQueries {
         // so the rule discriminates — the rule SHAPE (≥2 distinct required
         // words present) is what's under test.
         val stops = Seq("the", "a", "dup", "be", "of", "and", "have", "with")
+        // r14 (§1.2): hoist gt and the token array into their own
+        // projections — the `filter` HOF below is interpreted and
+        // re-evaluates an inlined array SUBTREE per element (the repo's
+        // documented trap); over attributes the re-read is free. Same
+        // values, one tokenizer pass per row.
         Tables.documents(spark, dir)
+          .select(col("doc_id"), gt.as("_gt"))
+          .select(col("doc_id"), col("_gt"),
+            regexp_extract_all(lower(col("_gt")), lit("[a-z0-9]+"), lit(0))
+              .as("_toks"))
           .select(col("doc_id"),
-            size(toks).as("wc"),
-            length(array_join(toks, "")).as("charsum"),
-            (length(gt) - length(replace(gt, lit("#"), lit("")))).as("n_hash"),
-            ((length(gt) - length(replace(gt, lit("..."), lit("")))) / 3)
+            size(col("_toks")).as("wc"),
+            length(array_join(col("_toks"), "")).as("charsum"),
+            (length(col("_gt")) - length(replace(col("_gt"), lit("#"), lit(""))))
+              .as("n_hash"),
+            ((length(col("_gt")) - length(replace(col("_gt"), lit("..."), lit("")))) / 3)
               .cast("int").as("n_ell"),
-            stops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+            stops.map(w => array_contains(col("_toks"), w).cast("int")).reduce(_ + _)
               .as("n_stop"),
-            size(filter(toks, x => x.rlike("[a-z]"))).as("n_alpha"))
+            size(filter(col("_toks"), x => x.rlike("[a-z]"))).as("n_alpha"))
           .select(col("doc_id"), col("wc"), col("n_hash"), col("n_ell"),
             col("n_stop"), col("n_alpha"),
             col("wc").between(50, 100000).as("f_words"),

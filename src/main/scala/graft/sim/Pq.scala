@@ -114,6 +114,11 @@ object Pq {
     // not applied.
     val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
+    // one count: materializes the micro checkpoint (the next stage needs
+    // it anyway), sizes the auto coarse quantizer, and bounds the
+    // query-grain broadcast gates below (nq ≤ n/queryMod + 1)
+    val nCount = micro.count()
+    val nqBound = BigInt(nCount / math.max(queryMod, 1) + 1)
 
     // coarse quantizer: every centroidMod-th vector; n×(n/centroidMod)
     // assignment via ONE broadcast (the deliberate BNLJ-cross of ivfTopK).
@@ -123,7 +128,7 @@ object Pq {
     // probe), √n cells makes it n^1.5.
     val mod =
       if (centroidMod > 0) centroidMod.toLong
-      else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+      else math.max(1L, math.sqrt(nCount.toDouble).toLong)
     val cents = micro.filter(pmod(col("id"), lit(mod)) === 0)
       .select(col("id").as("ccid"), col("vu").as("cv"))
     // top-nprobe cells per point via the bounded-heap aggregate (map-side
@@ -140,9 +145,21 @@ object Pq {
       .localCheckpoint(eager = false)
     val cells = pruned.filter(col("rnk") === 1)
       .select(col("id").as("nid"), col("ccid"))
-    val probes = pruned
-      .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
-      .select(col("id").as("qid"), col("ccid"))
+    // r14 (guide §3.1 + verdict item 5): the probe list and the ADC LUT
+    // are QUERY-BATCH-grain — nq·nprobe and nq·m·k rows, the frames the
+    // paper's IVFADC explicitly keeps memory-resident — so broadcast them
+    // (size-gated on the honest nq bound) instead of shuffling the
+    // candidate stream against them: the probes⋈cells join then streams
+    // the cell list in place, and the ADC join streams the pair×m code
+    // rows against the broadcast LUT with ZERO exchange — at scale that
+    // was the query's largest shuffle. Gates off ⇒ the old shuffle plan.
+    val probes = graft.ops.Hints.broadcastIfFitsSwitched(
+      pruned
+        .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
+        .select(col("id").as("qid"), col("ccid")),
+      nqBound * nprobe * 32, "spark.graft.pqbc")
+    val lutBytes =
+      nqBound * (if (residual) nprobe else 1) * m * k * 48
 
     // residual mode quantizes vu − cv(home cell): exact micro-unit
     // subtraction, one home-cell join at corpus grain
@@ -163,12 +180,14 @@ object Pq {
 
     val adcRows =
       if (!residual) {
-        val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
-          .join(broadcast(cb), Seq("s"))
-          .select(col("id").as("qid"), col("s"), col("cid"),
-            (graft.functions.dot_product(col("sub"), col("sub"))
-              - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
-              + col("norm2")).as("d"))
+        val lut = graft.ops.Hints.broadcastIfFitsSwitched(
+          sub.filter(pmod(col("id"), lit(queryMod)) === 0)
+            .join(broadcast(cb), Seq("s"))
+            .select(col("id").as("qid"), col("s"), col("cid"),
+              (graft.functions.dot_product(col("sub"), col("sub"))
+                - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+                + col("norm2")).as("d")),
+          lutBytes, "spark.graft.pqbc")
         // a neighbour lives in exactly one cell (rnk = 1), so probe-cell
         // candidates are already pair-distinct — no dedup pass
         probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
@@ -177,21 +196,23 @@ object Pq {
           .join(lut, Seq("qid", "s", "cid"))
       } else {
         // one LUT per (query, PROBED cell): the query's residual against
-        // that cell — nq·nprobe·m·k rows, still broadcast-size
-        val lut = probes
-          .join(micro.select(col("id").as("qid"), col("vu")), Seq("qid"))
-          .join(cents, Seq("ccid"))
-          .select(col("qid"), col("ccid"),
-            zip_with(col("vu"), col("cv"), (a, b) => a - b).as("vu"))
-          .select(col("qid"), col("ccid"), explode(expr(
-            s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS sub))"))
-            .as("e"))
-          .select(col("qid"), col("ccid"), col("e.s").as("s"), col("e.sub").as("sub"))
-          .join(broadcast(cb), Seq("s"))
-          .select(col("qid"), col("ccid"), col("s"), col("cid"),
-            (graft.functions.dot_product(col("sub"), col("sub"))
-              - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
-              + col("norm2")).as("d"))
+        // that cell — nq·nprobe·m·k rows, still broadcast-size (gated)
+        val lut = graft.ops.Hints.broadcastIfFitsSwitched(
+          probes
+            .join(micro.select(col("id").as("qid"), col("vu")), Seq("qid"))
+            .join(cents, Seq("ccid"))
+            .select(col("qid"), col("ccid"),
+              zip_with(col("vu"), col("cv"), (a, b) => a - b).as("vu"))
+            .select(col("qid"), col("ccid"), explode(expr(
+              s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(vu, s*$subDim+1, $subDim) AS sub))"))
+              .as("e"))
+            .select(col("qid"), col("ccid"), col("e.s").as("s"), col("e.sub").as("sub"))
+            .join(broadcast(cb), Seq("s"))
+            .select(col("qid"), col("ccid"), col("s"), col("cid"),
+              (graft.functions.dot_product(col("sub"), col("sub"))
+                - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+                + col("norm2")).as("d")),
+          lutBytes, "spark.graft.pqbc")
         probes.join(cells, Seq("ccid")).filter(col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"), col("ccid"))
           .join(enc, Seq("nid"))
@@ -221,6 +242,8 @@ object Pq {
     // no scan fan-out here — same measured finding as ivfPqTopK above
     val micro = emb.select(col(idCol).as("id"), Clustering.microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
+    // one count: materializes the checkpoint and bounds the LUT broadcast
+    val nqBound = BigInt(micro.count() / math.max(queryMod, 1) + 1)
     var cb = codebook(micro, m, subDim, k).localCheckpoint(eager = false)
     val sub = subvectors(micro, m, subDim).localCheckpoint(eager = false)
     for (_ <- 1 to lloydIters)
@@ -228,13 +251,18 @@ object Pq {
 
     val enc = assign(sub, cb).select(col("id").as("nid"), col("s"), col("cid"))
 
-    // per-query distance LUT: nq · m·k rows
-    val lut = sub.filter(pmod(col("id"), lit(queryMod)) === 0)
-      .join(broadcast(cb), Seq("s"))
-      .select(col("id").as("qid"), col("s"), col("cid"),
-        (graft.functions.dot_product(col("sub"), col("sub"))
-          - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
-          + col("norm2")).as("d"))
+    // per-query distance LUT: nq · m·k rows — broadcast when it fits
+    // (r14, guide §3.1: ADC = broadcast lookup table + streamed codes;
+    // the enc⋈lut shuffle of n·m code rows disappears). Gate off ⇒ the
+    // old shuffle join.
+    val lut = graft.ops.Hints.broadcastIfFitsSwitched(
+      sub.filter(pmod(col("id"), lit(queryMod)) === 0)
+        .join(broadcast(cb), Seq("s"))
+        .select(col("id").as("qid"), col("s"), col("cid"),
+          (graft.functions.dot_product(col("sub"), col("sub"))
+            - lit(2.0) * graft.functions.dot_product(col("sub"), col("cw"))
+            + col("norm2")).as("d")),
+      nqBound * m * k * 48, "spark.graft.pqbc")
 
     // ADC: m lookup rows per (query, neighbour); exact-integer sum
     enc.join(lut, Seq("s", "cid"))

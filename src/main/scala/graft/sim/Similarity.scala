@@ -191,9 +191,10 @@ object Similarity {
     // classic IVF balance: assignment n^1.5, probe volume nprobe·√n per
     // query. floor(sqrt) is IEEE-exact for n ≪ 2^52, so the SQL oracle
     // replays the choice bit-for-bit.
+    val nCount = emb.count()
     val mod =
       if (centroidMod > 0) centroidMod.toLong
-      else math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+      else math.max(1L, math.sqrt(nCount.toDouble).toLong)
     val cents = emb.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // the BroadcastNestedLoopJoin-Cross in this plan IS the n×m assignment
@@ -226,10 +227,16 @@ object Similarity {
     val cells = pruned.filter(col("rnk") === 1)
       .join(vecs, col("id") === col("vid"))
       .select(col("id").as("nid"), col("cid"), col("vv").as("nv"))
-    val probes = pruned
-      .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
-      .join(vecs, col("id") === col("vid"))
-      .select(col("id").as("qid"), col("cid"), col("vv").as("qv"))
+    // r14 (guide §3.1): the probe frame is QUERY-BATCH grain (nq·nprobe
+    // rows, vectors included) — broadcast it when it fits so the n-row
+    // cell side streams in place instead of being re-shuffled by cid;
+    // gate off (large query batches) ⇒ the old shuffle join
+    val probes = graft.ops.Hints.broadcastIfFits(
+      pruned
+        .filter(col("rnk") <= nprobe && pmod(col("id"), lit(queryMod)) === 0)
+        .join(vecs, col("id") === col("vid"))
+        .select(col("id").as("qid"), col("cid"), col("vv").as("qv")),
+      BigInt(nCount / math.max(queryMod, 1) + 1) * nprobe * 640)
     probes
       .join(cells, Seq("cid"))
       .filter(col("qid") =!= col("nid"))

@@ -32,21 +32,31 @@ object QualityModel {
     */
   def features(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // tokenize + regexp per row: row-dominated stage work — fan the scan
-    // out (no-op at production split counts; Tables doc)
-    graft.Tables.fanOutForCompute(docs).select(
-      col(idCol),
-      lit(1000L).as("x0"),
-      (least(TextAnalysis.tokenCount(col(textCol)), lit(100)) * 10)
-        .cast("long").as("x1"),
-      floor((size(regexp_extract_all(lower(col(textCol)), lit("[a-z]"), lit(0)))
-          .cast("double") * 1000) / greatest(length(col(textCol)), lit(1)))
-        .cast("long").as("x2"),
-      floor((TextAnalysis.markerCount(toks, TextAnalysis.stopwords("en"))
-          .cast("double") * 1000)
-          / greatest(TextAnalysis.tokenCount(col(textCol)), lit(1)))
-        .cast("long").as("x3"))
+    // r14 (§1.2, the repo's interpreted-HOF lesson): markerCount is a
+    // `filter` HOF — interpreted, and it re-evaluates its array argument
+    // PER ELEMENT. With toks inlined as the regexp_extract_all subtree,
+    // a 50-token doc ran the tokenizer regex ~50× per row. Hoist the
+    // token array into its own projection so the HOF references a plain
+    // attribute (CollapseProject keeps non-cheap multi-use producers
+    // un-inlined). x1/x3 denominators reuse the same array — identical
+    // values, one tokenizer pass per row.
+    // Fan-out: tokenize + regexp per row is row-dominated stage work
+    // (no-op at production split counts; Tables doc).
+    graft.Tables.fanOutForCompute(docs)
+      .select(col(idCol), col(textCol),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(
+        col(idCol),
+        lit(1000L).as("x0"),
+        (least(size(col("_toks")), lit(100)) * 10)
+          .cast("long").as("x1"),
+        floor((size(regexp_extract_all(lower(col(textCol)), lit("[a-z]"), lit(0)))
+            .cast("double") * 1000) / greatest(length(col(textCol)), lit(1)))
+          .cast("long").as("x2"),
+        floor((TextAnalysis.markerCount(col("_toks"), TextAnalysis.stopwords("en"))
+            .cast("double") * 1000)
+            / greatest(size(col("_toks")), lit(1)))
+          .cast("long").as("x3"))
   }
 
   /** Teacher labels for trainer validation: a planted linear rule over

@@ -71,6 +71,14 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c), lit("[a-z]"), lit(0))) / greatest(length(c), lit(1))
   def stopwordRatio(c: Column): Column =
     markerCount(tokens(c), stopwords("en")) / greatest(tokenCount(c), lit(1))
+  /** [[stopwordRatio]] over an already-hoisted token-array ATTRIBUTE —
+    * markerCount is an interpreted `filter` HOF that re-evaluates an
+    * inlined array subtree per element (the repo's documented trap), so
+    * hot paths hoist `tokens(c)` into a projection and pass the column
+    * here. Same value.
+    */
+  def stopwordRatioOf(toks: Column): Column =
+    markerCount(toks, stopwords("en")) / greatest(size(toks), lit(1))
   def meanWordLen(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z0-9]"), lit(0))) / greatest(tokenCount(c), lit(1))
 
@@ -91,6 +99,15 @@ object TextAnalysis {
     round4(
       least(wordCount(c) / lit(100.0), lit(1.0)) * 0.4 +
         least(stopwordRatio(c) * lit(3.0), lit(1.0)) * 0.3 +
+        alphaRatio(c) * 0.3)
+
+  /** [[qualityScore]] with the token array supplied as a hoisted
+    * attribute (see [[stopwordRatioOf]]). Same value.
+    */
+  def qualityScoreOf(c: Column, toks: Column): Column =
+    round4(
+      least(size(toks) / lit(100.0), lit(1.0)) * 0.4 +
+        least(stopwordRatioOf(toks) * lit(3.0), lit(1.0)) * 0.3 +
         alphaRatio(c) * 0.3)
 
   /** Document fingerprint: md5 over the normalized token stream. */
