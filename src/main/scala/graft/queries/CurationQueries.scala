@@ -230,11 +230,26 @@ object CurationQueries {
             .when(col("doc_id") % 5 === 3, lit("/extra/z"))
             .otherwise(lit("/open/x")).as("path"))
         val agents = Seq("GraftBot", "unknownbot", "HELPERBOT")
-        val robots = Tables.documents(spark, dir)
+        // r14 (§2.2): the REP parse is interpreted-HOF-heavy — ~100 ms
+        // per (domain, agent) row — and AQE coalesces the tiny distinct
+        // output to ONE partition, serializing the whole parse leg on a
+        // single core (profiler: 2.5-3 s of taskSec in 1-task stages).
+        // Count the domain frame once (reused for the broadcast gate
+        // below) and fan the parse across the session's cores when the
+        // frame is small; a production-size domain frame (millions of
+        // rows) keeps its natural post-shuffle width instead.
+        val hosts = Tables.documents(spark, dir)
           .select(host(col("doc_id")).as("rhost")).distinct()
+        val nRobots = hosts.count() * agents.size
+        val pre = hosts
           .withColumn("d", (substring(col("rhost"), 5, 1).cast("int") % 5)
             .cast("string"))
           .withColumn("ragent", explode(array(agents.map(lit): _*)))
+        val wide =
+          if (nRobots < 100000)
+            pre.repartition(spark.sparkContext.defaultParallelism)
+          else pre
+        val robots = wide
           .select(col("rhost"), col("ragent"),
             graft.text.Robots.rulesForAgent(concat(
               lit("# graft crawl policy\nUser-Agent: GraftBot\ndisallow: /sec"),
@@ -250,15 +265,27 @@ object CurationQueries {
           // joined query — measured 3.2 s → 2.6 s at sf0.1). Domain grain
           // is tiny by construction at any corpus scale.
           .localCheckpoint(eager = false)
+        // r14 (§1.2 + §3.1): normalizePath is an expensive subtree
+        // (split + transform HOF + conv) that bestMatch's filter lambdas
+        // referenced — interpreted HOFs re-evaluate an inlined argument
+        // subtree PER RULE ELEMENT, so each URL normalized its path
+        // ~2×|rules| times. Hoist it to a projection ("_np"). The robots
+        // frame is domain-grain and checkpointed (stats = Long.Max, so
+        // the planner can never auto-broadcast it): broadcast it on an
+        // honest count-based bound — the URL side then streams from the
+        // scan with zero exchange before the verdict projection.
         val np = graft.text.Robots.normalizePath(col("path"))
-        urls.join(robots, col("host") === col("rhost") &&
-            col("agent") === col("ragent"))
+        val robotsBytes = BigInt(nRobots) * 2048
+        urls.select(col("doc_id"), col("host"), col("agent"), col("path"),
+            np.as("_np"))
+          .join(graft.ops.Hints.broadcastIfFits(robots, robotsBytes),
+            col("host") === col("rhost") && col("agent") === col("ragent"))
           .select(col("doc_id"), col("host"), col("agent"), col("path"),
-            graft.text.Robots.bestMatch(col("rules"), np, allow = true)
+            graft.text.Robots.bestMatch(col("rules"), col("_np"), allow = true)
               .as("best_allow"),
-            graft.text.Robots.bestMatch(col("rules"), np, allow = false)
+            graft.text.Robots.bestMatch(col("rules"), col("_np"), allow = false)
               .as("best_disallow"),
-            graft.text.Robots.allowed(col("rules"), np).as("allowed"))
+            graft.text.Robots.allowed(col("rules"), col("_np")).as("allowed"))
           .orderBy(col("doc_id"))
       },
       """WITH urls AS (SELECT doc_id,

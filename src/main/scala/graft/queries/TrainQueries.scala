@@ -501,7 +501,10 @@ object TrainQueries {
         // gate the SHUFFLE_HASH on the pre-checkpoint source estimate,
         // ×2 safety for the doc-length-dependent proxy
         val srcBytes = graft.ops.Hints.estimatedBytes(Tables.documents(spark, dir)) * 2
-        val base = Tables.documents(spark, dir)
+        // r14 (§2.2): shingling + 60-bit keys + OPH sigs are row-dominated
+        // and the single-file scan pins them to one core — spread (the
+        // shared Dedup convention; no-op at production split counts)
+        val base = graft.dedup.Dedup.spread(Tables.documents(spark, dir))
           .select(col("doc_id").as("id"),
             array_distinct(TextAnalysis.shingles(col("text"), 3)).as("shset"))
           // hashed sorted keys ride the checkpoint for the exact-overlap

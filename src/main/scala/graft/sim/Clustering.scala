@@ -53,13 +53,20 @@ object Clustering {
   def kmeansAssign(emb: DataFrame, k: Int = 0, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters > 0, "iters must be positive")
+    val nCount = emb.count()
     val kk =
       if (k > 0) k
-      else math.max(1L, math.sqrt(emb.count().toDouble).toLong).toInt
+      else math.max(1L, math.sqrt(nCount.toDouble).toLong).toInt
     // micro-unit vectors materialized once: every iteration's assignment
     // and update read this frame
     val base = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vu"))
       .localCheckpoint(eager = false)
+    // r14 (§3.1, the loop family treatment): the assignment frame is
+    // (id, cid) — 24 B/row node grain — so broadcast it into the centroid
+    // update's join when it fits and the heavy vector frame `base`
+    // streams from its checkpoint with zero exchange. Gate off at scale ⇒
+    // the old shuffle join.
+    val assignBytes = BigInt(nCount) * 32
     // centroid frame: (cid, cu = micro-unit centroid, norm2 = ⟨cu,cu⟩);
     // seeds are their own centroid (n=1, rounding is identity)
     var cent = base
@@ -82,7 +89,8 @@ object Clustering {
       // centroid update: per-dim micro-unit sums + member count (exact),
       // mean rounded back to integer micro-units, rebuilt into a
       // broadcastable k-row array frame
-      cent = assigned.join(base, Seq("id"))
+      cent = graft.ops.Hints.broadcastIfFits(assigned, assignBytes)
+        .join(base, Seq("id"))
         .select(col("cid"), posexplode(col("vu")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
