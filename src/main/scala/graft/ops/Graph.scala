@@ -53,11 +53,20 @@ object Graph {
     // times below (degree ×2, orientation ×1) with no exchange reuse across
     // them — materialize it once
     val p = pairs.localCheckpoint(eager = false)
+    // r14 (§3.1, the loop-family treatment): the degree frame is
+    // NODE-grain — checkpoint it (both orientation joins read it) and
+    // broadcast it into them on an honest count bound, so the edge list
+    // streams from its checkpoint instead of being exchanged twice for
+    // the orientation. Gate off at scale ⇒ the old shuffle joins.
     val deg = p.select(col("a").as("node"))
       .unionAll(p.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val da = deg.select(col("node").as("a"), col("deg").as("da"))
-    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+      .localCheckpoint(eager = false)
+    val nodeBytes = BigInt(deg.count()) * 48
+    val da = graft.ops.Hints.broadcastIfFits(
+      deg.select(col("node").as("a"), col("deg").as("da")), nodeBytes)
+    val db = graft.ops.Hints.broadcastIfFits(
+      deg.select(col("node").as("b"), col("deg").as("db")), nodeBytes)
     // total order on vertices: (deg, node) — ties on degree break by id,
     // so the orientation is acyclic and engine-independent
     val aFirst = col("da") < col("db") ||
@@ -65,35 +74,37 @@ object Graph {
     val oriented = p.join(da, Seq("a")).join(db, Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       // NOTE (r14): do NOT pre-partition before this checkpoint —
       // localCheckpoint reads back as UnknownPartitioning(0), so a
       // repartition(src) here is a pure extra full shuffle (r13's version
-      // regressed graph_triangles 6.4 s → 24 s; the wedge join still
-      // shuffled both legs)
+      // regressed graph_triangles 6.4 s → 24 s)
       .localCheckpoint(eager = false)
-    // columns renamed per leg — two-sided self-joins over shared lineage
-    // otherwise trip DetectAmbiguousSelfJoin. SHUFFLE_HASH on both legs
-    // (size-gated on the pre-checkpoint edge-list estimate — the build
-    // side is always the m-row oriented edge list, ≪ the wedge stream, but
-    // m itself must still fit the local-hash-map budget): downstream is a
-    // hash aggregate, so SMJ's sort of the m^(3/2)-row wedge stream buys
-    // nothing — measured 8.1 s → 5.8 s at sf0.1. Broadcasting the close
-    // side is faster still locally but caps at the edge-list size — a
-    // non-starter for a 100 TB graph, so not forced.
+    // r14 (§1.2 + §2.3): adjacency-intersect close instead of the
+    // wedge-enumeration self-join pair. A triangle under the orientation
+    // is u→v with w ∈ outAdj(u) ∩ outAdj(v), so: build the out-neighbor
+    // array per node (bounded by √(2m) after orientation — never a hub's
+    // full neighborhood), attach both endpoint arrays to each oriented
+    // edge, and explode the codegen'd array_intersect. The Σ out-deg²
+    // merge work is inherent either way, but the m^(3/2)-row wedge
+    // stream no longer passes through TWO join operators — the two adj
+    // joins move node-grain array rows (m entries total each), and the
+    // intersection runs inside one projection. Same-JVM interleaved A/B:
+    // 5.2 → 3.8 s min-of-3 at sf0.1, full-outer DIFF=0 on the counts.
+    // SHUFFLE_HASH stays size-gated on the pre-checkpoint estimate.
     val edgeBytes = graft.ops.Hints.estimatedBytes(pairs)
-    val o1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("ddst").as("dv"))
-    val o2 = graft.ops.Hints.shuffleHashIfFits(
-      oriented.select(col("src").as("u2"), col("dst").as("w"), col("ddst").as("dw")),
-      edgeBytes)
-    val close = graft.ops.Hints.shuffleHashIfFits(
-      oriented.select(col("src").as("cv"), col("dst").as("cw")), edgeBytes)
-    // wedge (u→v, u→w) with rank(v) < rank(w); the closing edge is then
-    // oriented v→w under the same rank, so one equi-join finds it
-    val wedges = o1.join(o2, col("u") === col("u2") &&
-      (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
-    wedges.join(close, col("v") === col("cv") && col("w") === col("cw"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint(eager = false)
+    val adjU = graft.ops.Hints.shuffleHashIfFits(
+      adj.select(col("src").as("u"), col("nbrs").as("nu")), edgeBytes)
+    val adjV = graft.ops.Hints.shuffleHashIfFits(
+      adj.select(col("src").as("v2"), col("nbrs").as("nv")), edgeBytes)
+    oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(adjU, Seq("u"))
+      .join(adjV, col("v") === col("v2"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
   }
