@@ -151,9 +151,14 @@ object Bench {
     println(s"BENCH_DETAIL $detail")
     // Final metric line: ONE bare-JSON line, sized to survive the 2000-char
     // tail window (sbt appends ~80 chars of "[success]" after us). Slowest
-    // queries first; stop adding entries at the budget.
+    // queries first; stop adding entries at the budget. KNOWN CONTRACT
+    // LIMIT (r13 PERF "phantom drops"): with 280 queries the full map
+    // cannot fit one retained line — queries that get FAST fall off the
+    // slowest-first list and read as "dropped". The COMPLETE map is always
+    // in BENCH_DETAIL.json (the "detail" pointer); r14 raises the budget
+    // to the measured retention window (1840 + sbt tail < 2000).
     val slowest = results.sortBy(-_._2)
-    val budget = 1500
+    val budget = 1750
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$loadNote,"detail":"BENCH_DETAIL.json","queries":{"""
     val tailStr = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(head)

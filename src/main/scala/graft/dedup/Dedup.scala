@@ -666,7 +666,7 @@ object Dedup {
     // gate is off and everything falls back to the shuffle plan.
     val nodeBytes = BigInt(labels.count()) * 64
     def bc(df: DataFrame): DataFrame =
-      graft.ops.Hints.broadcastIfFits(df, nodeBytes)
+      graft.ops.Hints.broadcastIfFitsSwitched(df, nodeBytes, "spark.graft.loopbc")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
