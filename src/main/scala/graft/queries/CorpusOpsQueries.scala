@@ -222,12 +222,17 @@ object CorpusOpsQueries {
     "train_token_budget" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val d = Tables.documents(spark, dir)
+        // r14: d is referenced THREE times (total, bucket rollup, admit
+        // join) — without a materialization the tokenizer pass ran per
+        // branch; spread the scan (row-dominated tokenize) and checkpoint
+        // the tiny doc-grain result
+        val d = graft.dedup.Dedup.spread(Tables.documents(spark, dir))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"), size(col("toks")).as("n_tok"),
             size(array_distinct(col("toks"))).as("n_dis"))
           .filter(col("n_tok") > 0)
           .withColumn("score", expr("(n_dis * 1000) DIV n_tok"))
+          .localCheckpoint(eager = false)
         val total = d.agg(sum(col("n_tok")).as("tot"))
         val bc = d.groupBy(col("score")).agg(sum(col("n_tok")).as("tok_s"))
           .withColumn("cum", sum(col("tok_s"))
@@ -336,7 +341,8 @@ object CorpusOpsQueries {
     //    no global sort, no skew) ──
     "text_keywords" -> QueryDef(
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
+        // r14: spread the tokenize scan (row-dominated; single-file input)
+        val docs = graft.dedup.Dedup.spread(Tables.documents(spark, dir))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         Retrieval.tfidfKeywords(docs, "doc_id", "toks", k = 3)
           .select(col("doc_id"), col("rn"), col("term"), col("tf"),

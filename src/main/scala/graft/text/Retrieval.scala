@@ -78,8 +78,12 @@ object Retrieval {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, toksCol: String,
                     k: Int): DataFrame = {
+    // r14: tf is referenced by BOTH the df rollup and the scoring join —
+    // materialize it once (exchange reuse does not cover the post-shuffle
+    // aggregate work, and the upstream tokenize pass is the heavy leg)
     val tf = docs.select(col(idCol), explode(col(toksCol)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
