@@ -44,7 +44,9 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     val bytes =
       try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-      catch { case _: Throwable => BigInt(-1) }
+      // NonFatal (r14, ADVICE item): a blanket Throwable would swallow
+      // OutOfMemoryError/fatal JVM errors into "skip the fan-out"
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
     val splitBytes = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val splits = (bytes + splitBytes - 1) / splitBytes
     if (bytes >= 100000 && splits < target) df.repartition(target) else df

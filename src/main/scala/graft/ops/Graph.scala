@@ -425,8 +425,12 @@ object Graph {
       if (maxBasket == Int.MaxValue) src
       else {
         val keepG = src.groupBy(col("g")).agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= maxBasket).select(col("g"))
-        src.join(keepG, Seq("g"), "left_semi")
+          .filter(col("bn") <= maxBasket).select(col("g").as("gk"))
+        // null-safe condition (r14, ADVICE item): a null group key forms
+        // its own under-cap basket in the window-count shape AND in the
+        // MaxValue path — an equi-semi-join would silently drop it (null
+        // never equals null), making the two paths inconsistent
+        src.join(keepG, col("g") <=> col("gk"), "left_semi")
       }
     // ONE basket aggregate feeds both legs: the previous shape re-ran the
     // group aggregate per leg (pairs' collect_set and deg's countDistinct

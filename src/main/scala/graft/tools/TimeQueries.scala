@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * [reps]` — same session config and noop sink as graft.Bench, but only
   * the named queries, each run `reps` times (default 2: cold + warm) so
   * an optimization's effect is visible without the full-suite wait.
+  *
+  * NOTE (ADVICE item): the per-rep cleanup unpersists every persistent
+  * RDD and clears the whole cache manager JVM-WIDE — correct here
+  * because each rep rebuilds from scratch, but a future caller that
+  * caches a frame across queries would be silently evicted.
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
